@@ -1,0 +1,1 @@
+"""Subpackage of embulk_util_json_spark."""

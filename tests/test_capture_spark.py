@@ -1,0 +1,169 @@
+"""DataFrame-level capture/flatten operator tests (Spark required)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from embulk_util_json_spark.functions.json_values import ParseOptions
+from embulk_util_json_spark.operators.capture import (
+    capture_json_tuple,
+    capture_typed,
+    extract_parity,
+    pruned_schema,
+)
+from embulk_util_json_spark.operators.flatten import (
+    flatten_typed,
+    pointer_to_json_path,
+    root_typed,
+)
+from embulk_util_json_spark.plans.capture_spec import CaptureSpec, Strategy
+
+READ1 = '{"foo":12,"bar":[true,false],"baz":null,"qux":{"hoge":"fuga"}}'
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(1, READ1), (2, '{"foo":12,"bar":true}'), (3, "not json"), (4, None)],
+        "id long, doc string",
+    )
+
+
+def test_extract_parity_capture_matrix(spark, docs_df):
+    spec = CaptureSpec.compile(
+        ["/", "/baz", "/bar", "/qux/hoge"], ["whole", "baz", "bar", "hoge"]
+    )
+    out = extract_parity(docs_df, "doc", spec).orderBy("id", "_doc_seq")
+    rows = out.collect()
+    assert [f.name for f in out.schema.fields] == [
+        "id", "_doc_seq", "whole", "baz", "bar", "hoge", "_error",
+    ]
+    r1 = rows[0]
+    assert (r1.whole, r1.baz, r1.bar, r1.hoge) == (READ1, "null", "[true,false]", '"fuga"')
+    r2 = rows[1]
+    assert (r2.whole, r2.baz, r2.bar, r2.hoge) == ('{"foo":12,"bar":true}', None, "true", None)
+    r3 = rows[2]  # quarantined
+    assert r3._error is not None and r3.whole is None
+    assert len(rows) == 3  # NULL input row vanished
+
+
+def test_extract_parity_concatenated_and_flatten(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a":1}{"a":2}'), (2, '[{"a":3},{"a":4}]'), (3, '{"a":5}')],
+        "id long, doc string",
+    )
+    spec = CaptureSpec.compile(["/a"], ["a"])
+    # concatenated docs split, no flatten: row 2's array is one doc (no /a match)
+    out = extract_parity(df, "doc", spec).orderBy("id", "_doc_seq").collect()
+    assert [(r.id, r._doc_seq, r.a) for r in out] == [
+        (1, 0, "1"), (1, 1, "2"), (2, 0, None), (3, 0, "5"),
+    ]
+    # flatten depth 1: arrays explode, non-arrays dropped
+    out2 = extract_parity(df, "doc", spec, flatten_depth=1).orderBy("id", "_doc_seq").collect()
+    assert [(r.id, r.a) for r in out2] == [(2, "3"), (2, "4")]
+
+
+def test_extract_parity_root_multiple_matches(spark):
+    df = spark.createDataFrame([(1, '{"f":{"x":1},"f":{"x":2}}')], "id long, doc string")
+    spec = CaptureSpec.compile(["/x"], ["x"])
+    out = extract_parity(df, "doc", spec, root="/f").orderBy("_doc_seq").collect()
+    assert [r.x for r in out] == ["1", "2"]
+
+
+def test_extract_parity_root_then_flatten(spark):
+    # TestJsonValueParser.java:147-156
+    df = spark.createDataFrame(
+        [(1, '{"f":[{"a":{"b":1}},{"a":{"b":2}}]}')], "id long, doc string"
+    )
+    spec = CaptureSpec.compile(["/a/b"], ["ab"])
+    out = extract_parity(df, "doc", spec, root="/f", flatten_depth=1).orderBy("_doc_seq").collect()
+    assert [r.ab for r in out] == ["1", "2"]
+
+
+def test_extract_parity_fail_policy(spark, docs_df):
+    spec = CaptureSpec.compile(["/foo"], ["foo"])
+    with pytest.raises(Exception):
+        extract_parity(docs_df, "doc", spec, errors="fail").collect()
+    out = extract_parity(docs_df, "doc", spec, errors="skip").collect()
+    assert all(r._error is None for r in out)
+
+
+def test_extract_parity_literals_option(spark):
+    df = spark.createDataFrame([(1, '{"n":12345e3}')], "id long, doc string")
+    spec = CaptureSpec.compile(["/n"], ["n"], options=ParseOptions(with_literals=True))
+    assert extract_parity(df, "doc", spec).collect()[0].n == "12345e3"
+    spec2 = CaptureSpec.compile(["/n"], ["n"])
+    assert extract_parity(df, "doc", spec2).collect()[0].n == "12345000.0"
+
+
+def test_pruned_schema_shared_prefix():
+    spec = CaptureSpec.compile(["/qux/hoge", "/qux", "/bar"])
+    schema = pruned_schema(spec.tree)
+    assert isinstance(schema, T.StructType)
+    assert set(schema.fieldNames()) == {"qux", "bar"}
+    qux = schema["qux"].dataType
+    assert isinstance(qux, T.StructType) and qux.fieldNames() == ["hoge"]
+
+
+def test_capture_typed_tree(spark, docs_df):
+    spec = CaptureSpec.compile(
+        ["/foo", "/qux/hoge", "/bar", "/none"], ["foo", "hoge", "bar", "none"]
+    )
+    out = capture_typed(docs_df, "doc", spec, casts={"foo": "long"})
+    r = out.orderBy("id").collect()[0]
+    assert (r.foo, r.hoge, r.bar, r.none) == (12, "fuga", "[true,false]", None)
+    # We emit ONE combined-schema from_json; Catalyst's OptimizeJsonExprs
+    # then *chooses* to split it into per-column single-field pruned
+    # parses (column pruning inside the parser — the reference's skip()
+    # semantics, CapturingDirectMemberNameList.java:95-98, done by the
+    # optimizer). Assert the pruning happened: every from_json in the
+    # optimized plan carries a minimal single-field schema.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 4
+    for fld in ("StructField(foo", "StructField(none", "StructField(bar"):
+        assert fld in plan
+
+
+def test_capture_typed_array_index(spark):
+    df = spark.createDataFrame([(1, '{"a":[{"b":1},{"b":2}]}')], "id long, doc string")
+    spec = CaptureSpec.compile(["/a/1/b"], ["ab"])
+    assert capture_typed(df, "doc", spec, casts={"ab": "long"}).collect()[0].ab == 2
+
+
+def test_capture_json_tuple_direct(spark, docs_df):
+    out = capture_json_tuple(docs_df.filter("id=1"), "doc", ["foo", "qux", "none"])
+    r = out.collect()[0]
+    assert (r.foo, r.qux, r.none) == ("12", '{"hoge":"fuga"}', None)
+
+
+def test_strategy_selection():
+    assert CaptureSpec.compile([]).strategy is Strategy.ROOT
+    assert CaptureSpec.compile(["name:a", "name:b"]).strategy is Strategy.DIRECT
+    assert CaptureSpec.compile(["name:a", "/b"]).strategy is Strategy.TREE
+    spec = CaptureSpec.compile(["name:a/b", "/c"])
+    assert spec.pointers == ("/a~1b", "/c")
+
+
+def test_flatten_typed_drop_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, '[{"foo":"bar"},{"foo":"baz"}]'), (2, '{"foo":"obj"}'), (3, '[[{"foo":"deep"}]]')],
+        "id long, doc string",
+    )
+    out1 = flatten_typed(df, "doc", 1).orderBy("id").collect()
+    assert [(r.id, r.doc) for r in out1] == [
+        (1, '{"foo":"bar"}'), (1, '{"foo":"baz"}'), (3, '[{"foo":"deep"}]'),
+    ]
+    out2 = flatten_typed(df, "doc", 2).collect()
+    assert [(r.id, r.doc) for r in out2] == [(3, '{"foo":"deep"}')]
+
+
+def test_root_typed(spark):
+    df = spark.createDataFrame(
+        [(1, '{"foo":{"bar":"baz"}}'), (2, '{"xxx":1}')], "id long, doc string"
+    )
+    out = root_typed(df, "doc", "/foo").collect()
+    assert [(r.id, r.doc) for r in out] == [(1, '{"bar":"baz"}')]
+
+
+def test_pointer_to_json_path():
+    assert pointer_to_json_path("/a/1/b") == "$.a[1].b"
+    assert pointer_to_json_path("/foo") == "$.foo"
