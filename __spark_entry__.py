@@ -1,38 +1,241 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a full CDC replay (JSON change events →
+pointer capture → LWW dedupe → exactly-once bucketed MERGE) at
+sf0.001 scale; returns the final transcripts table.
+
+``queries()`` / ``oracle_sql()`` — each implemented operator from
+SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame with an ANSI-SQL
+DuckDB oracle over the same parquet tables. Column names/aliases match
+pairwise; value formats are pinned (timestamps are lossless
+roundtrips, floats rounded where sum order is engine-dependent).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _events_as_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic CDC change-event stream from the driver's
+    ``events`` table (so the DuckDB oracle can derive the identical
+    stream relationally): one JSON envelope per event row."""
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    event_json = F.concat(
+        F.lit('{"op":"'), op,
+        F.lit('","ts":"'), F.date_format("ts", TS_FMT),
+        F.lit('","data":{"conv_id":"u'), F.col("user_id").cast("string"),
+        F.lit('","turn_idx":'), (F.col("event_id") % 25).cast("string"),
+        F.lit(',"role":"r'), (F.col("event_id") % 4).cast("string"),
+        F.lit('","text":"text '), F.col("event_id").cast("string"),
+        F.lit(' v'), F.round(F.col("value"), 2).cast("string"),
+        F.lit('","tool":"'), F.col("event_type"),
+        F.lit('"}}'),
+    )
+    return ev.select(F.col("event_id").alias("seq"), event_json.alias("event_json"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full engine path at sf0.001: synthesize a deterministic change
+    stream (seed 42), replay it in 4 micro-batches through the
+    exactly-once bucketed sink, return the final transcripts table."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.generator import ensure_events_parquet
+    from embulk_util_json_spark.streaming.runner import replay_parquet
+
+    work = tempfile.mkdtemp(prefix="spark_graft_entry_")
+    events_path = ensure_events_parquet(
+        os.path.join(work, "events.parquet"), n_events=20_000, n_convs=50, n_turns=40
+    )
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "transcripts"), num_buckets=8)
+    replay_parquet(spark, events_path, sink, num_batches=4)
+    return sink.read().orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay over the derived change stream: JSON envelope parse
+    (single pruned from_json) → LWW by (conv_id, turn_idx) over
+    (ts, seq) → delete tombstones filtered."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    changes = parse_change_events(events)
+    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_ORACLE_CDC_EVENTS = """
+    SELECT
+        event_id AS seq,
+        CASE WHEN event_type = 'error' THEN 'delete'
+             WHEN event_type = 'signup' THEN 'insert'
+             ELSE 'update' END AS op,
+        ts,
+        'u' || CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(event_id % 25 AS INTEGER) AS turn_idx,
+        'r' || CAST(event_id % 4 AS VARCHAR) AS role,
+        'text ' || CAST(event_id AS VARCHAR) || ' v' ||
+            CAST(ROUND(value, 2) AS VARCHAR) AS text,
+        event_type AS tool
+    FROM events
+"""
+
+_ORACLE_CDC_FINAL = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_lww_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins winner per user over the raw events table
+    (aggregation-based LWW with map-side partial combine)."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return lww_agg(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+_ORACLE_LWW_LATEST = """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+def _q_capture_pointers_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity pointer capture over the events.props JSON
+    column: missing pointer → SQL NULL, whole-doc pointer '/' →
+    canonical minified JSON."""
+    from embulk_util_json_spark.operators.capture import extract_parity
+    from embulk_util_json_spark.plans.capture_spec import CaptureSpec
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    spec = CaptureSpec.compile(["/k", "/", "/missing"], ["k", "whole", "missing"])
+    out = extract_parity(ev, "props", spec)
+    return out.select(
+        F.col("event_id"), F.col("k"), F.col("whole"), F.col("missing")
+    )
+
+
+_ORACLE_CAPTURE_PARITY = """
+    SELECT event_id,
+           CAST(json_extract(props, '/k') AS VARCHAR) AS k,
+           CAST(json_extract(props, '$') AS VARCHAR) AS whole,
+           CAST(json_extract(props, '/missing') AS VARCHAR) AS missing
+    FROM events
+"""
+
+
+def _q_capture_typed_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed capture (pruned from_json, whole-stage codegen): top-level
+    member extracted and cast."""
+    from embulk_util_json_spark.operators.capture import capture_typed
+    from embulk_util_json_spark.plans.capture_spec import CaptureSpec
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    spec = CaptureSpec.compile(["/k"], ["k"])
+    return capture_typed(ev, "props", spec, casts={"k": "long"}).select("event_id", "k")
+
+
+_ORACLE_CAPTURE_TYPED = """
+    SELECT event_id, CAST(json_extract(props, '/k') AS BIGINT) AS k
+    FROM events
+"""
+
+
+def _q_flatten_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flattening (explode(from_json(array<string>))) composed
+    with typed capture — R3∘R5 on a constructed two-element array."""
+    from embulk_util_json_spark.operators.capture import capture_typed
+    from embulk_util_json_spark.operators.flatten import flatten_typed
+    from embulk_util_json_spark.plans.capture_spec import CaptureSpec
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit('[{"i":0,"p":'), "props", F.lit('},{"i":1,"p":'), "props", F.lit("}]")
+        ).alias("doc"),
+    )
+    flat = flatten_typed(ev, "doc", 1)
+    spec = CaptureSpec.compile(["/i", "/p/k"], ["i", "k"])
+    return capture_typed(flat, "doc", spec, casts={"i": "int", "k": "long"}).select(
+        "event_id", "i", "k"
+    )
+
+
+_ORACLE_FLATTEN = """
+    SELECT event_id, i, k FROM (
+        SELECT event_id, 0 AS i, CAST(json_extract(props, '/k') AS BIGINT) AS k FROM events
+        UNION ALL
+        SELECT event_id, 1 AS i, CAST(json_extract(props, '/k') AS BIGINT) AS k FROM events
+    )
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_apply_final_state": _q_cdc_apply_final_state,
+        "lww_latest_event_per_user": _q_lww_latest_event_per_user,
+        "capture_pointers_parity": _q_capture_pointers_parity,
+        "capture_typed_members": _q_capture_typed_members,
+        "flatten_capture": _q_flatten_capture,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_apply_final_state": _ORACLE_CDC_FINAL,
+        "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
+        "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
+        "capture_typed_members": _ORACLE_CAPTURE_TYPED,
+        "flatten_capture": _ORACLE_FLATTEN,
+    }

@@ -1,0 +1,298 @@
+"""ParquetSnapshotSink — an exactly-once, bucketed lake upsert sink.
+
+The sandbox has no Iceberg runtime jar, so this sink implements the
+same contract with plain parquet + an atomic JSON manifest log (the
+design Iceberg itself uses: immutable data files + a committed
+metadata pointer). ``sinks.iceberg.IcebergSink`` is the drop-in
+MERGE INTO implementation selected when the jar is present.
+
+Scale design (the part that must survive 1000 executors / 100 TB):
+
+- State is hash-bucketed by ``conv_id`` into ``num_buckets`` buckets
+  (``pmod(xxhash64(conv_id), B)``; xxhash64 is bit-stable across Spark
+  versions and runs, and the bucket of a row is *recomputable from the
+  key* — buckets never need to be stored or inferred). An apply only
+  reads and rewrites buckets containing changed keys — merge-on-write
+  over the affected partition subset, like Iceberg's
+  storage-partitioned MERGE. A micro-batch touching 1% of
+  conversations rewrites ~1% of the table.
+- The per-batch merge is ``lww_agg`` (hash aggregation with map-side
+  partial combine) over union(old buckets, changes) — one shuffle,
+  keyed by (conv_id, turn_idx), skew pre-reduced map-side.
+- Deletes are retained as tombstone rows (op='delete'); ``read()``
+  filters them. This makes apply a pure LWW monoid — idempotent and
+  order-insensitive across replays — instead of a non-monotone
+  delete-then-maybe-resurrect. ``compact()`` drops tombstones once
+  no replay can deliver older events.
+- Exactly-once: every applied batch_id is recorded in the manifest;
+  re-applying a committed batch is a no-op (streaming foreachBatch +
+  checkpoint replay lands here, SURVEY.md §7.3 #2). Commits are
+  atomic manifest renames; a crash mid-apply leaves orphan data files
+  but never a torn table.
+- Schema evolution: additive via unionByName(allowMissingColumns) +
+  mergeSchema on read; old rows read NULL for new columns
+  (FIXTURES.md T7).
+- Lineage/metrics: per-apply JSON in the manifest — change rows
+  (via Observation, measured during the merge job itself, no extra
+  pass over the input), affected buckets, rows per bucket (parquet
+  footer counts), wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
+
+from ..operators.lww import lww_agg
+from ..sources.events import KEY_COLS, ORDER_COLS
+
+BUCKET_COL = "_bucket"
+META_COLS = ["op", "seq"]  # ts doubles as payload and order column
+
+EMPTY_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+class ParquetSnapshotSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 32,
+        keys: list[str] | None = None,
+        order_cols: list[str] | None = None,
+        bucket_by: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.keys = keys or KEY_COLS
+        self.order_cols = order_cols or ORDER_COLS
+        self.bucket_by = bucket_by or self.keys[0]
+        self._manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        current = self.current_manifest()
+        self.num_buckets = current["num_buckets"] if current else num_buckets
+
+    # ---- manifest log -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        versions = [
+            int(f[1:9])
+            for f in os.listdir(self._manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def current_manifest(self) -> dict | None:
+        v = self.current_version()
+        if v == 0:
+            return None
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> None:
+        """Atomic publish: write tmp, fsync, rename (POSIX atomic)."""
+        path = self._manifest_path(manifest["version"])
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
+
+    def applied_batch_ids(self) -> list[str]:
+        m = self.current_manifest()
+        return m["batch_ids"] if m else []
+
+    def _empty_manifest(self) -> dict:
+        return {
+            "version": 0,
+            "num_buckets": self.num_buckets,
+            "batch_ids": [],
+            "buckets": {},
+            "schema_fields": [],
+            "applies": [],
+        }
+
+    def _read_bucket_paths(self, rel_paths: list[str]) -> DataFrame:
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.root, p) for p in rel_paths])
+        )
+
+    # ---- apply (the MERGE) ---------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.bucket_by)), F.lit(self.num_buckets))
+
+    def apply(self, changes: DataFrame, batch_id: str) -> dict:
+        """MERGE one micro-batch of change rows. Returns apply metrics.
+
+        ``changes`` columns: keys + payload + op + order columns.
+        Idempotent on ``batch_id``: a committed batch is skipped.
+        """
+        t0 = time.time()
+        manifest = self.current_manifest() or self._empty_manifest()
+        if batch_id in manifest["batch_ids"]:
+            return {"batch_id": batch_id, "skipped": True, "reason": "already-applied"}
+
+        obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
+        staged = changes.withColumn(BUCKET_COL, self._bucket_expr()).observe(
+            obs, F.count(F.lit(1)).alias("change_rows")
+        )
+
+        # Affected buckets: tiny driver-side list (≤ num_buckets).
+        affected = sorted(
+            r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
+        )
+        version = manifest["version"] + 1
+        if not affected:  # empty batch still commits its batch_id
+            self._commit(
+                {
+                    **manifest,
+                    "version": version,
+                    "batch_ids": manifest["batch_ids"] + [batch_id],
+                }
+            )
+            return {"batch_id": batch_id, "version": version, "change_rows": 0}
+
+        old_paths = [
+            manifest["buckets"][str(b)]
+            for b in affected
+            if str(b) in manifest["buckets"]
+        ]
+        out_rel = f"data/v{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+
+        merged = staged
+        if old_paths:
+            # Bucket files don't store _bucket; recompute from the key
+            # (deterministic hash) — no partition inference needed.
+            old = self._read_bucket_paths(old_paths).withColumn(
+                BUCKET_COL, self._bucket_expr()
+            )
+            merged = staged.unionByName(old, allowMissingColumns=True)
+        merged = lww_agg(merged, self.keys + [BUCKET_COL], self.order_cols)
+
+        n_affected = len(affected)
+        (
+            merged.repartition(min(n_affected, 256), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+
+        # Per-bucket lineage from parquet footers (metadata-only count).
+        written = self.spark.read.parquet(out_dir)
+        bucket_counts = {
+            str(r[BUCKET_COL]): r["n"]
+            for r in written.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        buckets = dict(manifest["buckets"])
+        for b in affected:
+            buckets[str(b)] = f"{out_rel}/{BUCKET_COL}={b}"
+
+        schema_fields = sorted(
+            (set(manifest["schema_fields"]) | set(merged.columns)) - {BUCKET_COL}
+        )
+        metrics = {
+            "batch_id": batch_id,
+            "version": version,
+            "change_rows": obs.get["change_rows"],
+            "affected_buckets": n_affected,
+            "rows_per_bucket": bucket_counts,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        self._commit(
+            {
+                "version": version,
+                "num_buckets": self.num_buckets,
+                "batch_ids": manifest["batch_ids"] + [batch_id],
+                "buckets": buckets,
+                "schema_fields": schema_fields,
+                "applies": (manifest["applies"] + [metrics])[-1000:],
+            }
+        )
+        return metrics
+
+    # ---- read ----------------------------------------------------------
+
+    def read(
+        self, include_tombstones: bool = False, include_meta: bool = False
+    ) -> DataFrame:
+        """Current table state (deletes filtered, meta dropped)."""
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+        df = self._read_bucket_paths(list(manifest["buckets"].values()))
+        if not include_tombstones:
+            df = df.filter(F.col("op") != "delete")
+        if not include_meta:
+            df = df.drop(*META_COLS)
+        return df
+
+    def compact(self, drop_tombstones: bool = True) -> dict:
+        """Rewrite every bucket once: drop tombstones (safe once no
+        replay can deliver events older than current state) and
+        coalesce small files from many incremental applies."""
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return {"skipped": True}
+        t0 = time.time()
+        df = self._read_bucket_paths(list(manifest["buckets"].values()))
+        if drop_tombstones:
+            df = df.filter(F.col("op") != "delete")
+        df = df.withColumn(BUCKET_COL, self._bucket_expr())
+        version = manifest["version"] + 1
+        out_rel = f"data/v{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+        (
+            df.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        present = {
+            r[BUCKET_COL]
+            for r in self.spark.read.parquet(out_dir)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        }
+        buckets = {str(b): f"{out_rel}/{BUCKET_COL}={b}" for b in sorted(present)}
+        self._commit(
+            {
+                **manifest,
+                "version": version,
+                "buckets": buckets,
+                "applies": manifest["applies"]
+                + [
+                    {
+                        "compact": True,
+                        "version": version,
+                        "wall_sec": round(time.time() - t0, 3),
+                    }
+                ],
+            }
+        )
+        return {"version": version}

@@ -1,0 +1,106 @@
+"""Change-event envelope parsing (the CDC analogue of the reference's
+capture stage).
+
+An event is one JSON document:
+
+    {"op":"insert|update|delete","ts":"<iso8601>",
+     "data":{"conv_id":..,"turn_idx":..,"role":..,"text":..,"tool":..,
+             ...possibly new fields appearing mid-stream...}}
+
+``parse_change_events`` is the scale path: ONE ``from_json`` with the
+full envelope schema (every field is consumed, so Catalyst keeps a
+single JVM-side parse per row inside whole-stage codegen — the exact
+Spark analogue of the reference's single-pass capture, SURVEY.md §2.1
+R5). No Python runs per row.
+
+Schema evolution: unknown ``data`` members are *not* lost — a second
+pass over the same parsed text is avoided by capturing ``data`` also
+as ``map<string,string>`` in the same from_json schema... which Spark
+cannot do in one schema; instead we gate the extras capture behind
+``discover_extra_fields`` (an O(batch) aggregate collecting the set of
+unseen keys) and only when new keys exist do we add typed columns.
+New fields land as string columns (additive; old rows NULL), matching
+FIXTURES.md T7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+BASE_DATA_FIELDS: list[tuple[str, T.DataType]] = [
+    ("conv_id", T.StringType()),
+    ("turn_idx", T.IntegerType()),
+    ("role", T.StringType()),
+    ("text", T.StringType()),
+    ("tool", T.StringType()),
+]
+
+KEY_COLS = ["conv_id", "turn_idx"]
+ORDER_COLS = ["ts", "seq"]
+
+
+def envelope_schema(extra_fields: list[str] | None = None) -> T.StructType:
+    data_fields = [T.StructField(n, t) for n, t in BASE_DATA_FIELDS]
+    data_fields += [T.StructField(n, T.StringType()) for n in (extra_fields or [])]
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("data", T.StructType(data_fields)),
+        ]
+    )
+
+
+def discover_extra_fields(events: DataFrame, json_col: str = "event_json") -> list[str]:
+    """Distinct ``data`` member names beyond the base schema.
+
+    One aggregate over the batch: parse ``data`` as map<string,string>
+    (keys only are retained), flatten, distinct. The result is a tiny
+    driver-side list (bounded by schema width, not data size), so
+    collect() here is safe at any scale.
+    """
+    base = {n for n, _ in BASE_DATA_FIELDS}
+    rows = (
+        events.select(
+            F.explode(
+                F.map_keys(
+                    F.from_json(
+                        F.get_json_object(F.col(json_col), "$.data"),
+                        T.MapType(T.StringType(), T.StringType()),
+                    )
+                )
+            ).alias("k")
+        )
+        .filter(~F.col("k").isin(*base))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.k for r in rows)
+
+
+def parse_change_events(
+    events: DataFrame,
+    json_col: str = "event_json",
+    seq_col: str = "seq",
+    extra_fields: list[str] | None = None,
+) -> DataFrame:
+    """events(seq, event_json) → typed change rows.
+
+    Output columns: op, ts (timestamp), seq, conv_id, turn_idx, role,
+    text, tool [, extra fields as strings]. Malformed envelopes yield
+    NULL fields (PERMISSIVE) and can be quarantined by filtering
+    ``op IS NULL`` — the reference's row-skippable JsonParseException
+    taxonomy (JsonParseException.java:24-43).
+    """
+    schema = envelope_schema(extra_fields)
+    e = F.from_json(F.col(json_col), schema)
+    cols = [
+        e["op"].alias("op"),
+        F.to_timestamp(e["ts"]).alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+    ]
+    for name, _ in BASE_DATA_FIELDS:
+        cols.append(e["data"][name].alias(name))
+    for name in extra_fields or []:
+        cols.append(e["data"][name].alias(name))
+    return events.select(*cols)

@@ -1,0 +1,168 @@
+"""Deterministic CDC change-event generator (seed 42).
+
+Synthesizes the FIXTURES.md T5 stream: JSON-encoded binlog/WAL-style
+envelopes carrying transcript rows keyed (conv_id, turn_idx) per
+BASELINE.json input_hint. Properties exercised on purpose:
+
+- hot-conversation skew: conversation 0 receives ~20% of all events
+  (north_star: "salted key-partitioned apply to defeat
+  hot-conversation skew");
+- duplicate deliveries: ~2% of events re-emitted with the same seq
+  and identical payload (at-least-once transport);
+- out-of-ts-order arrival: ts is NOT monotonic in seq, so
+  last-writer-wins must order by (ts, seq), not arrival order;
+- deletes as tombstones;
+- optional schema evolution: events after ``evolve_after`` fraction
+  carry an extra ``model`` field inside ``data`` (FIXTURES.md T7).
+
+Everything is numpy-vectorized; json text assembly is one pass of
+string concatenation (no per-row json.dumps — the fields are
+controlled so no escaping is needed except for text, which is built
+escape-free by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["", "search", "python", "browser"])  # "" → null
+OPS = np.array(["insert", "update", "delete"])
+
+BASE_TS = np.datetime64("2024-01-01T00:00:00")
+
+
+def generate_events(
+    n_events: int,
+    n_convs: int = 50,
+    n_turns: int = 40,
+    seed: int = 42,
+    hot_conv_share: float = 0.2,
+    dup_rate: float = 0.02,
+    delete_rate: float = 0.05,
+    evolve_after: float | None = None,
+) -> pa.Table:
+    """Return an arrow table (seq: int64, event_json: string).
+
+    Deterministic for a given (n_events, n_convs, n_turns, seed, ...).
+    """
+    rng = np.random.default_rng(seed)
+    n = int(n_events)
+
+    # conversation choice: hot conv 0 gets hot_conv_share of traffic
+    p = np.full(n_convs, (1.0 - hot_conv_share) / max(n_convs - 1, 1))
+    p[0] = hot_conv_share if n_convs > 1 else 1.0
+    conv = rng.choice(n_convs, size=n, p=p)
+    turn = rng.integers(0, n_turns, size=n)
+
+    op_draw = rng.random(n)
+    op = np.where(
+        op_draw < delete_rate, 2, np.where(op_draw < delete_rate + 0.45, 0, 1)
+    )
+
+    # out-of-order timestamps: seconds offset grows with seq but with
+    # heavy jitter; collisions (same second) exercise the seq tie-break
+    base_off = (np.arange(n) * 3) // 1
+    jitter = rng.integers(-600, 600, size=n)
+    ts_sec = np.maximum(base_off + jitter, 0)
+    seq = np.arange(n, dtype=np.int64)
+
+    tool_i = rng.integers(0, len(TOOLS), size=n)
+
+    # duplicate deliveries: re-emit a sample with identical seq+payload
+    n_dup = int(n * dup_rate)
+    if n_dup:
+        dup_idx = rng.choice(n, size=n_dup, replace=False)
+        order = rng.permutation(n + n_dup)
+    else:
+        dup_idx = np.array([], dtype=np.int64)
+        order = rng.permutation(n)
+
+    def col(a: np.ndarray) -> np.ndarray:
+        return np.concatenate([a, a[dup_idx]])[order] if n_dup else a[order]
+
+    # Small-cardinality string columns come from object-dtype lookup
+    # tables (fancy indexing is C-speed; np.char.* is not).
+    conv_lut = np.array([f"c{i:06d}" for i in range(n_convs)], dtype=object)
+    turn_lut = np.array([str(i) for i in range(n_turns)], dtype=object)
+    role_lut = np.array(
+        [',"role":"' + r + '","text":"' for r in ROLES], dtype=object
+    )
+    tool_lut = np.array(
+        [
+            ',"tool":null' if t == "" else f',"tool":"{t}"'
+            for t in TOOLS
+        ],
+        dtype=object,
+    )
+    op_lut = np.array([f'{{"op":"{o}","ts":"' for o in OPS], dtype=object)
+
+    conv_i = col(conv)
+    turn_i = col(turn)
+    seq_o = col(seq)
+    conv_s = conv_lut[conv_i]
+    turn_s = turn_lut[turn_i]
+    op_s = op_lut[col(op)]
+    ts_iso = np.datetime_as_string(BASE_TS + col(ts_sec).astype("timedelta64[s]")).astype(object)
+    role_s = role_lut[turn_i % len(ROLES)]
+    tool_frag = tool_lut[col(tool_i)]
+    seq_s = seq_o.astype("U12").astype(object)
+
+    if evolve_after is not None:
+        model_frag = np.where(seq_o >= int(n * evolve_after), ',"model":"m-2"', "").astype(object)
+    else:
+        model_frag = np.broadcast_to(np.array("", dtype=object), len(seq_o))
+
+    # arrow element-wise join is C-speed string assembly
+    import pyarrow.compute as pc
+
+    def arr(x) -> pa.Array:
+        return pa.array(x, type=pa.string())
+
+    m = len(seq_o)
+
+    def const(s: str) -> pa.Array:
+        return pa.array(np.broadcast_to(np.array(s, dtype=object), m), type=pa.string())
+
+    # text embeds key+seq so every update rewrites it deterministically
+    event_json = pc.binary_join_element_wise(
+        arr(op_s), arr(ts_iso),
+        const('","data":{"conv_id":"'), arr(conv_s), const('","turn_idx":'),
+        arr(turn_s), arr(role_s),
+        const("text "), arr(conv_s), const(" t"), arr(turn_s), const(" rev"), arr(seq_s),
+        const('"'), arr(tool_frag), arr(model_frag), const("}}"),
+        const(""),  # separator
+    )
+
+    return pa.table(
+        {
+            "seq": pa.array(seq_o, type=pa.int64()),
+            "event_json": event_json,
+        }
+    )
+
+
+def ensure_events_parquet(
+    path: str,
+    n_events: int,
+    n_convs: int = 50,
+    n_turns: int = 40,
+    seed: int = 42,
+    evolve_after: float | None = None,
+    row_group_size: int = 1 << 20,
+    **kwargs,
+) -> str:
+    """Materialize the generated stream once; reuse on later calls."""
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        table = generate_events(
+            n_events, n_convs, n_turns, seed, evolve_after=evolve_after, **kwargs
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, row_group_size=row_group_size)
+        os.rename(tmp, path)
+    return path

@@ -1,0 +1,116 @@
+"""Replay and streaming drivers: events → capture → LWW MERGE.
+
+Batch replay chunks a binlog by seq range into deterministic
+micro-batches; Structured Streaming tails a directory with
+``foreachBatch``. Both funnel into ``apply_events_batch``, and
+exactly-once is anchored in the *sink's* batch-id commit log — the
+streaming checkpoint only provides offsets, so a kill/resume that
+redelivers a batch is de-duplicated at the sink (idempotent MERGE),
+and replaying from ANY checkpoint converges to the same final table
+(LWW is order-insensitive across batches once the sink holds
+tombstones; SURVEY.md §7.3 #2).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..sources.events import discover_extra_fields, parse_change_events
+from ..sinks.snapshot import ParquetSnapshotSink
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("event_json", T.StringType()),
+    ]
+)
+
+
+def apply_events_batch(
+    events: DataFrame,
+    sink: ParquetSnapshotSink,
+    batch_id: str,
+    evolve: bool = True,
+) -> dict:
+    """Parse one micro-batch of raw events and MERGE into the sink.
+
+    ``evolve=True`` runs schema discovery (one cheap aggregate) and
+    adds unseen ``data`` fields as string columns additively.
+    Malformed envelopes (op NULL after permissive parse) are excluded
+    from the merge — the reference's row-skippable DataException
+    taxonomy.
+    """
+    extra = discover_extra_fields(events) if evolve else []
+    changes = parse_change_events(events, extra_fields=extra)
+    changes = changes.filter(F.col("op").isNotNull() & F.col("conv_id").isNotNull())
+    return sink.apply(changes, batch_id)
+
+
+def replay_parquet(
+    spark: SparkSession,
+    events_path: str,
+    sink: ParquetSnapshotSink,
+    num_batches: int = 1,
+    evolve: bool = True,
+) -> list[dict]:
+    """Batch replay: split the event log into ``num_batches`` seq-range
+    micro-batches (deterministic batch ids → resumable: already-applied
+    ranges are skipped by the sink)."""
+    events = spark.read.parquet(events_path)
+    bounds = events.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        return []
+    span = bounds.hi - bounds.lo + 1
+    step = math.ceil(span / num_batches)
+    out = []
+    for i in range(num_batches):
+        lo = bounds.lo + i * step
+        hi = min(lo + step, bounds.hi + 1)
+        if lo >= hi:
+            break
+        batch = events.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        out.append(
+            apply_events_batch(batch, sink, f"seq-{lo}-{hi}", evolve=evolve)
+        )
+    return out
+
+
+def stream_directory(
+    spark: SparkSession,
+    events_dir: str,
+    sink: ParquetSnapshotSink,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    evolve: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured Streaming tail of a growing directory of event files.
+
+    Returns the started StreamingQuery; callers use
+    ``q.processAllAvailable()`` / ``q.stop()`` (tests) or ``q.awaitTermination()``
+    (production). Batch ids are the streaming epoch ids; the sink's
+    commit log makes redelivery after checkpoint restore a no-op.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(events_dir)
+
+    # Scope epoch-based batch ids to the checkpoint: epoch numbering is
+    # only meaningful within one checkpoint lineage (a fresh checkpoint
+    # restarts at 0 and must not collide with committed ids).
+    stream_id = checkpoint_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_events_batch(batch_df, sink, f"{stream_id}-epoch-{epoch_id}", evolve=evolve)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

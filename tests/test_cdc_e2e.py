@@ -1,0 +1,247 @@
+"""End-to-end CDC replay tests: engine final table state must equal a
+sequential oracle (FIXTURES.md T5/T6), plus exactly-once, resume,
+salted-LWW equivalence, and schema evolution (T7)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.operators.lww import lww_agg, lww_salted, lww_window
+from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+from embulk_util_json_spark.sources.events import (
+    discover_extra_fields,
+    parse_change_events,
+)
+from embulk_util_json_spark.sources.generator import generate_events
+from embulk_util_json_spark.streaming.runner import (
+    apply_events_batch,
+    replay_parquet,
+    stream_directory,
+)
+
+N_EVENTS = 8000
+
+
+def sequential_oracle(event_rows):
+    """Pandas/pure-Python oracle: apply events one at a time in
+    (ts, seq) order; delete removes the key. Returns {key: row}."""
+    parsed = []
+    for seq, ej in event_rows:
+        d = json.loads(ej)
+        parsed.append((d["ts"], seq, d))
+    parsed.sort(key=lambda x: (x[0], x[1]))
+    state = {}
+    for ts, seq, d in parsed:
+        k = (d["data"]["conv_id"], d["data"]["turn_idx"])
+        if d["op"] == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = {
+                "role": d["data"]["role"],
+                "text": d["data"]["text"],
+                "tool": d["data"]["tool"],
+                "ts": ts,
+                "model": d["data"].get("model"),
+            }
+    return state
+
+
+@pytest.fixture(scope="module")
+def events_table():
+    return generate_events(N_EVENTS, n_convs=40, n_turns=30)
+
+
+@pytest.fixture(scope="module")
+def events_parquet(events_table, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("events") / "events.parquet")
+    pq.write_table(events_table, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events_table):
+    return sequential_oracle(
+        zip(
+            events_table.column("seq").to_pylist(),
+            events_table.column("event_json").to_pylist(),
+        )
+    )
+
+
+def state_from_sink(sink):
+    rows = sink.read().collect()
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.ts.isoformat())
+        for r in rows
+    }
+
+
+def assert_matches_oracle(sink, oracle_state):
+    got = state_from_sink(sink)
+    want = {
+        k: (v["role"], v["text"], v["tool"], v["ts"].replace("Z", ""))
+        for k, v in oracle_state.items()
+    }
+    assert len(got) == len(want)
+    mismatches = {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
+    assert not mismatches, f"{len(mismatches)} mismatching keys, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_lww_variants_equivalent(spark, events_parquet):
+    ev = spark.read.parquet(events_parquet)
+    ch = parse_change_events(ev)
+    keys = ["conv_id", "turn_idx"]
+    order = ["ts", "seq"]
+    a = lww_agg(ch, keys, order)
+    w = lww_window(ch, keys, order)
+    s = lww_salted(ch, keys, order, salt_buckets=8)
+    cols = ["conv_id", "turn_idx", "op", "seq"]
+    ra = sorted(map(tuple, a.select(cols).collect()))
+    rw = sorted(map(tuple, w.select(cols).collect()))
+    rs = sorted(map(tuple, s.select(cols).collect()))
+    assert ra == rw == rs
+
+
+def test_single_batch_replay_matches_oracle(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t1"), num_buckets=8)
+    metrics = replay_parquet(spark, events_parquet, sink, num_batches=1)
+    assert metrics[0]["change_rows"] > 0
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_multi_batch_replay_matches_oracle(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t2"), num_buckets=8)
+    replay_parquet(spark, events_parquet, sink, num_batches=5)
+    assert_matches_oracle(sink, oracle_state)
+    # stable turn ordering check: per-conversation turn_idx is sorted & unique
+    df = sink.read().orderBy("conv_id", "turn_idx").collect()
+    seen = set()
+    for r in df:
+        assert (r.conv_id, r.turn_idx) not in seen
+        seen.add((r.conv_id, r.turn_idx))
+
+
+def test_reapply_batch_is_noop(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t3"), num_buckets=4)
+    m1 = replay_parquet(spark, events_parquet, sink, num_batches=2)
+    v1 = sink.current_version()
+    m2 = replay_parquet(spark, events_parquet, sink, num_batches=2)
+    assert all(m.get("skipped") for m in m2)
+    assert sink.current_version() == v1
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_resume_from_partial_replay(spark, events_parquet, oracle_state, tmp_path):
+    # "replay from any checkpoint reproduces the final state": apply
+    # only the first 2 of 5 ranges (simulated crash), then rerun all 5.
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t4"), num_buckets=4)
+    ev = spark.read.parquet(events_parquet)
+    hi = ev.agg(F.max("seq")).collect()[0][0]
+    import math
+
+    step = math.ceil((hi + 1) / 5)
+    for i in range(2):
+        batch = ev.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step))
+        apply_events_batch(batch, sink, f"seq-{i * step}-{min((i + 1) * step, hi + 1)}")
+    replay_parquet(spark, events_parquet, sink, num_batches=5)
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_out_of_order_batches_converge(spark, events_parquet, oracle_state, tmp_path):
+    # LWW + tombstone retention ⇒ batch application order cannot matter.
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t5"), num_buckets=4)
+    ev = spark.read.parquet(events_parquet)
+    hi = ev.agg(F.max("seq")).collect()[0][0]
+    import math
+
+    step = math.ceil((hi + 1) / 4)
+    for i in (2, 0, 3, 1):  # shuffled order
+        batch = ev.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step))
+        apply_events_batch(batch, sink, f"shuf-{i}")
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = generate_events(4000, n_convs=20, n_turns=20, evolve_after=0.5)
+    path = str(tmp_path / "evo.parquet")
+    pq.write_table(t, path)
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t6"), num_buckets=4)
+    # two batches: pre-cutover events (no model field), then post-cutover
+    replay_parquet(spark, path, sink, num_batches=2)
+    out = sink.read()
+    assert "model" in out.columns  # column added additively
+    rows = out.collect()
+    assert any(r.model == "m-2" for r in rows)
+    assert any(r.model is None for r in rows)  # old rows NULL
+    # oracle equality incl. the evolved column
+    oracle = sequential_oracle(
+        zip(t.column("seq").to_pylist(), t.column("event_json").to_pylist())
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.model) for r in rows
+    }
+    want = {k: (v["role"], v["text"], v["tool"], v["model"]) for k, v in oracle.items()}
+    assert got == want
+
+
+def test_malformed_events_quarantined(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (0, '{"op":"insert","ts":"2024-01-01T00:00:00","data":{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null}}'),
+            (1, "{broken json"),
+            (2, '{"op":"insert","ts":"2024-01-01T00:00:01","data":{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo","tool":null}}'),
+        ],
+        "seq long, event_json string",
+    )
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t7"), num_buckets=2)
+    m = apply_events_batch(df, sink, "b0")
+    assert m["change_rows"] == 2  # bad row skipped, job survived
+    assert sink.read().count() == 2
+
+
+def test_streaming_foreachbatch_and_checkpoint_resume(spark, tmp_path, events_table):
+    import pyarrow.parquet as pq
+
+    events_dir = tmp_path / "stream_in"
+    events_dir.mkdir()
+    n = events_table.num_rows
+    pq.write_table(events_table.slice(0, n // 2), str(events_dir / "part-0.parquet"))
+
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t8"), num_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_directory(spark, str(events_dir), sink, ckpt)
+    q.awaitTermination()
+    n_batches_1 = len(sink.applied_batch_ids())
+    assert n_batches_1 >= 1
+
+    # new file lands; restart from checkpoint (resume) — availableNow
+    pq.write_table(events_table.slice(n // 2), str(events_dir / "part-1.parquet"))
+    q2 = stream_directory(spark, str(events_dir), sink, ckpt)
+    q2.awaitTermination()
+    assert len(sink.applied_batch_ids()) > n_batches_1
+
+    oracle = sequential_oracle(
+        zip(
+            events_table.column("seq").to_pylist(),
+            events_table.column("event_json").to_pylist(),
+        )
+    )
+    assert_matches_oracle(sink, oracle)
+
+
+def test_discover_extra_fields(spark):
+    df = spark.createDataFrame(
+        [
+            (0, '{"op":"insert","ts":"t","data":{"conv_id":"c","turn_idx":0,"role":"r","text":"x","tool":null,"model":"m","zz":"1"}}'),
+            (1, '{"op":"insert","ts":"t","data":{"conv_id":"c","turn_idx":1,"role":"r","text":"x","tool":null}}'),
+        ],
+        "seq long, event_json string",
+    )
+    assert discover_extra_fields(df) == ["model", "zz"]

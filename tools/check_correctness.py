@@ -1,0 +1,131 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same sf parquet tables; compares row count, sorted
+column names, and an order-insensitive value hash (rows canonically
+stringified, sorted, md5'd).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v) -> str:
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style canonicalization: repr of round-trip float
+        return repr(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            s_fp = frame_fingerprint(scols, srows)
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={s_fp[0]} (no oracle — rows-only check)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            o_fp = frame_fingerprint(ocols, orows)
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        status = "PASS" if s_fp == o_fp else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{status} {name}: spark(rows={s_fp[0]}, cols={s_fp[1]}, h={s_fp[2][:10]}) "
+            f"oracle(rows={o_fp[0]}, cols={o_fp[1]}, h={o_fp[2][:10]}) "
+            f"[{time.time() - t0:.1f}s]"
+        )
+        if status == "FAIL" and s_fp[0] == o_fp[0] and s_fp[1] == o_fp[1]:
+            # value mismatch: show a few differing rows for debugging
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ls = sorted("\x1f".join(canon_cell(r[i]) for i in order_s) for r in srows)
+            lo = sorted("\x1f".join(canon_cell(r[i]) for i in order_o) for r in orows)
+            diffs = [(a, b) for a, b in zip(ls, lo) if a != b][:3]
+            for a, b in diffs:
+                print(f"    spark : {a[:200]}")
+                print(f"    oracle: {b[:200]}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
