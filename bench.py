@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` plus a CDC replay throughput measurement
+(the north-star metric: change-events/sec applied to the transcripts
+table), and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``events_per_sec`` (headline throughput), ``n_events``.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    BENCH_EVENTS         replay event count (default 2_000_000)
+    BENCH_BATCHES        replay micro-batches (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def bench_replay(spark, work: str, n_events: int, num_batches: int) -> dict:
+    """North-star measurement: replay a deterministic binlog (seed 42,
+    hot-key skew + dups + deletes) through capture -> LWW -> exactly-once
+    bucketed MERGE; report applied events/sec (generation excluded)."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.generator import ensure_events_parquet
+    from embulk_util_json_spark.streaming.runner import replay_parquet
+
+    events_path = ensure_events_parquet(
+        os.path.join(work, f"events_{n_events}.parquet"),
+        n_events=n_events,
+        n_convs=max(200, n_events // 2000),
+        n_turns=40,
+        evolve_after=0.75,
+    )
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "transcripts"), num_buckets=32
+    )
+    t0 = time.perf_counter()
+    replay_parquet(spark, events_path, sink, num_batches=num_batches)
+    elapsed = time.perf_counter() - t0
+    rows = sink.read().count()
+    return {
+        "replay_sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "n_events": n_events,
+        "final_rows": rows,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    num_batches = int(os.environ.get("BENCH_BATCHES", "8"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    try:
+        qtimes: dict[str, float] = {}
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+        replay = bench_replay(spark, work, n_events, num_batches)
+
+        out = {
+            "metric": "cdc_replay_sec",
+            "value": replay["replay_sec"],
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "cpus": cpus,
+            "events_per_sec": replay["events_per_sec"],
+            "n_events": replay["n_events"],
+            "final_rows": replay["final_rows"],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
