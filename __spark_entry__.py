@@ -221,6 +221,133 @@ _ORACLE_FLATTEN = """
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.text import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"), "text", ["doc_id"])
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.text import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"), "text", ["doc_id"])
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.text import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"), "text", ["doc_id"])
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.text import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"), "text", ["doc_id"])
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.dedup import exact_dup_groups
+
+    return exact_dup_groups(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=16, bands=4, verify_threshold=0.5,
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=32, bands=4, max_hamming=3,
+    )
+
+
+def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.similarity import cosine_topk
+
+    return cosine_topk(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=5, query_mod=50
+    )
+
+
+def _q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        dim=64, planes=8, k=5, query_mod=50,
+    )
+
+
+def _q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.similarity import neardup_pairs
+
+    return neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.multimodal import attach_media, byte_features
+
+    media = attach_media(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return byte_features(media)
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from embulk_util_json_spark.pipeline import dedup, multimodal, similarity, text
+
+    return {
+        "text_token_stats": text.token_stats_sql("documents", "text", ["doc_id"]),
+        "text_quality": text.quality_score_sql("documents", "text", ["doc_id"]),
+        "text_lang_id": text.lang_id_sql("documents", "text", ["doc_id"]),
+        "text_fingerprint": text.fingerprint_sql("documents", "text", ["doc_id"]),
+        "dedup_exact": dedup.exact_dup_groups_sql("documents", "text", "doc_id"),
+        "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(
+            "documents", "text", "doc_id", n=3, threshold=0.5
+        ),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
+            "documents", "text", "doc_id",
+            n=3, num_hashes=16, bands=4, verify_threshold=0.5,
+        ),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql(
+            "documents", "text", "doc_id", bits=32, bands=4, max_hamming=3
+        ),
+        "sim_cosine_topk": similarity.cosine_topk_sql(
+            "embeddings", "embedding", "vec_id", k=5, query_mod=50
+        ),
+        "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(
+            "embeddings", "embedding", "vec_id", dim=64, planes=8, k=5, query_mod=50
+        ),
+        "sim_neardup_pairs": similarity.neardup_pairs_sql(
+            "embeddings", "embedding", "vec_id", threshold=0.35
+        ),
+        "multimodal_byte_features": multimodal.byte_features_sql(
+            "documents", "text", "doc_id"
+        ),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_final_state": _q_cdc_apply_final_state,
@@ -228,6 +355,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
         "flatten_capture": _q_flatten_capture,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": _q_dedup_simhash,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_lsh_ann_topk": _q_sim_lsh_ann,
+        "sim_neardup_pairs": _q_sim_neardup,
+        "multimodal_byte_features": _q_multimodal_features,
     }
 
 
@@ -238,4 +377,5 @@ def oracle_sql() -> dict[str, str]:
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,
         "flatten_capture": _ORACLE_FLATTEN,
+        **_pipeline_oracles(),
     }

@@ -1,0 +1,450 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the standard near-duplicate stack of a training-data
+pipeline, built Spark-first:
+
+- all hashing is md5-based (bit-stable across engines → DuckDB oracle
+  can reproduce it exactly; unlike xxhash64, md5 exists in both);
+- shingling/minhashing are Catalyst higher-order functions over the
+  token array (whole-stage codegen, zero Python);
+- candidate generation is a *bucket equi-join* (LSH bands / SimHash
+  bands), never an all-pairs cross join — the O(n²) step is confined
+  to rows sharing a bucket, which is what makes 100 TB feasible;
+- verification (exact Jaccard / Hamming) runs only on candidates.
+
+Scale notes: the band-bucket join shuffles on (band, signature) —
+high-cardinality keys, no skew concentration; AQE handles residual
+bucket skew. Signatures are computed once per doc (per-row projection
+pipelined with the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def norm_text(text: Column) -> Column:
+    """Canonical text: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+
+
+def _md5_32(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long — the portable
+    shingle/word hash (same value from DuckDB's md5)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def _shingle_array(text: Column, n: int) -> Column:
+    """Distinct word n-grams of the normalized text, as strings."""
+    words = F.split(norm_text(text), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate grouping on md5 of normalized text. Returns one
+    row per document with its group's canonical (min) id and size.
+
+    Plan: one hash-shuffle on the 128-bit fingerprint (uniform keys,
+    map-side partial agg) + a broadcast-back join is avoided by
+    computing group stats with a window-free self-agg-join on fp.
+    """
+    fp = df.select(
+        F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return fp.join(groups, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        F.col("group_size").cast("int").alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact pairwise over shingle-sharing candidates)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct word n-grams."""
+    return df.select(
+        F.col(id_col), F.explode(_shingle_array(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1
+    shingle, filtered to ≥ threshold. The self-join runs on the
+    shingle key (inverted index), so only genuinely-overlapping pairs
+    are ever materialized — not an all-pairs product."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.col("common").cast("int").alias("common"), "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash function: h_j(x) = (a_j*x + b_j)
+    mod P. a odd → bijective mod 2^32 inputs; values small enough that
+    a*x + b < 2^63 for x < 2^32."""
+    return [(2 * j + 1, (j * j * 12345 + 6789) % HASH_PRIME) for j in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Width-K MinHash signature per document as array<long>, computed
+    in one codegen'd projection (no explode/shuffle): for each hash j,
+    min over the doc's shingle hashes of (a_j*x+b_j) mod P. Empty
+    shingle set → NULL signature."""
+    grams = _shingle_array(F.col(text_col), n)
+    xs = F.transform(grams, _md5_32)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_PRIME))
+            for a, b in _minhash_params(num_hashes)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.when(F.size(xs) > 0, sig).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs: split the K-wide signature into `bands`
+    bands of K/bands rows; docs agreeing on ANY full band are
+    candidates (bucket equi-join on (band_idx, band_signature)).
+    With verify_threshold, candidates are verified with exact n-gram
+    Jaccard and filtered; output (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).filter(
+        F.col("minhash").isNotNull()
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("minhash")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bsig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    jac = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return cand.join(jac, ["id_a", "id_b"]).filter(
+        F.col("jaccard") >= verify_threshold
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word hashes: bit p of the signature is
+    1 iff sum over words of (+1 if word-hash bit p else -1) > 0.
+    One codegen'd projection; duplicate words count once (distinct),
+    making the signature a pure set function like the minhash path."""
+    words = F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+    hs = F.transform(words, _md5_32)
+    def _vote(p: int) -> Column:
+        # NB: the merge lambda must take exactly (acc, x) — pyspark
+        # binds one lambda variable per positional parameter.
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(p) for p in range(bits)]
+    sig = None
+    for p, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into `bands`
+    contiguous byte-bands; by pigeonhole any pair with Hamming
+    distance < bands shares a band → bucket equi-join on (band, band
+    bits), then exact Hamming (bit_count of xor) filter."""
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(df, text_col, id_col, bits)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL generators (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _sql_norm(text: str) -> str:
+    return f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
+
+
+def _sql_md5_32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _sql_shingles(table: str, text_col: str, id_col: str, n: int) -> str:
+    """CTE text producing (id, shingle) distinct word n-grams."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT {id_col}, {gram} AS shingle
+        FROM (SELECT {id_col}, string_split({_sql_norm(text_col)}, ' ') AS w FROM {table}),
+             UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+    """
+
+
+def exact_dup_groups_sql(table: str, text_col: str, id_col: str) -> str:
+    return f"""
+        WITH fp AS (
+            SELECT {id_col}, md5({_sql_norm(text_col)}) AS fingerprint FROM {table}
+        ),
+        g AS (
+            SELECT fingerprint, MIN({id_col}) AS canonical_id,
+                   COUNT(*) AS group_size
+            FROM fp GROUP BY fingerprint
+        )
+        SELECT fp.{id_col}, fp.fingerprint, g.canonical_id,
+               fp.{id_col} <> g.canonical_id AS is_dup,
+               CAST(g.group_size AS INTEGER) AS group_size
+        FROM fp JOIN g USING (fingerprint)
+    """
+
+
+def jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    return f"""
+        WITH sh AS ({_sql_shingles(table, text_col, id_col, n)}),
+        sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM sh GROUP BY {id_col}),
+        common AS (
+            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(common AS INTEGER) AS common,
+               ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.{id_col} = id_a
+        JOIN sizes sb ON sb.{id_col} = id_b
+        WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {threshold}
+    """
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> str:
+    rows_per_band = num_hashes // bands
+    params = _minhash_params(num_hashes)
+    hash_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    band_selects = " UNION ALL ".join(
+        "SELECT {id_col}, {bi} AS band, ".format(id_col=id_col, bi=bi)
+        + " || '-' || ".join(
+            f"CAST(mh[{bi * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + " AS bsig FROM sigs"
+        for bi in range(bands)
+    )
+    jac = jaccard_pairs_sql(table, text_col, id_col, n, threshold=0.0)
+    return f"""
+        WITH sh AS ({_sql_shingles(table, text_col, id_col, n)}),
+        hx AS (SELECT {id_col}, {_sql_md5_32('shingle')} AS x FROM sh),
+        hf (j, a, b) AS (VALUES {hash_rows}),
+        mins AS (
+            SELECT {id_col}, j, MIN((a * x + b) % {HASH_PRIME}) AS mh
+            FROM hx CROSS JOIN hf GROUP BY {id_col}, j
+        ),
+        sigs AS (
+            SELECT {id_col}, list(mh ORDER BY j) AS mh FROM mins GROUP BY {id_col}
+        ),
+        banded AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.{id_col} < b.{id_col}
+        ),
+        jac AS ({jac})
+        SELECT cand.id_a, cand.id_b, jac.jaccard
+        FROM cand JOIN jac ON cand.id_a = jac.id_a AND cand.id_b = jac.id_b
+        WHERE jac.jaccard >= {verify_threshold}
+    """
+
+
+def simhash_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {bi} AS band, "
+        f"(simhash >> {bi * band_bits}) & {mask} AS bkey FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH words AS (
+            SELECT {id_col},
+                   unnest(list_distinct(string_split({_sql_norm(text_col)}, ' '))) AS w
+            FROM {table}
+        ),
+        wh AS (SELECT {id_col}, {_sql_md5_32('w')} AS h FROM words),
+        votes AS (
+            SELECT {id_col}, p,
+                   SUM(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM wh CROSS JOIN UNNEST(range({bits})) AS t(p)
+            GROUP BY {id_col}, p
+        ),
+        sigs AS (
+            SELECT {id_col},
+                   CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY {id_col}
+        ),
+        banded AS ({band_selects}),
+        pairs AS (
+            SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                   bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+        )
+        SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        FROM pairs WHERE hamming <= {max_hamming}
+    """

@@ -1,0 +1,279 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline)
+and random-hyperplane LSH bucketed ANN (the scale path), plus
+embedding-cosine near-duplicate pairs.
+
+Determinism design: float32 embeddings are **quantized** to integers
+(round(x * 1e6)) before any arithmetic. Dot products and norms are
+then exact 64-bit integer sums, and cosine = dot / sqrt(na * nb) is a
+single correctly-rounded IEEE divide+sqrt on exact integers —
+bit-identical between Spark and the DuckDB oracle regardless of
+summation order. (Quantized dot-product retrieval is standard ANN
+practice — scalar quantization — so this is not a test-only hack.)
+
+Scale notes:
+- brute-force: query set is broadcast against the corpus (no shuffle
+  of the big side); per-row dot product is a codegen'd ``aggregate``
+  over ``zip_with`` — no Python.
+- LSH: P hyperplanes with md5-derived components; signature is a
+  P-bit bucket id; candidates = bucket equi-join; top-k within
+  buckets. Recall is tunable via P and multi-probe (not needed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+QUANT = 1_000_000
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def _cosine(dot: Column, na: Column, nb: Column) -> Column:
+    return F.round(
+        dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double")), 6
+    )
+
+
+def quantized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qvec, qnorm): integer-quantized vector + its self-dot."""
+    q = _quantize(F.col(vec_col))
+    return df.select(F.col(id_col), q.alias("qvec")).withColumn(
+        "qnorm", _dot(F.col("qvec"), F.col("qvec"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Brute-force cosine top-k: every id ≡ 0 (mod query_mod) is a
+    query; neighbors ranked by (cosine desc, id asc). The query side
+    is tiny → broadcast; the corpus streams through one codegen'd
+    projection. Output (query_id, neighbor_id, rank, cosine)."""
+    qn = quantized(df, vec_col, id_col)
+    queries = qn.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    corpus = qn.select(
+        F.col(id_col).alias("neighbor_id"), "qvec", "qnorm"
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qvec"), F.col("q_qvec")))
+        .withColumn("cosine", _cosine(F.col("dot"), F.col("qnorm"), F.col("q_qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). All-pairs on the quantized vectors — use only after
+    LSH prefiltering at scale; kept exact here as the oracle-checkable
+    baseline."""
+    qn = quantized(df, vec_col, id_col)
+    a = qn.select(
+        F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm").alias("na")
+    )
+    b = qn.select(
+        F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---- LSH ANN ---------------------------------------------------------------
+
+
+def _plane_component(p: Column | int, d: Column | int) -> Column:
+    """Deterministic hyperplane component in [-1000, 1000]: derived
+    from md5('plane:p:d') so Spark and the SQL oracle generate the
+    same planes with no RNG."""
+    key = F.concat_ws(":", F.lit("plane"), F.lit(p).cast("string"), F.lit(d).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (h % 2001) - 1000
+
+
+def lsh_signature(qvec: Column, dim: int, planes: int) -> Column:
+    """P-bit random-hyperplane signature of a quantized vector: bit p
+    = (qvec · w_p) > 0, packed into a long. Fully codegen'd."""
+    sig = None
+    for p in range(planes):
+        w = F.array(*[_plane_component(p, d) for d in range(dim)])
+        dot = _dot(qvec, w)
+        term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    planes: int = 8,
+    k: int = 5,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (signature equality), ranked by exact quantized cosine.
+    Bucket join shuffles on the signature — 2^P uniform buckets; at
+    100 TB, P grows with corpus size to hold bucket width constant.
+    Output (query_id, neighbor_id, rank, cosine) — rank within bucket."""
+    qn = quantized(df, vec_col, id_col).withColumn(
+        "sig", lsh_signature(F.col("qvec"), dim, planes)
+    )
+    queries = qn.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+        F.col("sig").alias("q_sig"),
+    )
+    corpus = qn.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm", "sig")
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("sig") == F.col("q_sig"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", _cosine(_dot(F.col("qvec"), F.col("q_qvec")), F.col("qnorm"), F.col("q_qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL generators (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SQL_QVEC = (
+    f"list_transform({{vec}}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+)
+
+
+def _sql_qn(table: str, vec_col: str, id_col: str) -> str:
+    qvec = _SQL_QVEC.format(vec=vec_col)
+    return f"""
+        SELECT {id_col}, qvec,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(qvec, v -> v * v)), (a, b) -> a + b) AS qnorm
+        FROM (SELECT {id_col}, {qvec} AS qvec FROM {table})
+    """
+
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+def cosine_topk_sql(
+    table: str, vec_col: str, id_col: str, k: int = 5, query_mod: int = 50
+) -> str:
+    dot = _SQL_DOT.format(a="c.qvec", b="q.qvec")
+    return f"""
+        WITH qn AS ({_sql_qn(table, vec_col, id_col)}),
+        scored AS (
+            SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+                   ROUND({dot} / SQRT(CAST(c.qnorm AS DOUBLE) * CAST(q.qnorm AS DOUBLE)), 6) AS cosine
+            FROM qn q JOIN qn c ON c.{id_col} <> q.{id_col}
+            WHERE q.{id_col} % {query_mod} = 0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def neardup_pairs_sql(
+    table: str, vec_col: str, id_col: str, threshold: float = 0.95
+) -> str:
+    dot = _SQL_DOT.format(a="a.qvec", b="b.qvec")
+    return f"""
+        WITH qn AS ({_sql_qn(table, vec_col, id_col)})
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) AS cosine
+        FROM qn a JOIN qn b ON a.{id_col} < b.{id_col}
+        WHERE ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) >= {threshold}
+    """
+
+
+def lsh_ann_topk_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    planes: int = 8,
+    k: int = 5,
+    query_mod: int = 50,
+) -> str:
+    comp = (
+        "CAST(('0x' || substr(md5('plane:' || CAST(p AS VARCHAR) || ':' "
+        "|| CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000"
+    )
+    dot = _SQL_DOT.format(a="c.qvec", b="q.qvec")
+    return f"""
+        WITH qn AS ({_sql_qn(table, vec_col, id_col)}),
+        plane AS (
+            SELECT p, d, {comp} AS w
+            FROM UNNEST(range({planes})) AS tp(p), UNNEST(range({dim})) AS td(d)
+        ),
+        dots AS (
+            SELECT qn.{id_col}, plane.p, SUM(qn.qvec[plane.d + 1] * plane.w) AS pd
+            FROM qn CROSS JOIN plane GROUP BY qn.{id_col}, plane.p
+        ),
+        sigs AS (
+            SELECT {id_col},
+                   CAST(SUM(CASE WHEN pd > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+            FROM dots GROUP BY {id_col}
+        ),
+        qs AS (SELECT qn.*, sigs.sig FROM qn JOIN sigs USING ({id_col})),
+        scored AS (
+            SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+                   ROUND({dot} / SQRT(CAST(c.qnorm AS DOUBLE) * CAST(q.qnorm AS DOUBLE)), 6) AS cosine
+            FROM qs q JOIN qs c ON c.sig = q.sig AND c.{id_col} <> q.{id_col}
+            WHERE q.{id_col} % {query_mod} = 0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        FROM ranked WHERE rank <= {k}
+    """

@@ -26,9 +26,10 @@ def register_self_contained_udfs() -> None:
         from pyspark import cloudpickle
 
         from .functions import json_values
+        from .pipeline import multimodal
         from .plans import capture_spec, pointer
 
-        for mod in (json_values, pointer, capture_spec):
+        for mod in (json_values, pointer, capture_spec, multimodal):
             cloudpickle.register_pickle_by_value(mod)
         _REGISTERED = True
     except Exception:  # pragma: no cover - non-Spark contexts

@@ -1,0 +1,197 @@
+"""Unit tests for the training-data pipeline operators (text analysis,
+dedup, similarity, multimodal) on handcrafted micro-tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.pipeline.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from embulk_util_json_spark.pipeline.multimodal import (
+    attach_media,
+    byte_features,
+    decode_image,
+)
+from embulk_util_json_spark.pipeline.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    neardup_pairs,
+)
+from embulk_util_json_spark.pipeline.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "  The  QUICK brown fox jumps over the lazy dog  "),  # dup after norm
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "hello world, 42 times!")], ["doc_id", "text"])
+    row = token_stats(df, "text", ["doc_id"]).collect()[0]
+    assert row.n_chars == 22
+    assert row.n_words == 4
+    # [hello][world][,][4][2][times][!]
+    assert row.n_tokens == 7
+
+
+def test_quality_bounds_and_empty(docs):
+    rows = {r.doc_id: r for r in quality_score(docs, "text", ["doc_id"]).collect()}
+    assert all(0.0 <= r.quality <= 1.0 for r in rows.values())
+    assert rows[5].quality == 0.0
+    assert rows[0].quality > rows[5].quality
+
+
+def test_lang_id_real_sentences(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der Hund ist nicht zu Hause und die Katze auf dem Dach"),
+        (2, "el perro no es grande y la casa es de piedra por eso"),
+        (3, "le chien est dans la maison et le chat est pour moi"),
+        (4, "这 是 中文 文本"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.lang_pred for r in lang_id(df, "text", ["doc_id"]).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_fingerprint_normalization_invariant(docs):
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(docs, "text", ["doc_id"]).collect()}
+    assert fps[0] == fps[1] == fps[4]  # case/whitespace-insensitive
+    assert fps[0] != fps[2]
+    assert fps[5] == 0
+
+
+def test_exact_dup_groups(docs):
+    out = {r.doc_id: r for r in exact_dup_groups(docs, "text", "doc_id").collect()}
+    assert out[0].canonical_id == 0 and not out[0].is_dup and out[0].group_size == 3
+    assert out[1].canonical_id == 0 and out[1].is_dup
+    assert out[4].canonical_id == 0 and out[4].is_dup
+    assert out[3].group_size == 1 and not out[3].is_dup
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    assert pairs[(0, 4)] == 1.0  # identical after normalization
+    assert 0.3 <= pairs[(0, 2)] < 1.0  # one word differs
+    assert (0, 3) not in pairs
+
+
+def test_minhash_identical_signatures(docs):
+    sigs = {
+        r.doc_id: r.minhash
+        for r in minhash_signatures(docs, "text", "doc_id").collect()
+    }
+    assert sigs[0] == sigs[1] == sigs[4]
+    assert sigs[0] != sigs[3]
+    assert sigs[5] is None  # empty doc: no shingles
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert sh[0] == sh[1] == sh[4]
+    assert sh[0] != sh[3]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (50, [1.0, 0.001, 0.0, 0.0]),  # ~same direction as 0; query id
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (100, [0.0, 0.0, 1.0, 1.0]),  # query id
+        (5, [0.0, 0.0, 1.0, 1.0001]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_cosine_topk(vecs):
+    out = cosine_topk(vecs, "embedding", "vec_id", k=2, query_mod=50)
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r.query_id, []).append(r)
+    # query 0 (vec_id=0): nearest is 50 (almost colinear)
+    top0 = sorted(by_query[0], key=lambda r: r.rank)
+    assert top0[0].neighbor_id == 50 and top0[0].cosine > 0.999
+    # query 100: nearest is 5
+    top100 = sorted(by_query[100], key=lambda r: r.rank)
+    assert top100[0].neighbor_id == 5 and top100[0].cosine > 0.999
+
+
+def test_neardup_pairs_vectors(vecs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs(vecs, "embedding", "vec_id", threshold=0.99).collect()
+    }
+    assert (0, 50) in pairs and (5, 100) in pairs
+    assert (0, 3) not in pairs  # opposite direction
+
+
+def test_lsh_ann_topk_recovers_colinear(vecs):
+    out = lsh_ann_topk(vecs, "embedding", "vec_id", dim=4, planes=6, k=2, query_mod=50)
+    rows = [r for r in out.collect() if r.query_id == 0]
+    # identical-direction vector lands in the same hyperplane bucket
+    assert any(r.neighbor_id == 50 for r in rows)
+
+
+def test_multimodal_byte_features(spark):
+    df = spark.createDataFrame([(7, "AB")], ["doc_id", "text"])
+    media = attach_media(df, "text", "doc_id")
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = byte_features(media).collect()[0]
+    assert row.doc_id == 7
+    assert row.n_bytes == 2
+    assert row.first_byte == 65
+    assert row.byte_sum == 65 + 66
+    assert row.width == 2 and row.height == (65 * 7) % 64
+
+
+def test_decode_image_is_stubbed(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    media = attach_media(df, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
