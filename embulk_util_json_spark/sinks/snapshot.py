@@ -48,7 +48,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..operators.lww import lww_agg
-from ..sources.events import KEY_COLS, ORDER_COLS
+from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 
 BUCKET_COL = "_bucket"
 META_COLS = ["op", "seq"]  # ts doubles as payload and order column
@@ -74,12 +74,32 @@ class ParquetSnapshotSink:
         keys: list[str] | None = None,
         order_cols: list[str] | None = None,
         bucket_by: str | None = None,
+        mode: str = "mow",
+        compact_every: int = 16,
     ) -> None:
+        """``mode``:
+
+        - ``"mow"`` (merge-on-write, Iceberg copy-on-write MERGE):
+          each apply rewrites the affected buckets fully merged. Reads
+          are cheapest; writes amplify by table/batch size ratio.
+        - ``"mor"`` (merge-on-read, Iceberg v2 / Hudi MOR / Paimon
+          LSM): each apply appends one LWW-pre-reduced delta per
+          bucket — write cost proportional to the BATCH, not the
+          table. ``read()`` merges the delta chain (LWW is
+          associative, so chain-merge ≡ sequential apply);
+          ``compact()`` collapses the chain; ``apply`` auto-compacts a
+          bucket chain deeper than ``compact_every``. This is the
+          high-throughput CDC path — at 10^10 events/day a MOW
+          rewrite per micro-batch is quadratic, MOR is linear.
+        """
+        assert mode in ("mow", "mor")
         self.spark = spark
         self.root = root
         self.keys = keys or KEY_COLS
         self.order_cols = order_cols or ORDER_COLS
         self.bucket_by = bucket_by or self.keys[0]
+        self.mode = mode
+        self.compact_every = compact_every
         self._manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self._manifest_dir, exist_ok=True)
         current = self.current_manifest()
@@ -126,6 +146,7 @@ class ParquetSnapshotSink:
             "batch_ids": [],
             "buckets": {},
             "schema_fields": [],
+            "extra_fields": [],
             "applies": [],
         }
 
@@ -133,6 +154,25 @@ class ParquetSnapshotSink:
         return (
             self.spark.read.option("mergeSchema", "true")
             .parquet(*[os.path.join(self.root, p) for p in rel_paths])
+        )
+
+    @staticmethod
+    def _paths_of(manifest: dict, bucket: str) -> list[str]:
+        """Bucket → delta chain (oldest first). Legacy manifests stored
+        a single path string; normalize to a list."""
+        v = manifest["buckets"].get(bucket, [])
+        return [v] if isinstance(v, str) else list(v)
+
+    def _all_paths(self, manifest: dict) -> list[str]:
+        out: list[str] = []
+        for b in manifest["buckets"]:
+            out.extend(self._paths_of(manifest, b))
+        return out
+
+    def _chain_depth(self, manifest: dict) -> int:
+        return max(
+            (len(self._paths_of(manifest, b)) for b in manifest["buckets"]),
+            default=0,
         )
 
     # ---- apply (the MERGE) ---------------------------------------------
@@ -152,10 +192,63 @@ class ParquetSnapshotSink:
             return {"batch_id": batch_id, "skipped": True, "reason": "already-applied"}
 
         obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
+        metrics_exprs = [F.count(F.lit(1)).alias("change_rows")]
+        if EXTRAS_COL in changes.columns:
+            # Schema discovery costs nothing extra: the set of unseen
+            # field names is aggregated DURING the write job. The
+            # collect_set is over distinct key-arrays (bounded by the
+            # number of distinct event shapes, not rows).
+            metrics_exprs.append(
+                F.array_distinct(
+                    F.flatten(F.collect_set(F.map_keys(F.col(EXTRAS_COL))))
+                ).alias("extra_keys")
+            )
         staged = changes.withColumn(BUCKET_COL, self._bucket_expr()).observe(
-            obs, F.count(F.lit(1)).alias("change_rows")
+            obs, *metrics_exprs
+        )
+        if self.mode == "mor":
+            return self._apply_mor(staged, batch_id, manifest, obs, t0)
+        return self._apply_mow(staged, batch_id, manifest, obs, t0)
+
+    def _written_buckets(self, out_dir: str) -> list[str]:
+        """Bucket partition values present under a freshly-written
+        directory — a filesystem listing, no Spark job. (On an object
+        store this becomes one LIST call via the Hadoop FS API.)"""
+        if not os.path.isdir(out_dir):
+            return []
+        prefix = f"{BUCKET_COL}="
+        return sorted(
+            (d[len(prefix):] for d in os.listdir(out_dir) if d.startswith(prefix)),
+            key=int,
         )
 
+    def _finish_commit(
+        self, manifest: dict, version: int, batch_id: str, buckets: dict,
+        merged_cols: list[str], metrics: dict, obs=None,
+    ) -> dict:
+        schema_fields = sorted(
+            (set(manifest["schema_fields"]) | set(merged_cols)) - {BUCKET_COL}
+        )
+        extra_fields = set(manifest.get("extra_fields", []))
+        if obs is not None:
+            extra_fields |= set(obs.get.get("extra_keys") or [])
+        self._commit(
+            {
+                "version": version,
+                "num_buckets": self.num_buckets,
+                "batch_ids": manifest["batch_ids"] + [batch_id],
+                "buckets": buckets,
+                "schema_fields": schema_fields,
+                "extra_fields": sorted(extra_fields),
+                "applies": (manifest["applies"] + [metrics])[-1000:],
+            }
+        )
+        return metrics
+
+    def _apply_mow(
+        self, staged: DataFrame, batch_id: str, manifest: dict, obs, t0: float
+    ) -> dict:
+        """Copy-on-write MERGE: rewrite affected buckets fully merged."""
         # Affected buckets: tiny driver-side list (≤ num_buckets).
         affected = sorted(
             r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
@@ -172,9 +265,7 @@ class ParquetSnapshotSink:
             return {"batch_id": batch_id, "version": version, "change_rows": 0}
 
         old_paths = [
-            manifest["buckets"][str(b)]
-            for b in affected
-            if str(b) in manifest["buckets"]
+            p for b in affected for p in self._paths_of(manifest, str(b))
         ]
         out_rel = f"data/v{version:08d}"
         out_dir = os.path.join(self.root, out_rel)
@@ -209,11 +300,8 @@ class ParquetSnapshotSink:
 
         buckets = dict(manifest["buckets"])
         for b in affected:
-            buckets[str(b)] = f"{out_rel}/{BUCKET_COL}={b}"
+            buckets[str(b)] = [f"{out_rel}/{BUCKET_COL}={b}"]
 
-        schema_fields = sorted(
-            (set(manifest["schema_fields"]) | set(merged.columns)) - {BUCKET_COL}
-        )
         metrics = {
             "batch_id": batch_id,
             "version": version,
@@ -222,43 +310,104 @@ class ParquetSnapshotSink:
             "rows_per_bucket": bucket_counts,
             "wall_sec": round(time.time() - t0, 3),
         }
-        self._commit(
-            {
-                "version": version,
-                "num_buckets": self.num_buckets,
-                "batch_ids": manifest["batch_ids"] + [batch_id],
-                "buckets": buckets,
-                "schema_fields": schema_fields,
-                "applies": (manifest["applies"] + [metrics])[-1000:],
-            }
+        return self._finish_commit(
+            manifest, version, batch_id, buckets, merged.columns, metrics, obs
         )
-        return metrics
+
+    def _apply_mor(
+        self, staged: DataFrame, batch_id: str, manifest: dict, obs, t0: float
+    ) -> dict:
+        """Merge-on-read apply: LWW-pre-reduce the batch per (key,
+        bucket) — ONE shuffle of batch-sized data with map-side partial
+        combine — and append it as a delta level; never read the
+        table. Write cost is O(batch) regardless of table size."""
+        version = manifest["version"] + 1
+        out_rel = f"data/v{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+
+        delta = lww_agg(staged, self.keys + [BUCKET_COL], self.order_cols)
+        (
+            delta.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        present = self._written_buckets(out_dir)
+
+        buckets = {b: self._paths_of(manifest, b) for b in manifest["buckets"]}
+        for b in present:
+            buckets[b] = buckets.get(b, []) + [f"{out_rel}/{BUCKET_COL}={b}"]
+
+        metrics = {
+            "batch_id": batch_id,
+            "version": version,
+            "change_rows": obs.get["change_rows"],
+            "affected_buckets": len(present),
+            "chain_depth": max((len(v) for v in buckets.values()), default=0),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        result = self._finish_commit(
+            manifest, version, batch_id, buckets, delta.columns, metrics, obs
+        )
+        # Bound read amplification: collapse chains that grew too deep.
+        # Tombstones are KEPT — replay may still deliver older events.
+        deep = [b for b, v in buckets.items() if len(v) > self.compact_every]
+        if deep:
+            self.compact(drop_tombstones=False, only_buckets=deep)
+        return result
 
     # ---- read ----------------------------------------------------------
 
     def read(
         self, include_tombstones: bool = False, include_meta: bool = False
     ) -> DataFrame:
-        """Current table state (deletes filtered, meta dropped)."""
+        """Current table state (deletes filtered, meta dropped).
+
+        MOR delta chains are merged here with the same LWW reduction
+        the writer uses — LWW over (ts, seq) is associative, so
+        merge-at-read of pre-reduced levels equals sequential apply.
+        """
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMA)
-        df = self._read_bucket_paths(list(manifest["buckets"].values()))
+        df = self._read_bucket_paths(self._all_paths(manifest))
+        if self._chain_depth(manifest) > 1:
+            df = lww_agg(df, self.keys, self.order_cols)
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")
         if not include_meta:
             df = df.drop(*META_COLS)
+        # Materialize manifest-declared evolved fields out of the
+        # extras map (metadata-only schema evolution; old rows NULL).
+        if EXTRAS_COL in df.columns:
+            for name in manifest.get("extra_fields", []):
+                if name not in df.columns:
+                    df = df.withColumn(name, F.col(EXTRAS_COL)[name])
+            df = df.drop(EXTRAS_COL)
         return df
 
-    def compact(self, drop_tombstones: bool = True) -> dict:
-        """Rewrite every bucket once: drop tombstones (safe once no
-        replay can deliver events older than current state) and
-        coalesce small files from many incremental applies."""
+    def compact(
+        self,
+        drop_tombstones: bool = True,
+        only_buckets: list[str] | None = None,
+    ) -> dict:
+        """Collapse delta chains (MOR) / coalesce small files (MOW):
+        LWW-merge each targeted bucket's levels into one file set.
+        ``drop_tombstones=True`` additionally removes delete markers —
+        safe only once no replay can deliver events older than current
+        state. ``only_buckets`` compacts a subset (auto-compaction of
+        deep chains) and leaves the rest untouched."""
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True}
         t0 = time.time()
-        df = self._read_bucket_paths(list(manifest["buckets"].values()))
+        target = sorted(
+            set(only_buckets) if only_buckets else set(manifest["buckets"]), key=int
+        )
+        paths = [p for b in target for p in self._paths_of(manifest, b)]
+        df = self._read_bucket_paths(paths)
+        df = lww_agg(df, self.keys, self.order_cols)
         if drop_tombstones:
             df = df.filter(F.col("op") != "delete")
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
@@ -272,14 +421,14 @@ class ParquetSnapshotSink:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        present = {
-            r[BUCKET_COL]
-            for r in self.spark.read.parquet(out_dir)
-            .select(BUCKET_COL)
-            .distinct()
-            .collect()
+        present = set(self._written_buckets(out_dir))
+        buckets = {
+            b: self._paths_of(manifest, b)
+            for b in manifest["buckets"]
+            if b not in set(target)
         }
-        buckets = {str(b): f"{out_rel}/{BUCKET_COL}={b}" for b in sorted(present)}
+        for b in sorted(present, key=int):
+            buckets[b] = [f"{out_rel}/{BUCKET_COL}={b}"]
         self._commit(
             {
                 **manifest,
@@ -290,9 +439,10 @@ class ParquetSnapshotSink:
                     {
                         "compact": True,
                         "version": version,
+                        "buckets_compacted": len(target),
                         "wall_sec": round(time.time() - t0, 3),
                     }
                 ],
             }
         )
-        return {"version": version}
+        return {"version": version, "buckets_compacted": len(target)}

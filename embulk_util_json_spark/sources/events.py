@@ -37,6 +37,7 @@ BASE_DATA_FIELDS: list[tuple[str, T.DataType]] = [
 
 KEY_COLS = ["conv_id", "turn_idx"]
 ORDER_COLS = ["ts", "seq"]
+EXTRAS_COL = "_extras"
 
 
 def envelope_schema(extra_fields: list[str] | None = None) -> T.StructType:
@@ -76,6 +77,50 @@ def discover_extra_fields(events: DataFrame, json_col: str = "event_json") -> li
         .collect()
     )
     return sorted(r.k for r in rows)
+
+
+def parse_change_events_single_pass(
+    events: DataFrame,
+    json_col: str = "event_json",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Single-pass envelope parse for the hot replay path: ONE
+    ``from_json`` with ``data`` as ``map<string,string>`` — typed base
+    columns are cast out of the map, and unknown members are retained
+    in an ``_extras`` map column instead of being discovered by a
+    separate pre-pass over the batch. (Spark coerces non-string map
+    values to their JSON text, so nothing is lost; nested values stay
+    as canonical JSON strings.)
+
+    Schema evolution becomes metadata-only: the sink observes the set
+    of extra keys during its write job (an ``observe`` aggregate — no
+    additional scan) and declares them in the manifest; ``read()``
+    materializes them as string columns. Old rows read NULL. This
+    halves the JSON-parse work per batch versus discover-then-parse
+    and removes one Spark job per micro-batch.
+    """
+    e = F.from_json(
+        F.col(json_col),
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("ts", T.StringType()),
+                T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+            ]
+        ),
+    )
+    base = [n for n, _ in BASE_DATA_FIELDS]
+    cols = [
+        e["op"].alias("op"),
+        F.to_timestamp(e["ts"]).alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+    ]
+    for name, dtype in BASE_DATA_FIELDS:
+        cols.append(e["data"][name].cast(dtype).alias(name))
+    cols.append(
+        F.map_filter(e["data"], lambda k, _v: ~k.isin(*base)).alias(EXTRAS_COL)
+    )
+    return events.select(*cols)
 
 
 def parse_change_events(

@@ -162,7 +162,12 @@ def ensure_events_parquet(
         table = generate_events(
             n_events, n_convs, n_turns, seed, evolve_after=evolve_after, **kwargs
         )
+        # A real binlog/WAL file is ordered by log position: persist in
+        # seq order with modest row groups so a seq-range micro-batch
+        # filter prunes row groups at the parquet reader (each replay
+        # batch scans ~1/num_batches of the file instead of all of it).
+        table = table.sort_by("seq")
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, row_group_size=row_group_size)
+        pq.write_table(table, tmp, row_group_size=min(row_group_size, 1 << 18))
         os.rename(tmp, path)
     return path

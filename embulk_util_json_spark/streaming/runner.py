@@ -17,7 +17,11 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..sources.events import discover_extra_fields, parse_change_events
+from ..sources.events import (
+    discover_extra_fields,
+    parse_change_events,
+    parse_change_events_single_pass,
+)
 from ..sinks.snapshot import ParquetSnapshotSink
 
 EVENTS_SCHEMA = T.StructType(
@@ -36,14 +40,18 @@ def apply_events_batch(
 ) -> dict:
     """Parse one micro-batch of raw events and MERGE into the sink.
 
-    ``evolve=True`` runs schema discovery (one cheap aggregate) and
-    adds unseen ``data`` fields as string columns additively.
-    Malformed envelopes (op NULL after permissive parse) are excluded
-    from the merge — the reference's row-skippable DataException
-    taxonomy.
+    ``evolve=True`` uses the single-pass map parse: unseen ``data``
+    fields ride along in an ``_extras`` map; their names are observed
+    during the sink's write job (no discovery pre-pass, exactly one
+    scan + one shuffle per batch) and added additively via the
+    manifest. Malformed envelopes (op NULL after permissive parse) are
+    excluded from the merge — the reference's row-skippable
+    DataException taxonomy.
     """
-    extra = discover_extra_fields(events) if evolve else []
-    changes = parse_change_events(events, extra_fields=extra)
+    if evolve:
+        changes = parse_change_events_single_pass(events)
+    else:
+        changes = parse_change_events(events)
     changes = changes.filter(F.col("op").isNotNull() & F.col("conv_id").isNotNull())
     return sink.apply(changes, batch_id)
 

@@ -1,0 +1,103 @@
+"""Merge-on-read sink mode: final-state equivalence with merge-on-write
+and with the sequential oracle, exactly-once, auto-compaction, and
+schema evolution across delta levels."""
+
+import pytest
+
+from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+from embulk_util_json_spark.sources.generator import generate_events
+from embulk_util_json_spark.streaming.runner import replay_parquet
+
+from tests.test_cdc_e2e import assert_matches_oracle, sequential_oracle, state_from_sink
+
+N_EVENTS = 6000
+
+
+@pytest.fixture(scope="module")
+def events_table():
+    return generate_events(N_EVENTS, n_convs=30, n_turns=25)
+
+
+@pytest.fixture(scope="module")
+def events_parquet(events_table, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("mor_events") / "events.parquet")
+    pq.write_table(events_table, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events_table):
+    return sequential_oracle(
+        zip(
+            events_table.column("seq").to_pylist(),
+            events_table.column("event_json").to_pylist(),
+        )
+    )
+
+
+def test_mor_matches_oracle_and_mow(spark, events_parquet, oracle_state, tmp_path):
+    mor = ParquetSnapshotSink(spark, str(tmp_path / "mor"), num_buckets=4, mode="mor")
+    mow = ParquetSnapshotSink(spark, str(tmp_path / "mow"), num_buckets=4, mode="mow")
+    replay_parquet(spark, events_parquet, mor, num_batches=5)
+    replay_parquet(spark, events_parquet, mow, num_batches=5)
+    assert_matches_oracle(mor, oracle_state)
+    assert state_from_sink(mor) == state_from_sink(mow)
+    # MOR actually appended deltas (chain depth > 1 before compaction)
+    applies = mor.current_manifest()["applies"]
+    assert any(a.get("chain_depth", 0) > 1 for a in applies)
+
+
+def test_mor_reapply_is_noop(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "m2"), num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+    v1 = sink.current_version()
+    m2 = replay_parquet(spark, events_parquet, sink, num_batches=3)
+    assert all(m.get("skipped") for m in m2)
+    assert sink.current_version() == v1
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_mor_auto_compaction_bounds_chain(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "m3"), num_buckets=4, mode="mor", compact_every=3
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=8)
+    manifest = sink.current_manifest()
+    depth = max(len(v) for v in manifest["buckets"].values())
+    assert depth <= 3 + 1  # one delta may land after the last compaction
+    assert any(a.get("compact") for a in manifest["applies"])
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_mor_manual_compact_drops_tombstones(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "m4"), num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=4)
+    assert sink.read(include_tombstones=True).filter("op = 'delete'").count() > 0
+    sink.compact(drop_tombstones=True)
+    manifest = sink.current_manifest()
+    assert all(len(v) == 1 for v in manifest["buckets"].values())
+    assert sink.read(include_tombstones=True).filter("op = 'delete'").count() == 0
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_mor_schema_evolution_across_levels(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = generate_events(3000, n_convs=15, n_turns=20, evolve_after=0.5)
+    path = str(tmp_path / "evo.parquet")
+    pq.write_table(t, path)
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "m5"), num_buckets=4, mode="mor")
+    replay_parquet(spark, path, sink, num_batches=2)
+    out = sink.read()
+    assert "model" in out.columns
+    rows = out.collect()
+    assert any(r.model == "m-2" for r in rows)
+    assert any(r.model is None for r in rows)
+    oracle = sequential_oracle(
+        zip(t.column("seq").to_pylist(), t.column("event_json").to_pylist())
+    )
+    got = {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.model) for r in rows}
+    want = {k: (v["role"], v["text"], v["tool"], v["model"]) for k, v in oracle.items()}
+    assert got == want
