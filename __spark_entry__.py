@@ -221,6 +221,187 @@ _ORACLE_FLATTEN = """
 """
 
 
+def _q_capture_direct_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-member fast path (json_tuple): the Spark analogue of the
+    reference's CapturingDirectMemberNameList dispatch-and-skip;
+    missing member → SQL NULL."""
+    from embulk_util_json_spark.operators.capture import capture_json_tuple
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = capture_json_tuple(ev, "props", ["k", "absent"], ["k", "absent"])
+    return out.select("event_id", "k", "absent")
+
+
+_ORACLE_CAPTURE_DIRECT = """
+    SELECT event_id,
+           CAST(json_extract(props, '/k') AS VARCHAR) AS k,
+           CAST(json_extract(props, '/absent') AS VARCHAR) AS absent
+    FROM events
+"""
+
+
+def _q_capture_with_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root re-pointing composed with capture (R2∘R5): wrap props under
+    'ex', re-root at /ex, capture a member and the whole re-rooted doc."""
+    from embulk_util_json_spark.operators.capture import extract_parity
+    from embulk_util_json_spark.plans.capture_spec import CaptureSpec
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit('{"ex":'), "props", F.lit("}")).alias("doc"),
+    )
+    spec = CaptureSpec.compile(["/k", "/"], ["k", "whole"])
+    out = extract_parity(ev, "doc", spec, root="/ex")
+    return out.select("event_id", "k", "whole")
+
+
+_ORACLE_CAPTURE_ROOT = """
+    SELECT event_id,
+           CAST(json_extract(props, '/k') AS VARCHAR) AS k,
+           CAST(json_extract(props, '$') AS VARCHAR) AS whole
+    FROM events
+"""
+
+
+def _events_as_cdc_json_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change stream where every 5th event carries an extra 'model'
+    field mid-stream (FIXTURES.md T7 schema evolution)."""
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    model_frag = F.when(
+        F.col("event_id") % 5 == 0, F.lit(',"model":"m-2"')
+    ).otherwise(F.lit(""))
+    event_json = F.concat(
+        F.lit('{"op":"'), op,
+        F.lit('","ts":"'), F.date_format("ts", TS_FMT),
+        F.lit('","data":{"conv_id":"u'), F.col("user_id").cast("string"),
+        F.lit('","turn_idx":'), (F.col("event_id") % 25).cast("string"),
+        F.lit(',"role":"r'), (F.col("event_id") % 4).cast("string"),
+        F.lit('","text":"text '), F.col("event_id").cast("string"),
+        F.lit('","tool":"'), F.col("event_type"),
+        F.lit('"'), model_frag, F.lit("}}"),
+    )
+    return ev.select(F.col("event_id").alias("seq"), event_json.alias("event_json"))
+
+
+def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass parse with additive schema evolution: unseen 'model'
+    field rides the _extras map and is materialized as a string column;
+    rows without it read NULL."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.events import (
+        EXTRAS_COL,
+        parse_change_events_single_pass,
+    )
+
+    events = _events_as_cdc_json_evolving(spark, sf_dir)
+    changes = parse_change_events_single_pass(events)
+    changes = changes.withColumn("model", F.col(EXTRAS_COL)["model"]).drop(EXTRAS_COL)
+    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "model", "ts"
+    )
+
+
+_ORACLE_CDC_EVOLUTION = """
+    WITH changes AS (
+        SELECT
+            event_id AS seq,
+            CASE WHEN event_type = 'error' THEN 'delete'
+                 WHEN event_type = 'signup' THEN 'insert'
+                 ELSE 'update' END AS op,
+            ts,
+            'u' || CAST(user_id AS VARCHAR) AS conv_id,
+            CAST(event_id % 25 AS INTEGER) AS turn_idx,
+            'r' || CAST(event_id % 4 AS VARCHAR) AS role,
+            'text ' || CAST(event_id AS VARCHAR) AS text,
+            event_type AS tool,
+            CASE WHEN event_id % 5 = 0 THEN 'm-2' END AS model
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, model, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_apply_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal north-star LWW formulation: row_number() over
+    (conv_id, turn_idx) ordered by (ts, seq) desc — oracle-equal to
+    the aggregation-based scale path."""
+    from embulk_util_json_spark.operators.lww import lww_window
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    changes = parse_change_events(events)
+    final = lww_window(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_cdc_apply_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted LWW (hot-key path) — exact because argmax over
+    the (ts, seq) total order is associative and commutative."""
+    from embulk_util_json_spark.operators.lww import lww_salted
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    changes = parse_change_events(events)
+    final = lww_salted(changes, ["conv_id", "turn_idx"], ["ts", "seq"], salt_buckets=16)
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_quality_topk_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline: exact-dedup to canonical docs, broadcast-join
+    quality scores, global top-10 by (quality desc, doc_id)."""
+    from embulk_util_json_spark.pipeline.dedup import exact_dup_groups
+    from embulk_util_json_spark.pipeline.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    canon = exact_dup_groups(docs, "text", "doc_id").filter(~F.col("is_dup"))
+    q = quality_score(docs, "text", ["doc_id"])
+    joined = canon.select("doc_id").join(q, "doc_id")
+    return (
+        joined.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "n_chars", "n_words", "quality")
+    )
+
+
+def _quality_topk_unique_sql() -> str:
+    from embulk_util_json_spark.pipeline.text import quality_score_sql
+
+    q = quality_score_sql("documents", "text", ["doc_id"])
+    return f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id FROM fp
+            WHERE doc_id = (SELECT MIN(doc_id) FROM fp f2 WHERE f2.f = fp.f)
+        ),
+        q AS ({q})
+        SELECT q.doc_id, q.n_chars, q.n_words, q.quality
+        FROM q JOIN canon USING (doc_id)
+        ORDER BY q.quality DESC, q.doc_id ASC
+        LIMIT 10
+    """
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: text analysis / dedup / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -354,7 +535,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest_event_per_user": _q_lww_latest_event_per_user,
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
+        "capture_direct_members": _q_capture_direct_members,
+        "capture_with_root": _q_capture_with_root,
         "flatten_capture": _q_flatten_capture,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_apply_window": _q_cdc_apply_window,
+        "cdc_apply_salted": _q_cdc_apply_salted,
+        "quality_topk_unique": _q_quality_topk_unique,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -376,6 +563,12 @@ def oracle_sql() -> dict[str, str]:
         "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,
+        "capture_direct_members": _ORACLE_CAPTURE_DIRECT,
+        "capture_with_root": _ORACLE_CAPTURE_ROOT,
         "flatten_capture": _ORACLE_FLATTEN,
+        "cdc_schema_evolution": _ORACLE_CDC_EVOLUTION,
+        "cdc_apply_window": _ORACLE_CDC_FINAL,
+        "cdc_apply_salted": _ORACLE_CDC_FINAL,
+        "quality_topk_unique": _quality_topk_unique_sql(),
         **_pipeline_oracles(),
     }
