@@ -111,16 +111,18 @@ def test_capture_typed_tree(spark, docs_df):
     out = capture_typed(docs_df, "doc", spec, casts={"foo": "long"})
     r = out.orderBy("id").collect()[0]
     assert (r.foo, r.hoge, r.bar, r.none) == (12, "fuga", "[true,false]", None)
-    # We emit ONE combined-schema from_json; Catalyst's OptimizeJsonExprs
-    # then *chooses* to split it into per-column single-field pruned
-    # parses (column pruning inside the parser — the reference's skip()
-    # semantics, CapturingDirectMemberNameList.java:95-98, done by the
-    # optimizer). Assert the pruning happened: every from_json in the
-    # optimized plan carries a minimal single-field schema.
+    # The two-step projection materializes ONE combined-schema
+    # from_json shared by all K capture columns (SURVEY §4: shared-
+    # prefix trie → one pass, not K re-parses — the reference's
+    # JsonPointerTree design, JsonPointerTree.java:29-67). Assert a
+    # single parse with the pruned multi-field schema survived
+    # optimization, and that non-captured members are absent from it
+    # (the skip() semantics, CapturingDirectMemberNameList.java:95-98).
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("from_json") == 4
+    assert plan.count("from_json") == 1
     for fld in ("StructField(foo", "StructField(none", "StructField(bar"):
         assert fld in plan
+    assert "StructField(ignored" not in plan
 
 
 def test_capture_typed_array_index(spark):
