@@ -50,6 +50,16 @@ def quantized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-but-compute-heavy corpus to full cluster
+    parallelism: a 5k-row embedding table arrives as ONE parquet split,
+    which would serialize the all-pairs scoring into a single task.
+    (At 100 TB the corpus is already thousands of splits — this is a
+    small-input guard, a no-op cost either way.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -67,8 +77,8 @@ def cosine_topk(
         F.col("qvec").alias("q_qvec"),
         F.col("qnorm").alias("q_qnorm"),
     )
-    corpus = qn.select(
-        F.col(id_col).alias("neighbor_id"), "qvec", "qnorm"
+    corpus = _spread(
+        qn.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm")
     )
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
@@ -93,14 +103,18 @@ def neardup_pairs(
     LSH prefiltering at scale; kept exact here as the oracle-checkable
     baseline."""
     qn = quantized(df, vec_col, id_col)
-    a = qn.select(
-        F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm").alias("na")
+    a = _spread(
+        qn.select(
+            F.col(id_col).alias("id_a"),
+            F.col("qvec").alias("va"),
+            F.col("qnorm").alias("na"),
+        )
     )
     b = qn.select(
         F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm").alias("nb")
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -154,7 +168,9 @@ def lsh_ann_topk(
         F.col("qnorm").alias("q_qnorm"),
         F.col("sig").alias("q_sig"),
     )
-    corpus = qn.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm", "sig")
+    corpus = _spread(
+        qn.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm", "sig")
+    )
     scored = (
         corpus.join(
             F.broadcast(queries),
