@@ -39,6 +39,11 @@ def build_spark(cpus: int):
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Seq-sorted binlog + row-group pruning concentrate each
+        # micro-batch's live rows into ~1/num_batches of the file;
+        # smaller splits keep the pruned scan wide enough to use every
+        # core (128 MB default → ~3 active tasks per batch at 8M events).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

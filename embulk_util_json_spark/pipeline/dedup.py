@@ -143,15 +143,21 @@ def minhash_signatures(
     in one codegen'd projection (no explode/shuffle): for each hash j,
     min over the doc's shingle hashes of (a_j*x+b_j) mod P. Empty
     shingle set → NULL signature."""
-    grams = _shingle_array(F.col(text_col), n)
-    xs = F.transform(grams, _md5_32)
+    # Materialize the shingle-hash array ONCE (two-step projection):
+    # inlining it into the K per-hash-function expressions would
+    # recompute every shingle's md5 K times (no CSE across aliases).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(_shingle_array(F.col(text_col), n), _md5_32).alias("_xs"),
+    )
+    xs = F.col("_xs")
     sig = F.array(
         *[
             F.array_min(F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_PRIME))
             for a, b in _minhash_params(num_hashes)
         ]
     )
-    return df.select(
+    return hashed.select(
         F.col(id_col), F.when(F.size(xs) > 0, sig).alias("minhash")
     )
 
@@ -210,10 +216,37 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    jac = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return cand.join(jac, ["id_a", "id_b"]).filter(
-        F.col("jaccard") >= verify_threshold
-    ).select("id_a", "id_b", "jaccard")
+    # Exact-Jaccard verification restricted to the LSH candidates:
+    # broadcast the (small) candidate set into the shingle inverted
+    # index instead of materializing Jaccard for every shingle-sharing
+    # pair in the corpus (which is quadratic in hot shingles).
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    common = (
+        F.broadcast(cand)
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -226,8 +259,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     1 iff sum over words of (+1 if word-hash bit p else -1) > 0.
     One codegen'd projection; duplicate words count once (distinct),
     making the signature a pure set function like the minhash path."""
-    words = F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
-    hs = F.transform(words, _md5_32)
+    # Two-step projection: hash every distinct word ONCE, then derive
+    # all `bits` bit-votes from the materialized array (inlining would
+    # recompute the md5s once per bit position).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(norm_text(F.col(text_col)), " ")), _md5_32
+        ).alias("_hs"),
+    )
+    hs = F.col("_hs")
+
     def _vote(p: int) -> Column:
         # NB: the merge lambda must take exactly (acc, x) — pyspark
         # binds one lambda variable per positional parameter.
@@ -243,7 +285,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     for p, v in enumerate(bit_votes):
         term = F.when(v > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(

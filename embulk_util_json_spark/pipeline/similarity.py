@@ -124,12 +124,15 @@ def neardup_pairs(
 # ---- LSH ANN ---------------------------------------------------------------
 
 
-def _plane_component(p: Column | int, d: Column | int) -> Column:
-    """Deterministic hyperplane component in [-1000, 1000]: derived
-    from md5('plane:p:d') so Spark and the SQL oracle generate the
-    same planes with no RNG."""
-    key = F.concat_ws(":", F.lit("plane"), F.lit(p).cast("string"), F.lit(d).cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+def _plane_component(p: int, d: int) -> int:
+    """Deterministic hyperplane component in [-1000, 1000]: first 32
+    bits of md5('plane:p:d'). Computed driver-side with hashlib —
+    bit-identical to both Spark's and DuckDB's md5 — and embedded as a
+    literal, so the executor evaluates a plain integer array instead
+    of 512 per-row hash expressions (which blow up codegen)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
     return (h % 2001) - 1000
 
 
@@ -138,7 +141,7 @@ def lsh_signature(qvec: Column, dim: int, planes: int) -> Column:
     = (qvec · w_p) > 0, packed into a long. Fully codegen'd."""
     sig = None
     for p in range(planes):
-        w = F.array(*[_plane_component(p, d) for d in range(dim)])
+        w = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
         dot = _dot(qvec, w)
         term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         sig = term if sig is None else sig + term
