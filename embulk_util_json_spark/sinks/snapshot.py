@@ -309,6 +309,7 @@ class ParquetSnapshotSink:
             "affected_buckets": n_affected,
             "rows_per_bucket": bucket_counts,
             "wall_sec": round(time.time() - t0, 3),
+            "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
         }
         return self._finish_commit(
             manifest, version, batch_id, buckets, merged.columns, metrics, obs
@@ -346,6 +347,7 @@ class ParquetSnapshotSink:
             "affected_buckets": len(present),
             "chain_depth": max((len(v) for v in buckets.values()), default=0),
             "wall_sec": round(time.time() - t0, 3),
+            "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
         }
         result = self._finish_commit(
             manifest, version, batch_id, buckets, delta.columns, metrics, obs
