@@ -222,6 +222,22 @@ class ParquetSnapshotSink:
             key=int,
         )
 
+    @staticmethod
+    def _bucket_row_counts(out_dir: str, buckets: list[str]) -> dict[str, int]:
+        """Per-bucket row counts from parquet footers, read driver-side
+        (metadata-only, no Spark job) — the per-partition lineage record."""
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        for b in buckets:
+            d = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            n = 0
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(d, fn)).num_rows
+            counts[b] = n
+        return counts
+
     def _finish_commit(
         self, manifest: dict, version: int, batch_id: str, buckets: dict,
         merged_cols: list[str], metrics: dict, obs=None,
@@ -345,6 +361,7 @@ class ParquetSnapshotSink:
             "version": version,
             "change_rows": obs.get["change_rows"],
             "affected_buckets": len(present),
+            "rows_per_bucket": self._bucket_row_counts(out_dir, present),
             "chain_depth": max((len(v) for v in buckets.values()), default=0),
             "wall_sec": round(time.time() - t0, 3),
             "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
