@@ -305,14 +305,11 @@ class ParquetSnapshotSink:
             .parquet(out_dir)
         )
 
-        # Per-bucket lineage from parquet footers (metadata-only count).
-        written = self.spark.read.parquet(out_dir)
-        bucket_counts = {
-            str(r[BUCKET_COL]): r["n"]
-            for r in written.groupBy(BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # Per-bucket lineage from parquet footers (driver-side
+        # metadata read — saves one Spark job per batch).
+        bucket_counts = self._bucket_row_counts(
+            out_dir, self._written_buckets(out_dir)
+        )
 
         buckets = dict(manifest["buckets"])
         for b in affected:
