@@ -192,7 +192,18 @@ class ParquetSnapshotSink:
             return {"batch_id": batch_id, "skipped": True, "reason": "already-applied"}
 
         obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
-        metrics_exprs = [F.count(F.lit(1)).alias("change_rows")]
+        key0 = F.col(self.keys[0])
+        metrics_exprs = [
+            F.count(F.lit(1)).alias("change_rows"),
+            # Quarantine count (reference: row-skippable JsonParseException,
+            # JsonParseException.java:24-43): malformed envelopes parse to
+            # null op/key. Counted here on attributes of the parse
+            # projection — a pre-filter would be pushed below the parse
+            # and re-parse every row per predicate.
+            F.sum(
+                F.when(F.col("op").isNull() | key0.isNull(), 1).otherwise(0)
+            ).alias("malformed_rows"),
+        ]
         if EXTRAS_COL in changes.columns:
             # Schema discovery costs nothing extra: the set of unseen
             # field names is aggregated DURING the write job. The
@@ -319,6 +330,7 @@ class ParquetSnapshotSink:
             "batch_id": batch_id,
             "version": version,
             "change_rows": obs.get["change_rows"],
+            "malformed_rows": int(obs.get.get("malformed_rows") or 0),
             "affected_buckets": n_affected,
             "rows_per_bucket": bucket_counts,
             "wall_sec": round(time.time() - t0, 3),
@@ -357,6 +369,7 @@ class ParquetSnapshotSink:
             "batch_id": batch_id,
             "version": version,
             "change_rows": obs.get["change_rows"],
+            "malformed_rows": int(obs.get.get("malformed_rows") or 0),
             "affected_buckets": len(present),
             "rows_per_bucket": self._bucket_row_counts(out_dir, present),
             "chain_depth": max((len(v) for v in buckets.values()), default=0),
@@ -388,6 +401,10 @@ class ParquetSnapshotSink:
         if not manifest or not manifest["buckets"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMA)
         df = self._read_bucket_paths(self._all_paths(manifest))
+        # Null-key guard: quarantined (malformed) rows are stored as a
+        # null-key group rather than pre-filtered before the shuffle
+        # (see runner.apply_events_batch); they never surface in reads.
+        df = df.filter(F.col(self.keys[0]).isNotNull())
         if self._chain_depth(manifest) > 1:
             df = lww_agg(df, self.keys, self.order_cols)
         if not include_tombstones:

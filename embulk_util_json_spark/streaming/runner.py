@@ -44,15 +44,21 @@ def apply_events_batch(
     fields ride along in an ``_extras`` map; their names are observed
     during the sink's write job (no discovery pre-pass, exactly one
     scan + one shuffle per batch) and added additively via the
-    manifest. Malformed envelopes (op NULL after permissive parse) are
-    excluded from the merge — the reference's row-skippable
-    DataException taxonomy.
+    manifest.
+
+    Malformed envelopes (op/key NULL after permissive parse) are NOT
+    pre-filtered here: a filter on parsed columns gets pushed below
+    the parse projection and Catalyst substitutes the from_json alias
+    once per predicate — re-parsing every row 3× (measured). Instead
+    the junk rows ride the shuffle as a single null-key group, are
+    counted by the sink's observe() (the reference's row-skippable
+    DataException taxonomy → quarantine metric), and are excluded by
+    ``read()``'s null-key guard.
     """
     if evolve:
         changes = parse_change_events_single_pass(events)
     else:
         changes = parse_change_events(events)
-    changes = changes.filter(F.col("op").isNotNull() & F.col("conv_id").isNotNull())
     return sink.apply(changes, batch_id)
 
 

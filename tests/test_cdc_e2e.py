@@ -202,8 +202,9 @@ def test_malformed_events_quarantined(spark, tmp_path):
     )
     sink = ParquetSnapshotSink(spark, str(tmp_path / "t7"), num_buckets=2)
     m = apply_events_batch(df, sink, "b0")
-    assert m["change_rows"] == 2  # bad row skipped, job survived
-    assert sink.read().count() == 2
+    assert m["change_rows"] == 3  # all rows staged (no pre-parse filter)
+    assert m["malformed_rows"] == 1  # quarantine metric from observe()
+    assert sink.read().count() == 2  # junk row never surfaces
 
 
 def test_streaming_foreachbatch_and_checkpoint_resume(spark, tmp_path, events_table):
