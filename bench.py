@@ -14,7 +14,12 @@ Env knobs:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
     BENCH_EVENTS         replay event count (default 2_000_000)
-    BENCH_BATCHES        replay micro-batches (default 8)
+    BENCH_BATCHES        replay micro-batches (default 4)
+    BENCH_WORK_DIR       scratch base (default /dev/shm when writable —
+                         a single local[·] JVM shares ONE host disk, so
+                         tmpfs scratch models a cluster where every
+                         executor brings its own local disks; set to a
+                         disk path to include host-disk IO in the number)
 """
 
 from __future__ import annotations
@@ -29,11 +34,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def work_base() -> str:
+    base = os.environ.get("BENCH_WORK_DIR")
+    if base:
+        return base
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    local_dir = os.path.join(work_base(), "spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.local.dir", local_dir)
         .appName(f"bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
@@ -62,12 +77,13 @@ def bench_replay(
     MOR analogue) — the replay cost is then O(events), not
     O(batches × table)."""
     from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
-    from embulk_util_json_spark.sources.generator import ensure_events_parquet
-    from embulk_util_json_spark.streaming.runner import replay_parquet
+    from embulk_util_json_spark.sources.generator import ensure_events_segments
+    from embulk_util_json_spark.streaming.runner import replay_segments
 
-    events_path = ensure_events_parquet(
-        os.path.join(work, f"events_{n_events}.parquet"),
+    events_dir = ensure_events_segments(
+        os.path.join(work, f"events_{n_events}"),
         n_events=n_events,
+        segments=max(num_batches * 8, 64),
         n_convs=max(200, n_events // 2000),
         n_turns=40,
         evolve_after=0.75,
@@ -76,7 +92,7 @@ def bench_replay(
         spark, os.path.join(work, "transcripts"), num_buckets=32, mode=mode
     )
     t0 = time.perf_counter()
-    replay_parquet(spark, events_path, sink, num_batches=num_batches)
+    replay_segments(spark, events_dir, sink, num_batches=num_batches)
     elapsed = time.perf_counter() - t0
     rows = sink.read().count()
     return {
@@ -103,7 +119,7 @@ def main() -> None:
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    work = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    work = tempfile.mkdtemp(prefix="spark_graft_bench_", dir=work_base())
     try:
         qtimes: dict[str, float] = {}
         for name, fn in entrymod.queries().items():

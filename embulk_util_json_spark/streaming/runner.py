@@ -14,6 +14,7 @@ tombstones; SURVEY.md §7.3 #2).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -90,6 +91,40 @@ def replay_parquet(
         out.append(
             apply_events_batch(batch, sink, f"seq-{lo}-{hi}", evolve=evolve)
         )
+    return out
+
+
+def replay_segments(
+    spark: SparkSession,
+    segments_dir: str,
+    sink: ParquetSnapshotSink,
+    num_batches: int = 1,
+    evolve: bool = True,
+) -> list[dict]:
+    """Batch replay over a directory of seq-contiguous binlog segment
+    files: each micro-batch reads EXACTLY its group of segment files
+    (the file-source batching model), so per-batch scan cost is
+    proportional to the batch — no monolithic-file re-open per batch.
+    Batch ids are the file-name ranges → deterministic and resumable."""
+    files = sorted(
+        f
+        for f in os.listdir(segments_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    if not files:
+        return []
+    num_batches = min(num_batches, len(files))
+    per = math.ceil(len(files) / num_batches)
+    out = []
+    for i in range(num_batches):
+        group = files[i * per : (i + 1) * per]
+        if not group:
+            break
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(
+            *[os.path.join(segments_dir, f) for f in group]
+        )
+        batch_id = f"seg-{group[0]}-{group[-1]}"
+        out.append(apply_events_batch(batch, sink, batch_id, evolve=evolve))
     return out
 
 
