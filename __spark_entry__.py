@@ -263,6 +263,29 @@ _ORACLE_CAPTURE_ROOT = """
 """
 
 
+def _q_capture_multidoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated-document stream (reference R1: '{...}{...}' on one
+    parser → one value per readJsonValue call): the parity engine
+    splits the stream and captures per document, tagging _doc_seq."""
+    from embulk_util_json_spark.operators.capture import extract_parity
+    from embulk_util_json_spark.plans.capture_spec import CaptureSpec
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.concat("props", "props").alias("doc")
+    )
+    spec = CaptureSpec.compile(["/k"], ["k"])
+    out = extract_parity(ev, "doc", spec)
+    return out.select(
+        "event_id", F.col("_doc_seq").cast("int").alias("doc_seq"), "k"
+    )
+
+
+_ORACLE_CAPTURE_MULTIDOC = """
+    SELECT event_id, doc_seq, CAST(json_extract(props, '/k') AS VARCHAR) AS k
+    FROM events, (SELECT 0 AS doc_seq UNION ALL SELECT 1) docs
+"""
+
+
 def _events_as_cdc_json_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change stream where every 5th event carries an extra 'model'
     field mid-stream (FIXTURES.md T7 schema evolution)."""
@@ -537,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_typed_members": _q_capture_typed_members,
         "capture_direct_members": _q_capture_direct_members,
         "capture_with_root": _q_capture_with_root,
+        "capture_multidoc": _q_capture_multidoc,
         "flatten_capture": _q_flatten_capture,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_apply_window": _q_cdc_apply_window,
@@ -565,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,
         "capture_direct_members": _ORACLE_CAPTURE_DIRECT,
         "capture_with_root": _ORACLE_CAPTURE_ROOT,
+        "capture_multidoc": _ORACLE_CAPTURE_MULTIDOC,
         "flatten_capture": _ORACLE_FLATTEN,
         "cdc_schema_evolution": _ORACLE_CDC_EVOLUTION,
         "cdc_apply_window": _ORACLE_CDC_FINAL,
