@@ -67,15 +67,18 @@ def entry(spark: SparkSession) -> DataFrame:
     stream (seed 42), replay it in 4 micro-batches through the
     exactly-once bucketed sink, return the final transcripts table."""
     from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
-    from embulk_util_json_spark.sources.generator import ensure_events_parquet
-    from embulk_util_json_spark.streaming.runner import replay_parquet
+    from embulk_util_json_spark.sources.generator import ensure_events_segments
+    from embulk_util_json_spark.streaming.runner import replay_segments
 
     work = tempfile.mkdtemp(prefix="spark_graft_entry_")
-    events_path = ensure_events_parquet(
-        os.path.join(work, "events.parquet"), n_events=20_000, n_convs=50, n_turns=40
+    events_dir = ensure_events_segments(
+        os.path.join(work, "events"),
+        n_events=20_000, segments=8, n_convs=50, n_turns=40,
     )
-    sink = ParquetSnapshotSink(spark, os.path.join(work, "transcripts"), num_buckets=8)
-    replay_parquet(spark, events_path, sink, num_batches=4)
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "transcripts"), num_buckets=8, mode="mor"
+    )
+    replay_segments(spark, events_dir, sink, num_batches=4)
     return sink.read().orderBy("conv_id", "turn_idx")
 
 

@@ -127,6 +127,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.perf_counter() - t0, 3)
 
+        # JIT/codegen warm-up on a small replay so the measured number
+        # reflects steady state, not first-plan compilation.
+        bench_replay(
+            spark, os.path.join(work, "warmup"), 200_000, 2, mode=sink_mode
+        )
         replay = bench_replay(spark, work, n_events, num_batches, mode=sink_mode)
 
         out = {
