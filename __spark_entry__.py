@@ -467,7 +467,8 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.pipeline.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.5, max_df_frac=0.05,
     )
 
 
@@ -476,7 +477,7 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"), "text", "doc_id",
-        n=3, num_hashes=16, bands=4, verify_threshold=0.5,
+        n=3, num_hashes=16, bands=4, verify_threshold=0.5, max_df_frac=0.05,
     )
 
 
@@ -531,11 +532,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_fingerprint": text.fingerprint_sql("documents", "text", ["doc_id"]),
         "dedup_exact": dedup.exact_dup_groups_sql("documents", "text", "doc_id"),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(
-            "documents", "text", "doc_id", n=3, threshold=0.5
+            "documents", "text", "doc_id", n=3, threshold=0.5, max_df_frac=0.05
         ),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "text", "doc_id",
-            n=3, num_hashes=16, bands=4, verify_threshold=0.5,
+            n=3, num_hashes=16, bands=4, verify_threshold=0.5, max_df_frac=0.05,
         ),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(
             "documents", "text", "doc_id", bits=32, bands=4, max_hamming=3

@@ -19,6 +19,8 @@ pipelined with the scan).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 HASH_PRIME = 2147483647  # 2^31 - 1
@@ -35,8 +37,20 @@ def _md5_32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def _md5_60(c: Column) -> Column:
+    """First 60 bits of md5 as a long — join-key hash for shingles
+    (8-byte keys shuffle/join ~3× cheaper than 30-char strings;
+    collision odds at 60 bits are negligible, and the DuckDB oracle
+    applies the identical hash so the gate stays exact)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def _shingle_array(text: Column, n: int) -> Column:
-    """Distinct word n-grams of the normalized text, as strings."""
+    """Distinct word n-grams of the normalized text, as strings.
+
+    NOTE: array higher-order functions are CodegenFallback
+    (interpreted); prefer ``_gram_rows`` (posexplode + window lead,
+    fully codegen'd) on hot paths — it produces the same grams."""
     words = F.split(norm_text(text), " ")
     k = F.size(words) - (n - 1)
     grams = F.when(k > 0, F.transform(
@@ -44,6 +58,27 @@ def _shingle_array(text: Column, n: int) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
     )).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) distinct word n-grams as ROWS — the codegen'd shingle
+    path: posexplode the words, window-lead the next n-1 words per
+    document, concat. Same gram strings as ``_shingle_array``."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(norm_text(F.col(text_col)), " ")).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", j).over(w) for j in range(1, n)]
+    grams = words.select(
+        F.col(id_col),
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("gram"),
+    )
+    return grams.filter(F.col("gram").isNotNull()).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -80,21 +115,50 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct word n-grams."""
-    return df.select(
-        F.col(id_col), F.explode(_shingle_array(F.col(text_col), n)).alias("shingle")
+def shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(id, shingle) exploded distinct word n-grams, keyed by their
+    60-bit md5 hash (see ``_md5_60``).
+
+    ``max_df_frac``: stop-shingle filtering — drop shingles whose
+    document frequency exceeds ``ceil(frac × n_docs)``. Ubiquitous
+    shingles contribute ~nothing to near-dup discrimination but
+    quadratic cost to the inverted-index join (every doc pair sharing
+    a stop-shingle becomes a candidate); dropping them is the shingle
+    analogue of stopword removal and standard in web-dedup pipelines.
+    The DuckDB oracle applies the identical cap."""
+    sh = _gram_rows(df, text_col, id_col, n).select(
+        F.col(id_col), _md5_60(F.col("gram")).alias("shingle")
     )
+    if max_df_frac is None:
+        return sh
+    n_docs = df.select(id_col).distinct().count()
+    cap = math.ceil(max_df_frac * n_docs)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    keep = F.broadcast(dfreq.filter(F.col("_df") <= cap).select("shingle"))
+    return sh.join(keep, "shingle").select(id_col, "shingle")
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1
     shingle, filtered to ≥ threshold. The self-join runs on the
     shingle key (inverted index), so only genuinely-overlapping pairs
-    are ever materialized — not an all-pairs product."""
-    sh = shingles(df, text_col, id_col, n)
+    are ever materialized — not an all-pairs product. With
+    ``max_df_frac``, Jaccard is over the stop-shingle-filtered sets
+    (see ``shingles``)."""
+    sh = shingles(df, text_col, id_col, n, max_df_frac)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,23 +207,24 @@ def minhash_signatures(
     in one codegen'd projection (no explode/shuffle): for each hash j,
     min over the doc's shingle hashes of (a_j*x+b_j) mod P. Empty
     shingle set → NULL signature."""
-    # Materialize the shingle-hash array ONCE (two-step projection):
-    # inlining it into the K per-hash-function expressions would
-    # recompute every shingle's md5 K times (no CSE across aliases).
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(_shingle_array(F.col(text_col), n), _md5_32).alias("_xs"),
+    # Codegen'd path: exploded gram rows → ONE hash aggregation with K
+    # min() expressions (map-side partial combine). Array higher-order
+    # functions would run interpreted (CodegenFallback) and re-hash
+    # every shingle K times. Docs with no shingles (< n words) simply
+    # have no rows → restored as NULL signature via left join.
+    xs = _gram_rows(df, text_col, id_col, n).select(
+        F.col(id_col), _md5_32(F.col("gram")).alias("_x")
     )
-    xs = F.col("_xs")
-    sig = F.array(
+    x = F.col("_x")
+    sigs = xs.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_PRIME))
-            for a, b in _minhash_params(num_hashes)
+            F.min((F.lit(a) * x + F.lit(b)) % HASH_PRIME).alias(f"_mh{j}")
+            for j, (a, b) in enumerate(_minhash_params(num_hashes))
         ]
     )
-    return hashed.select(
-        F.col(id_col), F.when(F.size(xs) > 0, sig).alias("minhash")
-    )
+    sig = F.array(*[F.col(f"_mh{j}") for j in range(num_hashes)])
+    sigs = sigs.select(F.col(id_col), sig.alias("minhash"))
+    return df.select(id_col).distinct().join(sigs, id_col, "left")
 
 
 def minhash_lsh_pairs(
@@ -170,6 +235,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     verify_threshold: float | None = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the K-wide signature into `bands`
     bands of K/bands rows; docs agreeing on ANY full band are
@@ -220,7 +286,9 @@ def minhash_lsh_pairs(
     # broadcast the (small) candidate set into the shingle inverted
     # index instead of materializing Jaccard for every shingle-sharing
     # pair in the corpus (which is quadratic in hot shingles).
-    sh = shingles(df, text_col, id_col, n)
+    # max_df_frac additionally drops stop-shingles from the verify
+    # space (signatures keep the full set — recall side untouched).
+    sh = shingles(df, text_col, id_col, n, max_df_frac)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -259,33 +327,32 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     1 iff sum over words of (+1 if word-hash bit p else -1) > 0.
     One codegen'd projection; duplicate words count once (distinct),
     making the signature a pure set function like the minhash path."""
-    # Two-step projection: hash every distinct word ONCE, then derive
-    # all `bits` bit-votes from the materialized array (inlining would
-    # recompute the md5s once per bit position).
-    hashed = df.select(
+    # Codegen'd path: exploded distinct words → ONE hash aggregation
+    # with `bits` sum() vote expressions; the signature is assembled
+    # from the votes in a follow-up projection. (Array HOFs would run
+    # interpreted — CodegenFallback — and re-hash per bit position.)
+    words = df.select(
         F.col(id_col),
-        F.transform(
-            F.array_distinct(F.split(norm_text(F.col(text_col)), " ")), _md5_32
-        ).alias("_hs"),
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+        ).alias("_w"),
+    ).select(F.col(id_col), _md5_32(F.col("_w")).alias("_h"))
+    h = F.col("_h")
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{p}")
+            for p in range(bits)
+        ]
     )
-    hs = F.col("_hs")
-
-    def _vote(p: int) -> Column:
-        # NB: the merge lambda must take exactly (acc, x) — pyspark
-        # binds one lambda variable per positional parameter.
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(F.shiftright(x, p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(p) for p in range(bits)]
     sig = None
-    for p, v in enumerate(bit_votes):
-        term = F.when(v > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    for p in range(bits):
+        term = (
+            F.when(F.col(f"_v{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
         sig = term if sig is None else sig + term
-    return hashed.select(F.col(id_col), sig.alias("simhash"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -354,13 +421,34 @@ def _sql_md5_32(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
-def _sql_shingles(table: str, text_col: str, id_col: str, n: int) -> str:
-    """CTE text producing (id, shingle) distinct word n-grams."""
+def _sql_shingles(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df_frac: float | None = None,
+    hashed: bool = True,
+) -> str:
+    """CTE text producing (id, shingle) distinct word n-grams, with the
+    same optional stop-shingle df-cap as the Spark side. ``hashed``
+    keys shingles by their 60-bit md5 (the Spark join key); pass False
+    where the raw gram string is needed (minhash signature hashing)."""
     gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
-    return f"""
-        SELECT DISTINCT {id_col}, {gram} AS shingle
+    key = f"CAST(('0x' || substr(md5({gram}), 1, 15)) AS BIGINT)" if hashed else gram
+    base = f"""
+        SELECT DISTINCT {id_col}, {key} AS shingle
         FROM (SELECT {id_col}, string_split({_sql_norm(text_col)}, ' ') AS w FROM {table}),
              UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+    """
+    if max_df_frac is None:
+        return base
+    return f"""
+        SELECT {id_col}, shingle FROM ({base}) sh0
+        WHERE shingle IN (
+            SELECT shingle FROM ({base}) GROUP BY shingle
+            HAVING COUNT(*) <= CAST(CEIL({max_df_frac} *
+                (SELECT COUNT(DISTINCT {id_col}) FROM {table})) AS BIGINT)
+        )
     """
 
 
@@ -382,10 +470,15 @@ def exact_dup_groups_sql(table: str, text_col: str, id_col: str) -> str:
 
 
 def jaccard_pairs_sql(
-    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> str:
     return f"""
-        WITH sh AS ({_sql_shingles(table, text_col, id_col, n)}),
+        WITH sh AS ({_sql_shingles(table, text_col, id_col, n, max_df_frac)}),
         sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM sh GROUP BY {id_col}),
         common AS (
             SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS common
@@ -409,6 +502,7 @@ def minhash_lsh_pairs_sql(
     num_hashes: int = 16,
     bands: int = 4,
     verify_threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> str:
     rows_per_band = num_hashes // bands
     params = _minhash_params(num_hashes)
@@ -422,9 +516,11 @@ def minhash_lsh_pairs_sql(
         + " AS bsig FROM sigs"
         for bi in range(bands)
     )
-    jac = jaccard_pairs_sql(table, text_col, id_col, n, threshold=0.0)
+    jac = jaccard_pairs_sql(
+        table, text_col, id_col, n, threshold=0.0, max_df_frac=max_df_frac
+    )
     return f"""
-        WITH sh AS ({_sql_shingles(table, text_col, id_col, n)}),
+        WITH sh AS ({_sql_shingles(table, text_col, id_col, n, hashed=False)}),
         hx AS (SELECT {id_col}, {_sql_md5_32('shingle')} AS x FROM sh),
         hf (j, a, b) AS (VALUES {hash_rows}),
         mins AS (
