@@ -389,6 +389,83 @@ def _q_cdc_apply_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-min gap) of the event stream per user —
+    lag + cumulative-sum window, one session row per burst."""
+    from embulk_util_json_spark.operators.temporal import sessionize
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(ev, ["user_id"], "ts", gap_sec=1800)
+
+
+_ORACLE_SESSIONIZE = """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, CAST(COUNT(*) AS INTEGER) AS n_events
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'error' event picks up the most recent
+    non-error event of the same user at or before it (union-tag +
+    last_value window — the Spark merge_asof)."""
+    from embulk_util_json_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts",
+        right_cols=["event_id", "event_type"], right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof", "event_id_asof", "event_type_asof"
+    )
+
+
+_ORACLE_ASOF = """
+    WITH u AS (
+        SELECT user_id, ts, 1 AS side, event_id,
+               NULL::BIGINT AS r_event_id, NULL::VARCHAR AS r_type,
+               NULL::TIMESTAMP AS r_ts
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, event_id, event_type, ts
+        FROM events WHERE event_type <> 'error'
+    ),
+    c AS (
+        SELECT *,
+               LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS event_id_asof,
+               LAST_VALUE(r_type IGNORE NULLS) OVER w AS event_type_asof,
+               LAST_VALUE(r_ts IGNORE NULLS) OVER w AS ts_asof
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, side, r_event_id NULLS LAST
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts, ts_asof, event_id_asof, event_type_asof
+    FROM c WHERE side = 1
+"""
+
+
 def _q_quality_topk_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pipeline: exact-dedup to canonical docs, broadcast-join
     quality scores, global top-10 by (quality desc, doc_id)."""
@@ -570,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_window": _q_cdc_apply_window,
         "cdc_apply_salted": _q_cdc_apply_salted,
         "quality_topk_unique": _q_quality_topk_unique,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof_join,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -599,5 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_window": _ORACLE_CDC_FINAL,
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
         "quality_topk_unique": _quality_topk_unique_sql(),
+        "events_sessionize": _ORACLE_SESSIONIZE,
+        "events_asof_join": _ORACLE_ASOF,
         **_pipeline_oracles(),
     }

@@ -119,10 +119,19 @@ class ParquetSnapshotSink:
         return max(versions, default=0)
 
     def current_manifest(self) -> dict | None:
-        v = self.current_version()
-        if v == 0:
+        return self.manifest_at(self.current_version())
+
+    def manifest_at(self, version: int) -> dict | None:
+        """Committed manifest for a specific version (time travel —
+        manifests are immutable; any past version reconstructs its
+        exact table state because data files are never mutated, only
+        superseded, exactly like Iceberg snapshots)."""
+        if version <= 0:
             return None
-        with open(self._manifest_path(v)) as fh:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise ValueError(f"no committed version {version}")
+        with open(path) as fh:
             return json.load(fh)
 
     def _commit(self, manifest: dict) -> None:
@@ -389,15 +398,22 @@ class ParquetSnapshotSink:
     # ---- read ----------------------------------------------------------
 
     def read(
-        self, include_tombstones: bool = False, include_meta: bool = False
+        self,
+        include_tombstones: bool = False,
+        include_meta: bool = False,
+        at_version: int | None = None,
     ) -> DataFrame:
-        """Current table state (deletes filtered, meta dropped).
+        """Table state (deletes filtered, meta dropped) — current, or
+        AS OF a committed ``at_version`` (time travel over immutable
+        manifests/data files).
 
         MOR delta chains are merged here with the same LWW reduction
         the writer uses — LWW over (ts, seq) is associative, so
         merge-at-read of pre-reduced levels equals sequential apply.
         """
-        manifest = self.current_manifest()
+        manifest = (
+            self.manifest_at(at_version) if at_version else self.current_manifest()
+        )
         if not manifest or not manifest["buckets"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMA)
         df = self._read_bucket_paths(self._all_paths(manifest))
