@@ -592,6 +592,15 @@ def _q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_util_json_spark.pipeline.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        n_centroids=8, centroid_mod=61, k=5, query_mod=50,
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.pipeline.multimodal import attach_media, byte_features
 
@@ -623,6 +632,10 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(
             "embeddings", "embedding", "vec_id", dim=64, planes=8, k=5, query_mod=50
+        ),
+        "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(
+            "embeddings", "embedding", "vec_id",
+            n_centroids=8, centroid_mod=61, k=5, query_mod=50,
         ),
         "sim_neardup_pairs": similarity.neardup_pairs_sql(
             "embeddings", "embedding", "vec_id", threshold=0.35
@@ -660,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_neardup_pairs": _q_sim_neardup,
+        "sim_ivf_ann_topk": _q_sim_ivf_ann,
         "multimodal_byte_features": _q_multimodal_features,
     }
 

@@ -192,6 +192,80 @@ def lsh_ann_topk(
     )
 
 
+# ---- IVF ANN ---------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, n_centroids: int, centroid_mod: int
+) -> DataFrame:
+    """IVF coarse quantizer without training: every vector whose id ≡ 0
+    (mod centroid_mod) is a centroid (deterministic "sampled
+    centroids" — at scale you'd k-means these, but assignment, the
+    part that matters for the index structure, is identical). Each
+    vector is assigned to its nearest centroid by quantized cosine
+    (ties → lowest centroid id). Returns (id, qvec, qnorm, cell)."""
+    qn = quantized(df, vec_col, id_col)
+    cents = (
+        qn.filter((F.col(id_col) % centroid_mod) == 0)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col("qvec").alias("c_qvec"),
+            F.col("qnorm").alias("c_qnorm"),
+        )
+        .orderBy("cent_id")  # limit must be deterministic (oracle parity)
+        .limit(n_centroids)
+    )
+    scored = _spread(qn).join(F.broadcast(cents)).withColumn(
+        "c_cos", _cosine(_dot(F.col("qvec"), F.col("c_qvec")), F.col("qnorm"), F.col("c_qnorm"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "qvec", "qnorm", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 8,
+    centroid_mod: int = 250,
+    k: int = 5,
+    query_mod: int = 50,
+) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to the query's
+    cell (nprobe=1), ranked by exact quantized cosine. The cell join
+    shuffles on the centroid id — at 100 TB, n_centroids grows with
+    the corpus (√N rule) to hold cell width constant, and nprobe
+    trades recall for cost."""
+    assigned = ivf_assign(df, vec_col, id_col, n_centroids, centroid_mod)
+    queries = assigned.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+        F.col("cell").alias("q_cell"),
+    )
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "qvec", "qnorm", "cell"
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine", _cosine(_dot(F.col("qvec"), F.col("q_qvec")), F.col("qnorm"), F.col("q_qnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-SQL generators (DuckDB)
 # ---------------------------------------------------------------------------
@@ -249,6 +323,52 @@ def neardup_pairs_sql(
                ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) AS cosine
         FROM qn a JOIN qn b ON a.{id_col} < b.{id_col}
         WHERE ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) >= {threshold}
+    """
+
+
+def ivf_ann_topk_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 8,
+    centroid_mod: int = 250,
+    k: int = 5,
+    query_mod: int = 50,
+) -> str:
+    cdot = _SQL_DOT.format(a="qn.qvec", b="c.qvec")
+    dot = _SQL_DOT.format(a="cc.qvec", b="qq.qvec")
+    return f"""
+        WITH qn AS ({_sql_qn(table, vec_col, id_col)}),
+        cents AS (
+            SELECT {id_col} AS cent_id, qvec, qnorm FROM qn
+            WHERE {id_col} % {centroid_mod} = 0
+            ORDER BY cent_id LIMIT {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, qvec, qnorm, cent_id AS cell FROM (
+                SELECT qn.*, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qn.{id_col}
+                           ORDER BY ROUND({cdot} / SQRT(CAST(qn.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)), 6) DESC,
+                                    c.cent_id ASC
+                       ) AS rn
+                FROM qn CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT qq.{id_col} AS query_id, cc.{id_col} AS neighbor_id,
+                   ROUND({dot} / SQRT(CAST(cc.qnorm AS DOUBLE) * CAST(qq.qnorm AS DOUBLE)), 6) AS cosine
+            FROM assigned qq JOIN assigned cc
+              ON cc.cell = qq.cell AND cc.{id_col} <> qq.{id_col}
+            WHERE qq.{id_col} % {query_mod} = 0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        FROM ranked WHERE rank <= {k}
     """
 
 

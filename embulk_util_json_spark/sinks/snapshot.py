@@ -53,6 +53,10 @@ from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 BUCKET_COL = "_bucket"
 META_COLS = ["op", "seq"]  # ts doubles as payload and order column
 
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this manifest version first."""
+
 EMPTY_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -135,14 +139,29 @@ class ParquetSnapshotSink:
             return json.load(fh)
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic publish: write tmp, fsync, rename (POSIX atomic)."""
+        """Atomic optimistic publish: write tmp, fsync, then
+        ``os.link`` into place — link (unlike rename) FAILS if the
+        version already exists, so two writers racing to commit the
+        same version cannot silently clobber each other (the loser
+        gets ConcurrentCommitError and must re-read + retry — the
+        Iceberg optimistic-concurrency protocol; the engine's runners
+        are single-writer, so a conflict here always means a
+        misconfigured second writer)."""
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, path)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {manifest['version']} was committed by another "
+                "writer; re-read the manifest and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def applied_batch_ids(self) -> list[str]:
         m = self.current_manifest()

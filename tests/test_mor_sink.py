@@ -101,3 +101,32 @@ def test_mor_schema_evolution_across_levels(spark, tmp_path):
     got = {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.model) for r in rows}
     want = {k: (v["role"], v["text"], v["tool"], v["model"]) for k, v in oracle.items()}
     assert got == want
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    import json
+    import pytest
+
+    from embulk_util_json_spark.sinks.snapshot import ConcurrentCommitError
+
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "cc"), num_buckets=2, mode="mor")
+    df = spark.createDataFrame(
+        [(0, '{"op":"insert","ts":"2024-01-01T00:00:00","data":{"conv_id":"c1","turn_idx":0,"role":"u","text":"x","tool":null}}')],
+        "seq long, event_json string",
+    )
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    apply_events_batch(df, sink, "b0")
+    # simulate the race: this writer computed its next version from the
+    # manifest it read, then another writer commits that version first
+    manifest = sink.current_manifest()
+    v_next = manifest["version"] + 1
+    with open(sink._manifest_path(v_next), "w") as fh:
+        json.dump({**manifest, "version": v_next, "batch_ids":
+                   manifest["batch_ids"] + ["other-writer"]}, fh)
+    with pytest.raises(ConcurrentCommitError):
+        sink._commit({**manifest, "version": v_next})
+    # the loser re-reads and retries at the NEW next version — succeeds
+    fresh = sink.current_manifest()
+    assert "other-writer" in fresh["batch_ids"]
+    sink._commit({**fresh, "version": fresh["version"] + 1})
