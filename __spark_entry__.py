@@ -567,6 +567,20 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    every doc labeled with the min doc_id reachable through pairs
+    (iterative min-label propagation; oracle = recursive CTE)."""
+    from embulk_util_json_spark.pipeline.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        n=3, num_hashes=16, bands=4, verify_threshold=0.5, max_df_frac=0.05,
+    )
+    return dup_clusters(docs, pairs, "doc_id")
+
+
 def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.pipeline.similarity import cosine_topk
 
@@ -627,6 +641,13 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(
             "documents", "text", "doc_id", bits=32, bands=4, max_hamming=3
         ),
+        "dedup_clusters": dedup.dup_clusters_sql(
+            "documents", "doc_id",
+            dedup.minhash_lsh_pairs_sql(
+                "documents", "text", "doc_id",
+                n=3, num_hashes=16, bands=4, verify_threshold=0.5, max_df_frac=0.05,
+            ),
+        ),
         "sim_cosine_topk": similarity.cosine_topk_sql(
             "embeddings", "embedding", "vec_id", k=5, query_mod=50
         ),
@@ -670,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash_pairs": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_neardup_pairs": _q_sim_neardup,

@@ -409,6 +409,84 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    document gets ``cluster_id`` = the minimum doc id reachable through
+    pair edges (the canonical "keep one per cluster" dedup step).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are tiny — a handful
+    of rounds). Each round is ONE shuffle (groupBy min); the loop is
+    driver-side with an early-exit convergence check, which is how
+    iterative graph algorithms run on Spark (GraphX/GraphFrames do the
+    same under the hood).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    edges = edges.persist()
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def dup_clusters_sql(table: str, id_col: str, pairs_sql: str) -> str:
+    """DuckDB oracle: transitive min-label via WITH RECURSIVE (set
+    semantics UNION terminates the fixpoint), then min per node."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach (node, label) AS (
+            SELECT {id_col}, {id_col} FROM {table}
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS {id_col}, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+
+# ---------------------------------------------------------------------------
 # Oracle-SQL generators (DuckDB)
 # ---------------------------------------------------------------------------
 

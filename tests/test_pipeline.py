@@ -195,3 +195,15 @@ def test_decode_image_is_stubbed(spark):
     media = attach_media(df, "text", "doc_id")
     with pytest.raises(NotImplementedError):
         decode_image(media)
+
+
+def test_dup_clusters(spark):
+    from embulk_util_json_spark.pipeline.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    # components: {0,1,2} (chain), {3,4}, {5}, {6}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs, "doc_id").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
