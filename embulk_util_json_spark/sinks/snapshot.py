@@ -514,3 +514,46 @@ class ParquetSnapshotSink:
             }
         )
         return {"version": version, "buckets_compacted": len(target)}
+
+    # ---- maintenance ----------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Expire old snapshots (the Iceberg ``expire_snapshots``
+        analogue): delete manifest versions older than the newest
+        ``keep_versions`` and any data directory no retained manifest
+        references. Time travel remains possible to every retained
+        version; anything older is gone for good (run only once
+        replay/audit windows have passed).
+
+        Driver-side filesystem work only — no Spark job. Safe against
+        a concurrent reader of a retained version because data files
+        are immutable and only unreferenced ones are removed."""
+        import shutil
+
+        current = self.current_version()
+        if current == 0:
+            return {"removed_versions": 0, "removed_dirs": 0}
+        keep = set(range(max(1, current - keep_versions + 1), current + 1))
+        referenced: set[str] = set()
+        for v in keep:
+            m = self.manifest_at(v)
+            for b in m["buckets"]:
+                for p in self._paths_of(m, b):
+                    # data/vNNNNNNNN/_bucket=K → keep the version dir
+                    referenced.add(p.split("/")[1])
+        removed_versions = 0
+        for v in range(1, current):
+            if v in keep:
+                continue
+            path = self._manifest_path(v)
+            if os.path.exists(path):
+                os.unlink(path)
+                removed_versions += 1
+        data_root = os.path.join(self.root, "data")
+        removed_dirs = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if d not in referenced:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed_dirs += 1
+        return {"removed_versions": removed_versions, "removed_dirs": removed_dirs}

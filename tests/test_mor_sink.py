@@ -130,3 +130,28 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     fresh = sink.current_manifest()
     assert "other-writer" in fresh["batch_ids"]
     sink._commit({**fresh, "version": fresh["version"] + 1})
+
+
+def test_vacuum_expires_old_snapshots(spark, events_parquet, oracle_state, tmp_path):
+    import os
+
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "vac"), num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=4)
+    # with uncompacted MOR chains every delta dir is still referenced —
+    # vacuum must delete NOTHING even when expiring manifests
+    stats0 = sink.vacuum(keep_versions=1)
+    assert stats0["removed_dirs"] == 0
+    assert_matches_oracle(sink, oracle_state)
+    # after compaction the chain collapses into one dir; old deltas are
+    # unreferenced by the retained manifest and get removed
+    sink.compact(drop_tombstones=False)
+    v = sink.current_version()
+    n_dirs_before = len(os.listdir(str(tmp_path / "vac" / "data")))
+    stats = sink.vacuum(keep_versions=1)
+    assert stats["removed_versions"] >= 1
+    assert stats["removed_dirs"] >= 1
+    assert len(os.listdir(str(tmp_path / "vac" / "data"))) < n_dirs_before
+    assert sink.read(at_version=v).count() > 0
+    assert_matches_oracle(sink, oracle_state)
+    with pytest.raises(ValueError):
+        sink.read(at_version=1)
