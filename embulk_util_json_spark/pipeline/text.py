@@ -32,10 +32,23 @@ CJK_RE_SQL = "[\\x{4e00}-\\x{9fff}]"  # RE2 (DuckDB)
 LANG_ORDER = ("de", "en", "es", "fr")  # tie-break: first strictly-max wins
 
 
-def _words(text: Column) -> Column:
-    """Whitespace tokens with empties dropped (leading/trailing/double
-    spaces produce '' from split — filtered, not counted)."""
-    return F.filter(F.split(text, " "), lambda w: w != F.lit(""))
+WORD_RE = "\\S+"
+
+
+def _n_words(text: Column) -> Column:
+    """Whitespace-token count as ONE codegen'd regexp scan — array
+    higher-order functions (split + filter) run interpreted
+    (CodegenFallback), so counting via `\\S+` is both faster and
+    engine-portable (DuckDB: len(regexp_extract_all))."""
+    return F.regexp_count(text, F.lit(WORD_RE))
+
+
+def _stop_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of any stopword, with multiplicity, as ONE regexp
+    alternation scan over the lowercased text (word-boundary
+    anchored)."""
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
 
 
 def token_stats(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
@@ -46,7 +59,7 @@ def token_stats(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     return df.select(
         *id_cols,
         F.length(t).alias("n_chars"),
-        F.size(_words(t)).alias("n_words"),
+        _n_words(t).alias("n_words"),
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("n_tokens"),
     )
 
@@ -57,11 +70,9 @@ def quality_score(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame
     terms are ratios of exact integers → the weighted sum is IEEE-
     deterministic; rounded to 6 dp for stable comparison."""
     t = F.col(text_col)
-    words = _words(t)
     n_chars = F.length(t)
-    n_words = F.size(words)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w))))
+    n_words = _n_words(t)
+    stop_hits = _stop_hits(t, STOPWORDS["en"])
     n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     word_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
@@ -88,13 +99,7 @@ def lang_id(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     (zh, then LANG_ORDER) whose score is strictly greater than all
     later ones; all-zero → 'und'."""
     t = F.col(text_col)
-    words = F.transform(_words(t), lambda w: F.lower(w))
-
-    def hits(lang: str) -> Column:
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
-
-    scores = {lang: hits(lang) for lang in LANG_ORDER}
+    scores = {lang: _stop_hits(t, STOPWORDS[lang]).cast("long") for lang in LANG_ORDER}
     scores["zh"] = F.size(F.regexp_extract_all(t, F.lit(CJK_RE), 0)) * F.lit(2)
 
     ordered = ["zh", *LANG_ORDER]
@@ -129,8 +134,13 @@ def fingerprint(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_words(text: str) -> str:
-    return f"list_filter(string_split({text}, ' '), w -> w <> '')"
+def _sql_n_words(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{WORD_RE}'))"
+
+
+def _sql_stop_hits(text: str, words: tuple[str, ...]) -> str:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower({text}), '{pat}'))"
 
 
 def token_stats_sql(table: str, text_col: str, id_cols: list[str]) -> str:
@@ -138,7 +148,7 @@ def token_stats_sql(table: str, text_col: str, id_cols: list[str]) -> str:
     return f"""
         SELECT {ids},
                CAST(length({text_col}) AS INTEGER) AS n_chars,
-               CAST(len({_sql_words(text_col)}) AS INTEGER) AS n_words,
+               CAST({_sql_n_words(text_col)} AS INTEGER) AS n_words,
                CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS INTEGER) AS n_tokens
         FROM {table}
     """
@@ -146,14 +156,12 @@ def token_stats_sql(table: str, text_col: str, id_cols: list[str]) -> str:
 
 def quality_score_sql(table: str, text_col: str, id_cols: list[str]) -> str:
     ids = ", ".join(id_cols)
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
         WITH base AS (
             SELECT {ids},
                    CAST(length({text_col}) AS BIGINT) AS n_chars,
-                   CAST(len({_sql_words(text_col)}) AS BIGINT) AS n_words,
-                   CAST(len(list_filter({_sql_words(text_col)},
-                        w -> list_contains([{sw}], lower(w)))) AS BIGINT) AS stop_hits,
+                   CAST({_sql_n_words(text_col)} AS BIGINT) AS n_words,
+                   CAST({_sql_stop_hits(text_col, STOPWORDS["en"])} AS BIGINT) AS stop_hits,
                    CAST(length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
             FROM {table}
         )
@@ -173,10 +181,7 @@ def quality_score_sql(table: str, text_col: str, id_cols: list[str]) -> str:
 def lang_id_sql(table: str, text_col: str, id_cols: list[str]) -> str:
     ids = ", ".join(id_cols)
     hit_exprs = {
-        lang: (
-            f"CAST(len(list_filter({_sql_words(text_col)}, "
-            f"w -> list_contains([{', '.join(repr(w) for w in STOPWORDS[lang])}], lower(w)))) AS BIGINT)"
-        )
+        lang: f"CAST({_sql_stop_hits(text_col, STOPWORDS[lang])} AS BIGINT)"
         for lang in LANG_ORDER
     }
     hit_exprs = {"zh": f"CAST(2 * len(regexp_extract_all({text_col}, '{CJK_RE_SQL}')) AS BIGINT)", **hit_exprs}
