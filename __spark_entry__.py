@@ -589,6 +589,16 @@ def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized (numpy int64 matmul) twin of sim_cosine_topk —
+    bit-identical results, mapInPandas scoring with per-batch pre-top-k."""
+    from embulk_util_json_spark.pipeline.similarity import cosine_topk_arrow
+
+    return cosine_topk_arrow(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=5, query_mod=50
+    )
+
+
 def _q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.pipeline.similarity import lsh_ann_topk
 
@@ -651,6 +661,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "sim_cosine_topk": similarity.cosine_topk_sql(
             "embeddings", "embedding", "vec_id", k=5, query_mod=50
         ),
+        "sim_cosine_topk_arrow": similarity.cosine_topk_sql(
+            "embeddings", "embedding", "vec_id", k=5, query_mod=50
+        ),
         "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(
             "embeddings", "embedding", "vec_id", dim=64, planes=8, k=5, query_mod=50
         ),
@@ -693,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_cosine_topk_arrow": _q_sim_cosine_topk_arrow,
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_ivf_ann_topk": _q_sim_ivf_ann,

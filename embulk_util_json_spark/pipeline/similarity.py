@@ -192,6 +192,80 @@ def lsh_ann_topk(
     )
 
 
+def cosine_topk_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-k — same results as
+    ``cosine_topk`` (bit-identical: the quantized dot products are
+    exact int64 numpy matmuls, cosine is the same IEEE divide/sqrt,
+    rounded 6dp), but the scoring runs as ONE numpy matrix multiply
+    per Arrow batch instead of per-pair Catalyst expressions.
+
+    Distributed-top-k shape: each batch emits only its own top-k per
+    query (k × n_queries rows per batch), then a global window keeps
+    the overall top-k — the union of per-batch top-ks provably
+    contains the global top-k. This is the scale path when the corpus
+    is huge and the query set small (broadcast-score-reduce)."""
+    import numpy as np
+    import pandas as pd
+
+    qn = quantized(df, vec_col, id_col)
+    q_rows = (
+        qn.filter((F.col(id_col) % query_mod) == 0)
+        .select(id_col, "qvec", "qnorm")
+        .collect()
+    )
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.int64)  # (Q, D)
+    q_norm = np.array([r[2] for r in q_rows], dtype=np.int64)
+
+    corpus = _spread(qn.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm"))
+
+    def score(batches):
+        for pdf in batches:
+            n_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["qvec"]), dtype=np.int64)  # (N, D)
+            norms = pdf["qnorm"].to_numpy(dtype=np.int64)
+            dots = q_mat @ mat.T  # (Q, N) exact int64
+            cos = np.round(
+                dots / np.sqrt(q_norm[:, None].astype(np.float64) * norms[None, :].astype(np.float64)),
+                6,
+            )
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for qi in range(len(q_ids)):
+                mask = n_ids != q_ids[qi]
+                c = cos[qi][mask]
+                ids = n_ids[mask]
+                if not len(c):
+                    continue
+                # per-batch pre-top-k: order by (-cosine, id)
+                order = np.lexsort((ids, -c))[:k]
+                out["query_id"].extend([q_ids[qi]] * len(order))
+                out["neighbor_id"].extend(ids[order])
+                out["cosine"].extend(c[order])
+            yield pd.DataFrame(out)
+
+    scored = corpus.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
 # ---- IVF ANN ---------------------------------------------------------------
 
 

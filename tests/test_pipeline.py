@@ -207,3 +207,15 @@ def test_dup_clusters(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs, "doc_id").collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_cosine_topk_arrow_matches_sql_variant(vecs):
+    from embulk_util_json_spark.pipeline.similarity import cosine_topk_arrow
+
+    a = sorted(
+        map(tuple, cosine_topk_arrow(vecs, "embedding", "vec_id", k=2, query_mod=50).collect())
+    )
+    b = sorted(
+        map(tuple, cosine_topk(vecs, "embedding", "vec_id", k=2, query_mod=50).collect())
+    )
+    assert a == b  # bit-identical across the Arrow and Catalyst paths
