@@ -459,13 +459,19 @@ class ParquetSnapshotSink:
         self,
         drop_tombstones: bool = True,
         only_buckets: list[str] | None = None,
+        tombstone_watermark: str | None = None,
     ) -> dict:
         """Collapse delta chains (MOR) / coalesce small files (MOW):
         LWW-merge each targeted bucket's levels into one file set.
         ``drop_tombstones=True`` additionally removes delete markers —
         safe only once no replay can deliver events older than current
-        state. ``only_buckets`` compacts a subset (auto-compaction of
-        deep chains) and leaves the rest untouched."""
+        state. With ``tombstone_watermark`` (an ISO timestamp string),
+        only tombstones with ``ts < watermark`` are dropped — the
+        event-time-watermark GC policy: keep recent tombstones so
+        late/redelivered events inside the replay horizon still lose
+        LWW against them, reclaim the rest. ``only_buckets`` compacts
+        a subset (auto-compaction of deep chains) and leaves the rest
+        untouched."""
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True}
@@ -477,7 +483,13 @@ class ParquetSnapshotSink:
         df = self._read_bucket_paths(paths)
         df = lww_agg(df, self.keys, self.order_cols)
         if drop_tombstones:
-            df = df.filter(F.col("op") != "delete")
+            is_del = F.col("op") == "delete"
+            if tombstone_watermark is not None:
+                df = df.filter(
+                    ~(is_del & (F.col("ts") < F.lit(tombstone_watermark).cast("timestamp")))
+                )
+            else:
+                df = df.filter(~is_del)
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
         version = manifest["version"] + 1
         out_rel = f"data/v{version:08d}"

@@ -155,3 +155,18 @@ def test_vacuum_expires_old_snapshots(spark, events_parquet, oracle_state, tmp_p
     assert_matches_oracle(sink, oracle_state)
     with pytest.raises(ValueError):
         sink.read(at_version=1)
+
+
+def test_compact_tombstone_watermark(spark, events_parquet, oracle_state, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "wm"), num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+    tomb = sink.read(include_tombstones=True, include_meta=True).filter("op = 'delete'")
+    n_total = tomb.count()
+    assert n_total > 0
+    # watermark at the median tombstone ts: older dropped, newer kept
+    mid = sorted(r.ts for r in tomb.collect())[n_total // 2]
+    sink.compact(drop_tombstones=True, tombstone_watermark=mid.isoformat())
+    kept = sink.read(include_tombstones=True, include_meta=True).filter("op = 'delete'")
+    assert 0 < kept.count() < n_total
+    assert all(r.ts >= mid for r in kept.collect())
+    assert_matches_oracle(sink, oracle_state)  # final state untouched
