@@ -394,23 +394,29 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag + cumulative-sum window, one session row per burst."""
     from embulk_util_json_spark.operators.temporal import sessionize
 
-    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
-    return sessionize(ev, ["user_id"], "ts", gap_sec=1800)
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize(
+        ev, ["user_id"], "ts", gap_sec=1800, tiebreak_cols=["event_id"]
+    )
 
 
+# event_id in the window ORDER BY pins a total order under duplicate
+# (user_id, ts); CAST(... AS BIGINT) pins DuckDB's HUGEINT SUM to the
+# same type Spark produces — both were hash-stability hazards.
 _ORACLE_SESSIONIZE = """
     WITH ordered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS st
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
         SELECT user_id, ts,
-               SUM(st) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM ordered
     )
     SELECT user_id, session_id, MIN(ts) AS session_start,

@@ -80,12 +80,23 @@ def sessionize(
     key_cols: list[str],
     ts_col: str = "ts",
     gap_sec: int = 1800,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-key gap sessionization: rows whose gap from the previous
-    event exceeds ``gap_sec`` start a new session. Returns one row per
+    event exceeds ``gap_sec`` starts a new session. Returns one row per
     session: (keys, session_id, session_start, session_end, n_events).
-    ``session_id`` is 1-based in event-time order within the key."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    ``session_id`` is 1-based in event-time order within the key.
+
+    ``tiebreak_cols`` pins a total order when a key can carry duplicate
+    timestamps — without it the window order (hence lag/cumsum
+    evaluation) is nondeterministic on ties. The session *grouping* is
+    tie-order-invariant (a zero gap never starts a session), but a
+    deterministic order keeps plans, tests, and oracle comparisons
+    stable by construction rather than by argument."""
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     # microsecond epoch on both engines (DuckDB: epoch_us) — a plain
     # seconds cast truncates fractional seconds and diverges.
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -93,9 +104,9 @@ def sessionize(
     starts = F.when(gap.isNull() | (gap > gap_sec * 1_000_000), 1).otherwise(0)
     sessioned = df.withColumn(
         "session_id",
-        F.sum(starts).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+        F.sum(starts)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
     )
     return sessioned.groupBy(*key_cols, "session_id").agg(
         F.min(ts_col).alias("session_start"),

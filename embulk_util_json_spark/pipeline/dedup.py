@@ -121,6 +121,7 @@ def shingles(
     id_col: str,
     n: int = 3,
     max_df_frac: float | None = None,
+    _grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams, keyed by their
     60-bit md5 hash (see ``_md5_60``).
@@ -131,12 +132,22 @@ def shingles(
     quadratic cost to the inverted-index join (every doc pair sharing
     a stop-shingle becomes a candidate); dropping them is the shingle
     analogue of stopword removal and standard in web-dedup pipelines.
-    The DuckDB oracle applies the identical cap."""
-    sh = _gram_rows(df, text_col, id_col, n).select(
-        F.col(id_col), _md5_60(F.col("gram")).alias("shingle")
-    )
+    The DuckDB oracle applies the identical cap.
+
+    ``_grams``: precomputed (preferably persisted) ``_gram_rows``
+    output to reuse — the text scan + n-gram explode is the dominant
+    cost of every shingle consumer, so callers that need grams more
+    than once (signature + df-cap + verify) compute them one time."""
+    grams = _grams if _grams is not None else _gram_rows(df, text_col, id_col, n)
+    sh = grams.select(F.col(id_col), _md5_60(F.col("gram")).alias("shingle"))
     if max_df_frac is None:
         return sh
+    # sh feeds both the df-frequency pass and the filtered join below —
+    # persist AND materialize eagerly: a lazy persist lets the
+    # downstream consumer stages launch concurrently, each recomputing
+    # the explode while racing to populate the cache (pure overhead).
+    sh = sh.persist()
+    sh.count()
     n_docs = df.select(id_col).distinct().count()
     cap = math.ceil(max_df_frac * n_docs)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -158,7 +169,12 @@ def jaccard_pairs(
     are ever materialized — not an all-pairs product. With
     ``max_df_frac``, Jaccard is over the stop-shingle-filtered sets
     (see ``shingles``)."""
-    sh = shingles(df, text_col, id_col, n, max_df_frac)
+    # sh is consumed three times (sizes agg + both sides of the
+    # inverted-index self-join): persist and materialize so the
+    # explode + df-cap join run once. Eager — a lazy persist lets the
+    # consumer stages launch concurrently and race-recompute.
+    sh = shingles(df, text_col, id_col, n, max_df_frac).persist()
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -201,20 +217,25 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    _grams: DataFrame | None = None,
 ) -> DataFrame:
     """Width-K MinHash signature per document as array<long>, computed
     in one codegen'd projection (no explode/shuffle): for each hash j,
     min over the doc's shingle hashes of (a_j*x+b_j) mod P. Empty
-    shingle set → NULL signature."""
+    shingle set → NULL signature. ``_grams`` reuses precomputed
+    ``_gram_rows`` output (see ``shingles``)."""
     # Codegen'd path: exploded gram rows → ONE hash aggregation with K
     # min() expressions (map-side partial combine). Array higher-order
     # functions would run interpreted (CodegenFallback) and re-hash
     # every shingle K times. Docs with no shingles (< n words) simply
     # have no rows → restored as NULL signature via left join.
-    xs = _gram_rows(df, text_col, id_col, n).select(
-        F.col(id_col), _md5_32(F.col("gram")).alias("_x")
-    )
+    grams = _grams if _grams is not None else _gram_rows(df, text_col, id_col, n)
+    xs = grams.select(F.col(id_col), _md5_32(F.col("gram")).alias("_x"))
     x = F.col("_x")
     sigs = xs.groupBy(id_col).agg(
         *[
@@ -244,9 +265,14 @@ def minhash_lsh_pairs(
     Jaccard and filtered; output (id_a, id_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).filter(
-        F.col("minhash").isNotNull()
-    )
+    # ONE gram explode shared by the signature pass and (when
+    # verifying) the shingle inverted index — previously computed up
+    # to three times. Persisted: signature agg, df-cap pass, and both
+    # verify join sides all read the cached rows.
+    grams = _gram_rows(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, _grams=grams
+    ).filter(F.col("minhash").isNotNull())
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -288,7 +314,7 @@ def minhash_lsh_pairs(
     # pair in the corpus (which is quadratic in hot shingles).
     # max_df_frac additionally drops stop-shingles from the verify
     # space (signatures keep the full set — recall side untouched).
-    sh = shingles(df, text_col, id_col, n, max_df_frac)
+    sh = shingles(df, text_col, id_col, n, max_df_frac, _grams=grams).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -430,6 +456,15 @@ def dup_clusters(
     driver-side with an early-exit convergence check, which is how
     iterative graph algorithms run on Spark (GraphX/GraphFrames do the
     same under the hood).
+
+    Iteration hygiene (the 100×-scale essentials): ``edges`` — whose
+    lineage contains the expensive LSH/verify pair job — is persisted
+    and materialized ONCE before the loop, and every round's labels are
+    ``localCheckpoint``ed, which both caches the round's result and
+    truncates lineage. Without the truncation, round k's convergence
+    count recomputes rounds 1..k-1 (O(iters²) total work) and the
+    Catalyst plan itself grows without bound. Old rounds' blocks are
+    released by the ContextCleaner once unreferenced.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -437,18 +472,26 @@ def dup_clusters(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .persist()
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    edges = edges.persist()
+    edges.count()  # materialize: run the pair job exactly once
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
+        # eager localCheckpoint: materializes this round AND truncates
+        # lineage, so the convergence count below and the next round
+        # both read cached blocks instead of replaying the chain.
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -459,8 +502,19 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iters} iterations; labels may be incomplete for "
+            f"components with diameter > {max_iters}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
