@@ -17,19 +17,40 @@ schema evolution). On a real cluster, construct the session with::
 
 and pass ``table="lake.db.transcripts"``.
 
-Design parity with the offline sink:
+Design parity with the offline sink
+(``sinks/snapshot.py``; reference row-skip semantics
+``JsonParseException.java:24-43``):
 
-- table is bucket-partitioned on the conversation key
+- the table is bucket-partitioned on the conversation key
   (``bucket(N, conv_id)``) so MERGE is a storage-partitioned join —
   the same layout the manifest sink realizes with explicit hash
   buckets;
-- exactly-once via a ``batch_id`` commit property checked before the
-  MERGE (Iceberg snapshot summary), mirroring the manifest batch log;
-- schema evolution via ``ALTER TABLE ... ADD COLUMN`` before the
-  MERGE when the batch carries unseen fields;
-- deletes become real row deletes (Iceberg v2 positional deletes in
-  MOR table mode); the LWW pre-reduction per key happens in Spark
-  before the MERGE exactly as in the offline sink.
+- **soft-delete tombstones**: deletes are retained as rows with
+  ``op = 'delete'`` and filtered on read, exactly like the offline
+  sink. A hard DELETE would discard the (ts, seq) high-water mark for
+  the key, so a late-but-*older* replayed event would re-insert — the
+  resurrect bug tombstones exist to prevent. Retaining tombstones
+  also makes the MERGE **idempotent**: replaying an already-applied
+  batch matches every key with an equal (not newer) order tuple and
+  no-ops.
+- **exactly-once** via a companion batch-log table
+  ``<table>_batchlog``: ``_applied`` checks it before merging and
+  ``apply`` appends to it after. The two steps are not one atomic
+  commit — but they don't need to be, because the tombstone-retaining
+  MERGE is idempotent: a crash between MERGE and log replays as a
+  no-op MERGE followed by the log append. (The round-1 version
+  stamped a single mutable table property that ``_applied`` never
+  read; this fixes both the write/read mismatch and the
+  can't-dedupe-older-batches flaw.)
+- **additive schema evolution**: unseen fields arriving in the batch
+  (promoted out of the ``_extras`` map) become real columns via
+  ``ALTER TABLE ... ADD COLUMN`` before the MERGE; Iceberg's
+  id-based column mapping makes this metadata-only.
+
+Every SQL statement is produced by a pure module-level builder so the
+generated DDL/MERGE text is golden-tested without the runtime jar
+(``tests/test_iceberg_sql.py``); the class methods only sequence and
+execute them.
 """
 
 from __future__ import annotations
@@ -41,12 +62,122 @@ from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg Spark extensions are on the classpath."""
+    """True when the Iceberg Spark extensions are on the classpath.
+
+    Must use ``Class.forName``: attribute access on ``spark._jvm``
+    yields a lazy py4j ``JavaPackage`` and never raises, so the
+    round-1 probe reported True on jarless clusters and the
+    constructor's NotImplementedError gate was dead code."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Pure SQL builders (jarless-testable)
+# ---------------------------------------------------------------------------
+
+
+def batchlog_table(table: str) -> str:
+    """Companion exactly-once log table name."""
+    return f"{table}_batchlog"
+
+
+def create_table_sql(
+    table: str,
+    fields: list[tuple[str, str]],
+    num_buckets: int,
+    bucket_key: str,
+) -> str:
+    """CREATE TABLE IF NOT EXISTS for the transcripts table: Iceberg
+    v2, merge-on-read, bucket-partitioned on the conversation key so
+    the per-batch MERGE shuffles into stable storage partitions."""
+    cols = ", ".join(f"{n} {t}" for n, t in fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING iceberg "
+        f"PARTITIONED BY (bucket({num_buckets}, {bucket_key})) "
+        "TBLPROPERTIES ('format-version'='2', "
+        "'write.merge.mode'='merge-on-read', "
+        "'write.distribution-mode'='hash')"
+    )
+
+
+def create_batchlog_sql(table: str) -> str:
+    """CREATE TABLE IF NOT EXISTS for the exactly-once batch log."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {batchlog_table(table)} "
+        "(batch_id string, applied_at timestamp) USING iceberg"
+    )
+
+
+def applied_check_sql(table: str, batch_id: str) -> str:
+    """SELECT that is non-empty iff ``batch_id`` was already logged."""
+    return (
+        f"SELECT batch_id FROM {batchlog_table(table)} "
+        f"WHERE batch_id = '{batch_id}' LIMIT 1"
+    )
+
+
+def log_batch_sql(table: str, batch_id: str) -> str:
+    """Append the applied batch id to the log (after the MERGE)."""
+    return (
+        f"INSERT INTO {batchlog_table(table)} "
+        f"VALUES ('{batch_id}', current_timestamp())"
+    )
+
+
+def add_column_sql(table: str, name: str, sql_type: str) -> str:
+    """Additive evolution: one new nullable column."""
+    return f"ALTER TABLE {table} ADD COLUMN {name} {sql_type}"
+
+
+def merge_upsert_sql(
+    table: str,
+    staged_view: str,
+    keys: list[str],
+    order_cols: list[str],
+    staged_cols: list[str],
+) -> str:
+    """The LWW upsert MERGE.
+
+    - newer (ts, seq) wins via a struct tuple comparison (Spark SQL
+      has no row-value ``(a, b) > (c, d)`` syntax);
+    - delete events are *upserted like any row* (tombstone retention —
+      see module docstring), never ``DELETE``d;
+    - the INSERT lists columns explicitly: after evolution the table
+      may carry columns an old replayed batch doesn't have — those
+      default to NULL, while ``INSERT *`` would fail on the mismatch.
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    s_ord = ", ".join(f"s.{c}" for c in order_cols)
+    t_ord = ", ".join(f"t.{c}" for c in order_cols)
+    ord_newer = f"struct({s_ord}) > struct({t_ord})"
+    set_cols = ", ".join(
+        f"t.{c} = s.{c}" for c in staged_cols if c not in keys
+    )
+    ins_cols = ", ".join(staged_cols)
+    ins_vals = ", ".join(f"s.{c}" for c in staged_cols)
+    return (
+        f"MERGE INTO {table} t USING {staged_view} s ON {on} "
+        f"WHEN MATCHED AND {ord_newer} THEN UPDATE SET {set_cols} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def compact_sql(table: str) -> str:
+    """rewrite_data_files maintenance call, catalog-qualified from the
+    table identifier (was hard-coded to ``lake``)."""
+    catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
+    return f"CALL {catalog}.system.rewrite_data_files(table => '{table}')"
+
+
+# ---------------------------------------------------------------------------
+# Sink
+# ---------------------------------------------------------------------------
 
 
 class IcebergSink:
@@ -75,63 +206,77 @@ class IcebergSink:
 
     # The remaining methods are executable only with the runtime jar;
     # they are exercised by integration deployments, not this sandbox.
+    # All SQL text comes from the golden-tested builders above.
 
-    def ensure_table(self, like: DataFrame) -> None:
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
+    def ensure_tables(self, like: DataFrame) -> None:
+        fields = [
+            (f.name, f.dataType.simpleString())
             for f in like.schema.fields
             if f.name != EXTRAS_COL
-        )
+        ]
         self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.table} ({cols}) USING iceberg "
-            f"PARTITIONED BY (bucket({self.num_buckets}, {self.keys[0]})) "
-            "TBLPROPERTIES ('format-version'='2', "
-            "'write.merge.mode'='merge-on-read')"
+            create_table_sql(self.table, fields, self.num_buckets, self.keys[0])
         )
+        self.spark.sql(create_batchlog_sql(self.table))
 
     def _applied(self, batch_id: str) -> bool:
-        row = self.spark.sql(
-            f"SELECT summary['batch-id'] AS b FROM {self.table}.snapshots "
-            f"ORDER BY committed_at DESC"
-        ).collect()
-        return any(r.b == batch_id for r in row)
+        return bool(self.spark.sql(applied_check_sql(self.table, batch_id)).take(1))
+
+    def _promote_extras(self, reduced: DataFrame) -> DataFrame:
+        """Lift unseen fields out of the ``_extras`` map into real
+        columns (the offline sink does this lazily at read; Iceberg
+        columns are cheap metadata, so promote at write). The key-name
+        collect is one tiny agg job — bounded by distinct event
+        shapes, not rows."""
+        if EXTRAS_COL not in reduced.columns:
+            return reduced
+        keys_row = reduced.select(
+            F.array_distinct(
+                F.flatten(F.collect_set(F.map_keys(F.col(EXTRAS_COL))))
+            ).alias("ks")
+        ).first()
+        extra_names = sorted(keys_row["ks"] or [])
+        for name in extra_names:
+            if name not in reduced.columns:
+                reduced = reduced.withColumn(name, F.col(EXTRAS_COL)[name])
+        return reduced.drop(EXTRAS_COL)
+
+    def _evolve(self, staged: DataFrame) -> None:
+        """Additive evolution: ADD COLUMN for staged fields the table
+        doesn't have yet (id-based mapping → metadata-only)."""
+        existing = {f.name for f in self.spark.table(self.table).schema.fields}
+        for f in staged.schema.fields:
+            if f.name not in existing:
+                self.spark.sql(
+                    add_column_sql(self.table, f.name, f.dataType.simpleString())
+                )
 
     def apply(self, changes: DataFrame, batch_id: str) -> dict:
         """LWW-pre-reduce the batch, then one MERGE INTO keyed on
-        (conv_id, turn_idx): delete wins remove the row, newer (ts,
-        seq) wins update it, unseen keys insert."""
+        (conv_id, turn_idx): newer (ts, seq) wins, deletes upsert as
+        tombstone rows, unseen keys insert. Idempotent per batch (see
+        module docstring), skipped outright when the batch log already
+        carries ``batch_id``."""
+        reduced = self._promote_extras(
+            lww_agg(changes, self.keys, self.order_cols)
+        )
+        self.ensure_tables(reduced)
         if self._applied(batch_id):
             return {"batch_id": batch_id, "skipped": True}
-        reduced = lww_agg(changes, self.keys, self.order_cols)
-        self.ensure_table(reduced)
-        reduced.createOrReplaceTempView("_staged")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-        ord_newer = (
-            f"(s.{self.order_cols[0]}, s.{self.order_cols[1]}) > "
-            f"(t.{self.order_cols[0]}, t.{self.order_cols[1]})"
-        )
-        set_cols = ", ".join(
-            f"t.{c} = s.{c}" for c in reduced.columns if c not in self.keys
-        )
+        self._evolve(reduced)
+        view = f"_staged_{batch_id.replace('-', '_')}"
+        reduced.createOrReplaceTempView(view)
         self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _staged s ON {on}
-            WHEN MATCHED AND s.op = 'delete' AND {ord_newer} THEN DELETE
-            WHEN MATCHED AND {ord_newer} THEN UPDATE SET {set_cols}
-            WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
-            """
+            merge_upsert_sql(
+                self.table, view, self.keys, self.order_cols, reduced.columns
+            )
         )
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
-            f"('last-batch-id' = '{batch_id}')"
-        )
+        self.spark.sql(log_batch_sql(self.table, batch_id))
         return {"batch_id": batch_id}
 
     def read(self) -> DataFrame:
         return self.spark.table(self.table).filter(F.col("op") != "delete")
 
     def compact(self) -> dict:
-        self.spark.sql(
-            f"CALL lake.system.rewrite_data_files(table => '{self.table}')"
-        )
+        self.spark.sql(compact_sql(self.table))
         return {"compacted": True}

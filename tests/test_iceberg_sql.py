@@ -1,0 +1,160 @@
+"""Golden tests for the IcebergSink SQL builders.
+
+The sandbox has no iceberg-spark-runtime jar, so the sink can't
+execute — but every statement it would run is produced by a pure
+builder, and the *text* is the contract: these tests pin the DDL, the
+exactly-once log read/write pair, and the LWW MERGE shape (tombstone
+retention, struct-tuple ordering, explicit INSERT column list) so a
+regression in generated SQL fails without a cluster.
+"""
+
+from embulk_util_json_spark.sinks.iceberg import (
+    add_column_sql,
+    applied_check_sql,
+    batchlog_table,
+    compact_sql,
+    create_batchlog_sql,
+    create_table_sql,
+    log_batch_sql,
+    merge_upsert_sql,
+)
+
+TABLE = "lake.db.transcripts"
+KEYS = ["conv_id", "turn_idx"]
+ORDER = ["ts", "seq"]
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "seq", "op"]
+
+
+def test_create_table_golden():
+    sql = create_table_sql(
+        TABLE,
+        [("conv_id", "string"), ("turn_idx", "int"), ("text", "string")],
+        32,
+        "conv_id",
+    )
+    assert sql == (
+        "CREATE TABLE IF NOT EXISTS lake.db.transcripts "
+        "(conv_id string, turn_idx int, text string) USING iceberg "
+        "PARTITIONED BY (bucket(32, conv_id)) "
+        "TBLPROPERTIES ('format-version'='2', "
+        "'write.merge.mode'='merge-on-read', "
+        "'write.distribution-mode'='hash')"
+    )
+
+
+def test_batchlog_roundtrip_consistency():
+    # the exactly-once contract: what apply() writes is what
+    # _applied() reads — same table, same column. (Round 1 wrote a
+    # table property and read the snapshot summary: unfalsifiable.)
+    assert batchlog_table(TABLE) == "lake.db.transcripts_batchlog"
+    create = create_batchlog_sql(TABLE)
+    assert create == (
+        "CREATE TABLE IF NOT EXISTS lake.db.transcripts_batchlog "
+        "(batch_id string, applied_at timestamp) USING iceberg"
+    )
+    write = log_batch_sql(TABLE, "seg-000042")
+    read = applied_check_sql(TABLE, "seg-000042")
+    assert write == (
+        "INSERT INTO lake.db.transcripts_batchlog "
+        "VALUES ('seg-000042', current_timestamp())"
+    )
+    assert read == (
+        "SELECT batch_id FROM lake.db.transcripts_batchlog "
+        "WHERE batch_id = 'seg-000042' LIMIT 1"
+    )
+    # both statements target the same log table and quote the same id
+    assert batchlog_table(TABLE) in write and batchlog_table(TABLE) in read
+    assert "'seg-000042'" in write and "'seg-000042'" in read
+
+
+def test_merge_golden():
+    sql = merge_upsert_sql(TABLE, "_staged_b1", KEYS, ORDER, COLS)
+    assert sql == (
+        "MERGE INTO lake.db.transcripts t USING _staged_b1 s "
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+        "WHEN MATCHED AND struct(s.ts, s.seq) > struct(t.ts, t.seq) "
+        "THEN UPDATE SET t.role = s.role, t.text = s.text, "
+        "t.tool = s.tool, t.ts = s.ts, t.seq = s.seq, t.op = s.op "
+        "WHEN NOT MATCHED THEN INSERT "
+        "(conv_id, turn_idx, role, text, tool, ts, seq, op) VALUES "
+        "(s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.seq, s.op)"
+    )
+
+
+def test_merge_retains_tombstones():
+    # no DELETE clause: deletes upsert as op='delete' tombstone rows
+    # (filtered on read), preserving the per-key (ts, seq) high-water
+    # mark so a late-but-older replayed event cannot resurrect the
+    # row — and making batch replay a MERGE no-op (idempotence).
+    sql = merge_upsert_sql(TABLE, "s1", KEYS, ORDER, COLS)
+    assert "DELETE" not in sql
+    assert "op" in sql  # tombstone marker column flows through
+
+
+def test_merge_ordering_is_struct_tuple():
+    # Spark SQL has no row-value (a, b) > (c, d); the builder must
+    # emit struct comparison, and keys must not appear in UPDATE SET.
+    sql = merge_upsert_sql(TABLE, "s1", KEYS, ORDER, COLS)
+    assert "struct(s.ts, s.seq) > struct(t.ts, t.seq)" in sql
+    assert "t.conv_id = s.conv_id," not in sql.split("UPDATE SET")[1]
+
+
+def test_merge_insert_lists_columns_explicitly():
+    # after additive evolution the table can have MORE columns than a
+    # replayed old batch; INSERT * would fail on the arity mismatch,
+    # an explicit list NULL-fills the missing ones.
+    old_batch_cols = ["conv_id", "turn_idx", "text", "ts", "seq", "op"]
+    sql = merge_upsert_sql(TABLE, "s1", KEYS, ORDER, old_batch_cols)
+    assert "INSERT *" not in sql
+    assert (
+        "INSERT (conv_id, turn_idx, text, ts, seq, op) VALUES "
+        "(s.conv_id, s.turn_idx, s.text, s.ts, s.seq, s.op)" in sql
+    )
+
+
+def test_sink_gated_without_jar(spark):
+    # iceberg_available must use Class.forName — bare py4j package
+    # attribute access returns a lazy JavaPackage and never raises,
+    # which made the round-1 probe report True on jarless clusters.
+    from embulk_util_json_spark.sinks.iceberg import (
+        IcebergSink,
+        iceberg_available,
+    )
+
+    assert iceberg_available(spark) is False
+    try:
+        IcebergSink(spark, "lake.db.t")
+        raise AssertionError("constructor must raise without the runtime jar")
+    except NotImplementedError:
+        pass
+
+
+def test_merge_parses_and_ordering_semantics(spark):
+    # the generated MERGE must be valid Spark SQL (round 1 emitted
+    # row-value tuples `(a, b) > (c, d)`, which Spark rejects), and
+    # struct-tuple ordering must be strict: newer wins, equal no-ops.
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(
+        merge_upsert_sql(TABLE, "s1", KEYS, ORDER, COLS)
+    )
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    r = spark.sql(
+        "SELECT struct(TIMESTAMP'2024-01-02', 5L) > "
+        "struct(TIMESTAMP'2024-01-01', 9L) AS newer, "
+        "struct(TIMESTAMP'2024-01-01', 5L) > "
+        "struct(TIMESTAMP'2024-01-01', 5L) AS equal_"
+    ).first()
+    assert r.newer is True and r.equal_ is False
+
+
+def test_add_column_and_compact():
+    assert (
+        add_column_sql(TABLE, "tool_version", "string")
+        == "ALTER TABLE lake.db.transcripts ADD COLUMN tool_version string"
+    )
+    # catalog derived from the identifier, not hard-coded
+    assert compact_sql(TABLE) == (
+        "CALL lake.system.rewrite_data_files(table => 'lake.db.transcripts')"
+    )
+    assert compact_sql("transcripts") == (
+        "CALL spark_catalog.system.rewrite_data_files(table => 'transcripts')"
+    )
