@@ -266,6 +266,33 @@ _ORACLE_CAPTURE_ROOT = """
 """
 
 
+def _q_capture_auto_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic strategy selection (CapturingPointers.java:145-165):
+    a pointer set mixing a decimal segment and a member name at one
+    level ('/a/1/k' + '/a/c') has no single pruned from_json schema,
+    so capture_typed transparently routes to the Arrow parity engine —
+    same public API, same typed output contract."""
+    from embulk_util_json_spark.operators.capture import capture_typed
+    from embulk_util_json_spark.plans.capture_spec import CaptureSpec
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit('{"a":{"1":'), "props", F.lit(',"c":7}}')).alias("doc"),
+    )
+    spec = CaptureSpec.compile(["/a/1/k", "/a/c"], ["k", "c"])
+    assert spec.requires_parity_engine()  # the shape forces the fallback
+    out = capture_typed(ev, "doc", spec, casts={"k": "long", "c": "int"})
+    return out.select("event_id", "k", "c")
+
+
+_ORACLE_CAPTURE_AUTO = """
+    SELECT event_id,
+           CAST(json_extract(props, '/k') AS BIGINT) AS k,
+           7 AS c
+    FROM events
+"""
+
+
 def _q_capture_multidoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenated-document stream (reference R1: '{...}{...}' on one
     parser → one value per readJsonValue call): the parity engine
@@ -286,6 +313,48 @@ def _q_capture_multidoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CAPTURE_MULTIDOC = """
     SELECT event_id, doc_seq, CAST(json_extract(props, '/k') AS VARCHAR) AS k
     FROM events, (SELECT 0 AS doc_seq UNION ALL SELECT 1) docs
+"""
+
+
+def _q_capture_root_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-match root re-pointing (R2 multi-match,
+    TestJsonParser.java:169-178): even event_ids carry a duplicate 'm'
+    key (two matches per document), odd a single one. The hybrid
+    root_typed_multi keeps single-match rows on the get_json_object
+    fast path and routes only duplicate-key rows through the parity
+    engine."""
+    from embulk_util_json_spark.operators.flatten import root_typed_multi
+
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = (
+        _read(spark, sf_dir, "events")
+        .withColumn("_k", k)
+        .filter(F.col("_k").isNotNull())
+    )
+    dup = F.concat(
+        F.lit('{"m":{"v":'), F.col("_k").cast("string"),
+        F.lit('},"m":{"v":'), (F.col("_k") + 1).cast("string"), F.lit("}}"),
+    )
+    single = F.concat(
+        F.lit('{"m":{"v":'), F.col("_k").cast("string"), F.lit("}}")
+    )
+    docs = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, dup).otherwise(single).alias("doc"),
+    )
+    return root_typed_multi(docs, "doc", "/m").select("event_id", "doc")
+
+
+_ORACLE_ROOT_MULTIMATCH = """
+    WITH k AS (
+        SELECT event_id, CAST(json_extract(props, '/k') AS BIGINT) AS k
+        FROM events
+        WHERE json_extract(props, '/k') IS NOT NULL
+    )
+    SELECT event_id, '{"v":' || CAST(k AS VARCHAR) || '}' AS doc FROM k
+    UNION ALL
+    SELECT event_id, '{"v":' || CAST(k + 1 AS VARCHAR) || '}' AS doc
+    FROM k WHERE event_id % 2 = 0
 """
 
 
@@ -695,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_direct_members": _q_capture_direct_members,
         "capture_with_root": _q_capture_with_root,
         "capture_multidoc": _q_capture_multidoc,
+        "capture_auto_route": _q_capture_auto_route,
+        "capture_root_multimatch": _q_capture_root_multimatch,
         "flatten_capture": _q_flatten_capture,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_apply_window": _q_cdc_apply_window,
@@ -729,6 +800,8 @@ def oracle_sql() -> dict[str, str]:
         "capture_direct_members": _ORACLE_CAPTURE_DIRECT,
         "capture_with_root": _ORACLE_CAPTURE_ROOT,
         "capture_multidoc": _ORACLE_CAPTURE_MULTIDOC,
+        "capture_auto_route": _ORACLE_CAPTURE_AUTO,
+        "capture_root_multimatch": _ORACLE_ROOT_MULTIMATCH,
         "flatten_capture": _ORACLE_FLATTEN,
         "cdc_schema_evolution": _ORACLE_CDC_EVOLUTION,
         "cdc_apply_window": _ORACLE_CDC_FINAL,

@@ -189,11 +189,23 @@ def capture_typed(
     Missing and JSON-null both map to SQL NULL (typed semantics —
     use ``extract_parity`` when the distinction matters). Root capture
     (``spec.strategy == ROOT``) returns the document text itself.
+
+    Strategy selection is automatic, mirroring the reference
+    (CapturingPointers.java:145-165): specs the pruned-schema path
+    can't express — parity-only parse options, or pointer sets mixing
+    array-index and member-name segments at one level (``/a/1/b`` +
+    ``/a/c``) — route to the Arrow parity engine transparently, with
+    the same output contract (input columns + K capture columns,
+    typed cell representation). The fallback assumes one document per
+    cell, like every typed path.
     """
     casts = casts or {}
     if not spec.pointers or spec.pointers == ("/",):
         out = df.withColumn(spec.column_names[0], F.col(doc_col))
         return out
+
+    if spec.requires_parity_engine():
+        return _typed_via_parity(df, doc_col, spec, casts)
 
     schema = pruned_schema(spec.tree)
     # Two-step projection: alias the parsed struct once, extract in a
@@ -216,6 +228,34 @@ def capture_typed(
             expr = expr.cast(casts[name])
         cols.append(expr.alias(name))
     return parsed_df.select(*cols)
+
+
+def _typed_via_parity(
+    df: DataFrame,
+    doc_col: str,
+    spec: CaptureSpec,
+    casts: dict[str, T.DataType | str],
+) -> DataFrame:
+    """Parity-engine fallback with the typed output contract.
+
+    The parity engine emits canonical-JSON cells (scalar strings stay
+    quoted); typed consumers expect the ``from_json``-StringType
+    representation (scalars unquoted/unescaped, containers as raw JSON
+    text). Re-parsing each cell wrapped in ``[...]`` as
+    ``array<string>`` performs exactly that conversion JVM-side —
+    JSON null parses to SQL NULL, matching typed semantics. Quarantine
+    columns are dropped: typed paths have no error channel."""
+    parsed = extract_parity(df, doc_col, spec, keep_doc=True)
+    cols: list[Column] = [F.col(c) for c in df.columns]
+    for name in spec.column_names:
+        cell = F.col(name)
+        typed_cell = F.from_json(
+            F.concat(F.lit("["), cell, F.lit("]")), "array<string>"
+        ).getItem(0)
+        if name in casts:
+            typed_cell = typed_cell.cast(casts[name])
+        cols.append(typed_cell.alias(name))
+    return parsed.select(*cols)
 
 
 def capture_json_tuple(

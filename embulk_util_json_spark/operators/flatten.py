@@ -8,8 +8,9 @@ TestJsonValueParser.java:147-156).
 - ``root_typed``   — single-match root re-pointing via
   ``get_json_object`` (streams inside the JVM; non-matching rows
   become NULL and are dropped, TestJacksonFilter.java:35-53).
-  Multiple-match-per-document semantics need the parity engine
-  (``operators.capture.extract_parity``).
+- ``root_typed_multi`` — full multiple-match semantics (duplicate
+  keys) at JVM speed for the common case: a codegen'd duplicate-key
+  detector routes only degenerate rows to the parity engine.
 - ``flatten_typed`` — ``explode(from_json(col, array<string>))``
   applied N times. ``from_json`` to an array type yields NULL for a
   non-array and ``explode`` drops NULL rows — exactly the reference's
@@ -58,6 +59,59 @@ def root_typed(df: DataFrame, doc_col: str, root: str, drop_misses: bool = True)
     if drop_misses:
         out = out.filter(F.col(doc_col).isNotNull())
     return out
+
+
+def root_typed_multi(df: DataFrame, doc_col: str, root: str) -> DataFrame:
+    """Root re-pointing with full multiple-match semantics
+    (JsonValueParser.java:183, TestJsonParser.java:169-178: duplicate
+    object keys along the pointer path each yield a match), without
+    paying the Python parity engine on every row.
+
+    Spark's JSON built-ins cannot observe duplicate keys at all
+    (Jackson map semantics: last wins), so true multi-match is
+    JVM-inexpressible. Hybrid plan instead:
+
+    - a codegen'd detector counts textual occurrences of each pointer
+      segment as an object key (``"seg"\\s*:`` via ``regexp_count``).
+      A document can only multi-match if some segment key appears ≥2
+      times, so count ≤ 1 ⇒ the ``get_json_object`` fast path is
+      exact. The detector may over-trigger (same-named keys at other
+      depths, quoted text lookalikes) — that only routes extra rows to
+      the slow path, never drops a match;
+    - flagged rows (rare: duplicate keys are tolerated-but-degenerate
+      JSON) run the Arrow parity engine's ``repoint``, emitting one
+      row per match, then rejoin via union.
+
+    At 100 TB the detector is one vectorized regexp per segment inside
+    the scan stage; the Python stage sees only the degenerate rows.
+    Output contract matches ``root_typed`` (typed text, misses
+    dropped, malformed dropped)."""
+    from ..plans.capture_spec import CaptureSpec
+    from .capture import extract_parity
+
+    tokens = split_pointer(root)
+    name_keys = list(dict.fromkeys(tokens))  # digit keys can duplicate too
+    cond = None
+    for tok in name_keys:
+        # \Q..\E: literal-quote the segment inside the Java regex
+        pat = '"\\Q' + tok + '\\E"\\s*:'
+        c = F.regexp_count(F.col(doc_col), F.lit(pat)) >= 2
+        cond = c if cond is None else (cond | c)
+    fast = root_typed(df.filter(~cond), doc_col, root)
+
+    spec = CaptureSpec.compile([], ["_rooted"])
+    slow = extract_parity(
+        df.filter(cond), doc_col, spec, root=root, errors="skip"
+    )
+    # parity cells are canonical JSON; convert to the typed (unquoted
+    # scalar / raw JSON container) representation JVM-side.
+    typed_cell = F.from_json(
+        F.concat(F.lit("["), F.col("_rooted"), F.lit("]")), "array<string>"
+    ).getItem(0)
+    out_cols = [
+        typed_cell.alias(c) if c == doc_col else F.col(c) for c in df.columns
+    ]
+    return fast.unionByName(slow.select(*out_cols))
 
 
 def flatten_typed(df: DataFrame, doc_col: str, depth: int) -> DataFrame:

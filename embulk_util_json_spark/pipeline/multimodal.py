@@ -59,7 +59,10 @@ def byte_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
-            first = payloads.map(lambda b: b[0] if len(b) else -1)
+            # empty payload → 0, matching the oracle (DuckDB
+            # ascii('') = 0); -1 here would also flip the height
+            # modulo sign (Python % vs SQL % on negatives differ).
+            first = payloads.map(lambda b: b[0] if len(b) else 0)
             total = payloads.map(lambda b: int(sum(b)))
             yield pd.DataFrame(
                 {
@@ -98,7 +101,7 @@ def byte_features_sql(table: str, text_col: str, id_col: str) -> str:
     return f"""
         SELECT {id_col} AS doc_id,
                CAST(strlen({text_col}) AS INTEGER) AS n_bytes,
-               CAST(COALESCE(ascii(substr({text_col}, 1, 1)), -1) AS INTEGER) AS first_byte,
+               CAST(COALESCE(ascii(substr({text_col}, 1, 1)), 0) AS INTEGER) AS first_byte,
                list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (a, b) -> a + b) AS byte_sum,
                CAST(strlen({text_col}) % 64 AS INTEGER) AS width,
                CAST((ascii(substr({text_col}, 1, 1)) * 7) % 64 AS INTEGER) AS height

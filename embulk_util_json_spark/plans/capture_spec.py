@@ -119,12 +119,36 @@ class CaptureSpec:
 
     def requires_parity_engine(self) -> bool:
         """True when built-in Spark JSON expressions cannot express the
-        configured semantics and the Arrow parity engine is required."""
+        configured semantics and the Arrow parity engine is required.
+
+        Covers both option-driven semantics (literals, number
+        fallbacks, NaN/Infinity) and *shape*-driven limits: a pointer
+        set that mixes array-index and member-name segments at one
+        tree level (e.g. ``/a/1/b`` + ``/a/c``) has no single pruned
+        ``from_json`` schema — ``a`` would need to be an array and a
+        struct at once. The reference's strategy selection is fully
+        automatic (CapturingPointers.java:145-165); exposing this here
+        lets ``capture_typed`` route such specs to the parity engine
+        instead of raising (round-1 behavior)."""
         return (
             self.options.with_literals
             or self.options.fallback_enabled
             or not self.options.allow_non_numeric_numbers
+            or self.has_mixed_index_name_levels()
         )
+
+    def has_mixed_index_name_levels(self) -> bool:
+        """True when any pointer-tree node has both decimal-index and
+        member-name children — unexpressible as one pruned schema."""
+
+        def walk(node) -> bool:
+            keys = list(node.children)
+            digits = sum(1 for k in keys if k.isdigit())
+            if 0 < digits < len(keys):
+                return True
+            return any(walk(c) for c in node.children.values())
+
+        return walk(self._tree.root)
 
     def pruned_field_paths(self) -> list[list[str]]:
         """Leaf paths (segment token lists) for pruned-schema derivation."""

@@ -545,9 +545,16 @@ class ParquetSnapshotSink:
         current = self.current_version()
         if current == 0:
             return {"removed_versions": 0, "removed_dirs": 0}
-        keep = set(range(max(1, current - keep_versions + 1), current + 1))
+        # Build the keep set from manifests that actually EXIST: after
+        # an earlier vacuum with a smaller keep_versions, versions in
+        # the nominal keep range may already be gone, and manifest_at
+        # on them would raise and abort maintenance.
+        keep: set[int] = set()
         referenced: set[str] = set()
-        for v in keep:
+        for v in range(max(1, current - keep_versions + 1), current + 1):
+            if not os.path.exists(self._manifest_path(v)):
+                continue
+            keep.add(v)
             m = self.manifest_at(v)
             for b in m["buckets"]:
                 for p in self._paths_of(m, b):

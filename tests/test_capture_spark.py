@@ -169,3 +169,62 @@ def test_root_typed(spark):
 def test_pointer_to_json_path():
     assert pointer_to_json_path("/a/1/b") == "$.a[1].b"
     assert pointer_to_json_path("/foo") == "$.foo"
+
+
+def test_mixed_level_spec_requires_parity():
+    # /a/1/k + /a/c: node 'a' has a decimal child and a name child —
+    # no single pruned from_json schema exists (a can't be array and
+    # struct at once). Shape detection must flag it; uniform specs not.
+    mixed = CaptureSpec.compile(["/a/1/k", "/a/c"])
+    assert mixed.has_mixed_index_name_levels()
+    assert mixed.requires_parity_engine()
+    uniform = CaptureSpec.compile(["/a/0", "/a/1", "/b/c"])
+    assert not uniform.has_mixed_index_name_levels()
+    assert not uniform.requires_parity_engine()
+
+
+def test_capture_typed_auto_routes_mixed_spec(spark):
+    # reference parity: strategy selection is automatic
+    # (CapturingPointers.java:145-165) — the typed API must route the
+    # mixed shape to the parity engine, keep the typed output contract
+    # (input cols + K capture cols, scalars unquoted, JSON null ->
+    # SQL NULL), and resolve '1' as BOTH object key and array index.
+    df = spark.createDataFrame(
+        [
+            (1, '{"a":{"1":{"k":5},"c":"x"}}'),   # '1' as object member
+            (2, '{"a":[{"k":7},{"k":9},{"c":0}]}'),  # '1' as array index
+            (3, '{"a":{"c":null}}'),               # JSON null -> SQL NULL
+        ],
+        "id long, doc string",
+    )
+    spec = CaptureSpec.compile(["/a/1/k", "/a/c"], ["k", "c"])
+    out = capture_typed(df, "doc", spec, casts={"k": "long"}).orderBy("id")
+    assert out.columns == ["id", "doc", "k", "c"]
+    rows = [(r.id, r.k, r.c) for r in out.collect()]
+    assert rows == [(1, 5, "x"), (2, 9, None), (3, None, None)]
+
+
+def test_root_typed_multi_hybrid(spark):
+    from embulk_util_json_spark.operators.flatten import root_typed_multi
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"m":{"v":1}}'),                     # fast path, 1 match
+            (2, '{"m":{"v":1},"m":{"v":2}}'),         # dup at last segment
+            (3, '{"x":1}'),                           # miss -> dropped
+            (4, 'not json'),                          # malformed -> dropped
+            (5, '{"a":{"m":{"v":9}},"note":"\\"m\\":"}'),  # lookalike in a
+            # string value: detector over-triggers, result still exact
+        ],
+        "id long, doc string",
+    )
+    out = root_typed_multi(df, "doc", "/m").orderBy("id", "doc").collect()
+    assert [(r.id, r.doc) for r in out] == [
+        (1, '{"v":1}'), (2, '{"v":1}'), (2, '{"v":2}'),
+    ]
+    # duplicate key on a PREFIX segment (/a/m with two 'a's)
+    df2 = spark.createDataFrame(
+        [(1, '{"a":{"m":1},"a":{"m":2}}')], "id long, doc string"
+    )
+    out2 = root_typed_multi(df2, "doc", "/a/m").orderBy("doc").collect()
+    assert [(r.id, r.doc) for r in out2] == [(1, "1"), (1, "2")]

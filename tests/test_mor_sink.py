@@ -155,6 +155,12 @@ def test_vacuum_expires_old_snapshots(spark, events_parquet, oracle_state, tmp_p
     assert_matches_oracle(sink, oracle_state)
     with pytest.raises(ValueError):
         sink.read(at_version=1)
+    # re-vacuum with a WIDER window: the nominal keep range now spans
+    # versions an earlier vacuum already deleted — must skip the
+    # missing manifests and complete, not raise
+    stats2 = sink.vacuum(keep_versions=max(3, v))
+    assert stats2["removed_dirs"] == 0
+    assert_matches_oracle(sink, oracle_state)
 
 
 def test_compact_tombstone_watermark(spark, events_parquet, oracle_state, tmp_path):

@@ -179,15 +179,37 @@ def test_lsh_ann_topk_recovers_colinear(vecs):
 
 
 def test_multimodal_byte_features(spark):
-    df = spark.createDataFrame([(7, "AB")], ["doc_id", "text"])
+    df = spark.createDataFrame([(7, "AB"), (8, "")], ["doc_id", "text"])
     media = attach_media(df, "text", "doc_id")
     assert dict(media.dtypes)["payload"] == "binary"
-    row = byte_features(media).collect()[0]
-    assert row.doc_id == 7
+    rows = {r.doc_id: r for r in byte_features(media).collect()}
+    row = rows[7]
     assert row.n_bytes == 2
     assert row.first_byte == 65
     assert row.byte_sum == 65 + 66
     assert row.width == 2 and row.height == (65 * 7) % 64
+    # empty payload pins the edge case both engines must agree on:
+    # first_byte 0 (DuckDB ascii('') = 0), so height 0 — not the
+    # Python-negative-modulo 57 that -1 would produce
+    empty = rows[8]
+    assert empty.n_bytes == 0 and empty.byte_sum == 0
+    assert empty.first_byte == 0
+    assert empty.width == 0 and empty.height == 0
+
+    # the generated oracle agrees on the same micro-table
+    import duckdb
+
+    from embulk_util_json_spark.pipeline.multimodal import byte_features_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES (7, 'AB'), (8, '')) t(doc_id, text)")
+    got = {
+        r[0]: r
+        for r in con.execute(byte_features_sql("d", "text", "doc_id")).fetchall()
+    }
+    for i in (7, 8):
+        r = rows[i]
+        assert got[i] == (r.doc_id, r.n_bytes, r.first_byte, r.byte_sum, r.width, r.height)
 
 
 def test_decode_image_is_stubbed(spark):
