@@ -316,6 +316,36 @@ _ORACLE_CAPTURE_MULTIDOC = """
 """
 
 
+def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-tree passthrough as Spark 4 VariantType (SURVEY §1.4's
+    ideal mapping of the reference's JsonValue): PERMISSIVE parse_json
+    once, typed sub-field access via variant_get (pushable, no
+    re-parse per expression), canonical whole-doc via to_json."""
+    from embulk_util_json_spark.functions.variant import (
+        to_variant,
+        variant_pointer_get,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    v = to_variant("props")
+    return ev.select(
+        "event_id",
+        variant_pointer_get(v, "/k", "long").alias("k"),
+        F.to_json(v).alias("whole"),
+    )
+
+
+# DuckDB's JSON cast canonicalizes like variant to_json (minified);
+# key ORDER differs on multi-key objects (variant sorts) — props is
+# single-key, so the comparison is exact.
+_ORACLE_VARIANT = """
+    SELECT event_id,
+           CAST(json_extract(props, '/k') AS BIGINT) AS k,
+           CAST(json(props) AS VARCHAR) AS whole
+    FROM events
+"""
+
+
 def _q_capture_root_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple-match root re-pointing (R2 multi-match,
     TestJsonParser.java:169-178): even event_ids carry a duplicate 'm'
@@ -766,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_multidoc": _q_capture_multidoc,
         "capture_auto_route": _q_capture_auto_route,
         "capture_root_multimatch": _q_capture_root_multimatch,
+        "variant_extract": _q_variant_extract,
         "flatten_capture": _q_flatten_capture,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_apply_window": _q_cdc_apply_window,
@@ -802,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "capture_multidoc": _ORACLE_CAPTURE_MULTIDOC,
         "capture_auto_route": _ORACLE_CAPTURE_AUTO,
         "capture_root_multimatch": _ORACLE_ROOT_MULTIMATCH,
+        "variant_extract": _ORACLE_VARIANT,
         "flatten_capture": _ORACLE_FLATTEN,
         "cdc_schema_evolution": _ORACLE_CDC_EVOLUTION,
         "cdc_apply_window": _ORACLE_CDC_FINAL,
