@@ -242,16 +242,25 @@ def _typed_via_parity(
     quoted); typed consumers expect the ``from_json``-StringType
     representation (scalars unquoted/unescaped, containers as raw JSON
     text). Re-parsing each cell wrapped in ``[...]`` as
-    ``array<string>`` performs exactly that conversion JVM-side —
-    JSON null parses to SQL NULL, matching typed semantics. Quarantine
-    columns are dropped: typed paths have no error channel."""
+    ``array<string>`` performs exactly that conversion JVM-side.
+    Special cases pinned explicitly: JSON null → SQL NULL (typed
+    semantics); non-numeric literals (``NaN``/``Infinity``) pass
+    through verbatim — the JVM re-parse re-quotes them; any cell the
+    re-parse cannot handle (supplemental-literal shapes) keeps its
+    canonical form rather than degrading to NULL. Quarantine columns
+    are dropped: typed paths have no error channel."""
     parsed = extract_parity(df, doc_col, spec, keep_doc=True)
     cols: list[Column] = [F.col(c) for c in df.columns]
     for name in spec.column_names:
         cell = F.col(name)
-        typed_cell = F.from_json(
+        unwrapped = F.from_json(
             F.concat(F.lit("["), cell, F.lit("]")), "array<string>"
         ).getItem(0)
+        typed_cell = (
+            F.when(cell.isNull() | (cell == "null"), F.lit(None).cast("string"))
+            .when(cell.isin("NaN", "Infinity", "-Infinity"), cell)
+            .otherwise(F.coalesce(unwrapped, cell))
+        )
         if name in casts:
             typed_cell = typed_cell.cast(casts[name])
         cols.append(typed_cell.alias(name))

@@ -104,14 +104,17 @@ def root_typed_multi(df: DataFrame, doc_col: str, root: str) -> DataFrame:
         df.filter(cond), doc_col, spec, root=root, errors="skip"
     )
     # parity cells are canonical JSON; convert to the typed (unquoted
-    # scalar / raw JSON container) representation JVM-side.
+    # scalar / raw JSON container) representation JVM-side. JSON null
+    # at the root is dropped, mirroring the fast path's drop_misses
+    # (get_json_object yields SQL NULL for it).
     typed_cell = F.from_json(
         F.concat(F.lit("["), F.col("_rooted"), F.lit("]")), "array<string>"
     ).getItem(0)
     out_cols = [
         typed_cell.alias(c) if c == doc_col else F.col(c) for c in df.columns
     ]
-    return fast.unionByName(slow.select(*out_cols))
+    slow_out = slow.select(*out_cols).filter(F.col(doc_col).isNotNull())
+    return fast.unionByName(slow_out)
 
 
 def flatten_typed(df: DataFrame, doc_col: str, depth: int) -> DataFrame:

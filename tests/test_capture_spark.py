@@ -228,3 +228,27 @@ def test_root_typed_multi_hybrid(spark):
     )
     out2 = root_typed_multi(df2, "doc", "/a/m").orderBy("doc").collect()
     assert [(r.id, r.doc) for r in out2] == [(1, "1"), (1, "2")]
+
+
+def test_capture_typed_parity_fallback_literals(spark):
+    # option-driven fallback (NaN/Infinity literals force the parity
+    # engine): the typed unwrap must pass non-numeric literals through
+    # verbatim — the JVM re-parse would re-quote them — and still map
+    # JSON null to SQL NULL and unquote plain scalars.
+    from embulk_util_json_spark.functions.json_values import ParseOptions
+
+    opts = ParseOptions(with_literals=True)
+    df = spark.createDataFrame(
+        [
+            (1, '{"x": NaN, "y": 1}'),
+            (2, '{"x": -Infinity, "y": "s"}'),
+            (3, '{"x": null, "y": 2.5}'),
+        ],
+        "id long, doc string",
+    )
+    spec = CaptureSpec.compile(["/x", "/y"], ["x", "y"], options=opts)
+    assert spec.requires_parity_engine()
+    out = capture_typed(df, "doc", spec).orderBy("id").collect()
+    assert [(r.id, r.x, r.y) for r in out] == [
+        (1, "NaN", "1"), (2, "-Infinity", "s"), (3, None, "2.5"),
+    ]
