@@ -90,16 +90,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay over the derived change stream: JSON envelope parse
     (single pruned from_json) → LWW by (conv_id, turn_idx) over
-    (ts, seq) → delete tombstones filtered."""
-    from embulk_util_json_spark.operators.lww import lww_agg
-    from embulk_util_json_spark.sources.events import parse_change_events
-
-    events = _events_as_cdc_json(spark, sf_dir)
-    changes = parse_change_events(events)
-    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
-    return final.filter(F.col("op") != "delete").select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts"
-    )
+    (ts, seq) → delete tombstones filtered. (Shared as _final_state
+    for the transcript-native operators.)"""
+    return _final_state(spark, sf_dir)
 
 
 _ORACLE_CDC_EVENTS = """
@@ -314,6 +307,84 @@ _ORACLE_CAPTURE_MULTIDOC = """
     SELECT event_id, doc_seq, CAST(json_extract(props, '/k') AS VARCHAR) AS k
     FROM events, (SELECT 0 AS doc_seq UNION ALL SELECT 1) docs
 """
+
+
+def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared CDC-replay final state (the transcripts table) for the
+    transcript-native operators: parse → LWW → tombstones filtered."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    changes = parse_change_events(events)
+    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_transcript_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: CDC replay final state → one document per
+    conversation (turns sorted by turn_idx, 'role: text' lines) — the
+    transcript→document flattening before text-level ops."""
+    from embulk_util_json_spark.pipeline.transcripts import assemble_conversations
+
+    return assemble_conversations(_final_state(spark, sf_dir))
+
+
+def _q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structure metrics over the replayed table
+    (turn count, role count, tool-call count, chars, contiguity)."""
+    from embulk_util_json_spark.pipeline.transcripts import conversation_stats
+
+    return conversation_stats(_final_state(spark, sf_dir))
+
+
+def _q_transcript_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format lint: consecutive same-role turns per conversation
+    (lag window over turn order)."""
+    from embulk_util_json_spark.pipeline.transcripts import (
+        role_alternation_violations,
+    )
+
+    return role_alternation_violations(_final_state(spark, sf_dir))
+
+
+def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII hit counts (email/phone/ipv4/ssn) — codegen'd
+    regexp_count scans, patterns in the Java∩RE2 subset."""
+    from embulk_util_json_spark.pipeline.pii import pii_counts
+
+    return pii_counts(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: chained regexp_replace to [PII] with a
+    chars-removed delta."""
+    from embulk_util_json_spark.pipeline.pii import redact_pii
+
+    return redact_pii(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: total vs distinct trigram counts
+    and ratio (boilerplate/loop detector)."""
+    from embulk_util_json_spark.pipeline.dedup import repetition_stats
+
+    return repetition_stats(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: fraction of each document's
+    shingles present in the 'benchmark' corpus (docs 0-19 stand in
+    for an eval set), benchmark side broadcast."""
+    from embulk_util_json_spark.pipeline.dedup import benchmark_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    return benchmark_contamination(docs, bench, "text", "doc_id", n=3)
 
 
 def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,9 +809,35 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_oracles() -> dict[str, str]:
-    from embulk_util_json_spark.pipeline import dedup, multimodal, similarity, text
+    from embulk_util_json_spark.pipeline import (
+        dedup,
+        multimodal,
+        pii,
+        similarity,
+        text,
+        transcripts,
+    )
 
     return {
+        "transcript_assemble": transcripts.assemble_conversations_sql(
+            _ORACLE_CDC_FINAL
+        ),
+        "transcript_stats": transcripts.conversation_stats_sql(_ORACLE_CDC_FINAL),
+        "transcript_role_violations": transcripts.role_alternation_violations_sql(
+            _ORACLE_CDC_FINAL
+        ),
+        "pii_counts": pii.pii_counts_sql("documents", "text", "doc_id"),
+        "pii_redact": pii.redact_pii_sql("documents", "text", "doc_id"),
+        "text_repetition": dedup.repetition_stats_sql(
+            "documents", "text", "doc_id", n=3
+        ),
+        "contamination": dedup.benchmark_contamination_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE doc_id < 20)",
+            "text",
+            "doc_id",
+            n=3,
+        ),
         "text_token_stats": text.token_stats_sql("documents", "text", ["doc_id"]),
         "text_quality": text.quality_score_sql("documents", "text", ["doc_id"]),
         "text_lang_id": text.lang_id_sql("documents", "text", ["doc_id"]),
@@ -797,6 +894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_auto_route": _q_capture_auto_route,
         "capture_root_multimatch": _q_capture_root_multimatch,
         "variant_extract": _q_variant_extract,
+        "transcript_assemble": _q_transcript_assemble,
+        "transcript_stats": _q_transcript_stats,
+        "transcript_role_violations": _q_transcript_role_violations,
+        "pii_counts": _q_pii_counts,
+        "pii_redact": _q_pii_redact,
+        "text_repetition": _q_text_repetition,
+        "contamination": _q_contamination,
         "flatten_capture": _q_flatten_capture,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_apply_window": _q_cdc_apply_window,

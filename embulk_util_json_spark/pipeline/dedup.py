@@ -60,10 +60,13 @@ def _shingle_array(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, gram) distinct word n-grams as ROWS — the codegen'd shingle
-    path: posexplode the words, window-lead the next n-1 words per
-    document, concat. Same gram strings as ``_shingle_array``."""
+def _gram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, gram) word n-grams as ROWS — the codegen'd shingle path:
+    posexplode the words, window-lead the next n-1 words per document,
+    concat. Same gram strings as ``_shingle_array``. ``distinct=False``
+    keeps every occurrence (repetition statistics need multiplicity)."""
     from pyspark.sql import Window
 
     words = df.select(
@@ -78,7 +81,8 @@ def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
             parts[-1].isNotNull(), F.concat_ws(" ", *parts)
         ).alias("gram"),
     )
-    return grams.filter(F.col("gram").isNotNull()).distinct()
+    grams = grams.filter(F.col("gram").isNotNull())
+    return grams.distinct() if distinct else grams
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +436,126 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition + benchmark contamination (n-gram machinery reuse)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Within-document repetition: total vs distinct word n-grams and
+    their ratio — the standard boilerplate/loop detector (low distinct
+    ratio ⇒ repeated blocks; used as a drop filter alongside quality
+    scores). One shuffle (count + count-distinct per doc, map-side
+    partial); docs with < n words report 0/0 and NULL ratio."""
+    grams = _gram_rows(df, text_col, id_col, n, distinct=False)
+    counts = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams"),
+        F.countDistinct("gram").cast("int").alias("n_distinct"),
+    )
+    out = df.select(id_col).distinct().join(counts, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_distinct = F.coalesce(F.col("n_distinct"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.when(
+            n_grams > 0, F.round(n_distinct / n_grams.cast("double"), 6)
+        ).alias("distinct_ratio"),
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each document's
+    distinct n-gram shingles that appear anywhere in the benchmark
+    corpus ``bench`` (same text column) — the decontamination gate a
+    training pipeline runs against eval sets before training.
+
+    Plan: the benchmark shingle set is distinct-reduced and
+    broadcast (eval suites are tiny next to the corpus — exactly the
+    broadcast-dim shape); the corpus side is one shingle explode +
+    one per-doc aggregation. No shuffle touches the benchmark side.
+    """
+    doc_sh = shingles(df, text_col, id_col, n)
+    bench_sh = F.broadcast(
+        _gram_rows(bench, text_col, id_col, n)
+        .select(_md5_60(F.col("gram")).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh.withColumn("_hit", F.lit(1)), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+        ).alias("contaminated_frac"),
+    )
+
+
+def repetition_stats_sql(table: str, text_col: str, id_col: str, n: int = 3) -> str:
+    """DuckDB oracle: same gram construction WITHOUT distinct."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        WITH g AS (
+            SELECT {id_col}, {gram} AS gram
+            FROM (SELECT {id_col}, string_split({_sql_norm(text_col)}, ' ') AS w
+                  FROM {table}),
+                 UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+        ),
+        c AS (
+            SELECT {id_col}, CAST(COUNT(*) AS INTEGER) AS n_grams,
+                   CAST(COUNT(DISTINCT gram) AS INTEGER) AS n_distinct
+            FROM g GROUP BY {id_col}
+        )
+        SELECT d.{id_col},
+               COALESCE(c.n_grams, 0) AS n_grams,
+               COALESCE(c.n_distinct, 0) AS n_distinct,
+               CASE WHEN COALESCE(c.n_grams, 0) > 0
+                    THEN ROUND(c.n_distinct / CAST(c.n_grams AS DOUBLE), 6)
+               END AS distinct_ratio
+        FROM (SELECT DISTINCT {id_col} FROM {table}) d
+        LEFT JOIN c USING ({id_col})
+    """
+
+
+def benchmark_contamination_sql(
+    table: str, bench_table: str, text_col: str, id_col: str, n: int = 3
+) -> str:
+    """DuckDB oracle; ``bench_table`` may be any parenthesized query
+    with the same (id, text) columns."""
+    return f"""
+        WITH doc_sh AS ({_sql_shingles(table, text_col, id_col, n)}),
+        bench_sh AS (
+            SELECT DISTINCT shingle
+            FROM ({_sql_shingles(bench_table, text_col, id_col, n)})
+        )
+        SELECT d.{id_col},
+               CAST(COUNT(*) AS INTEGER) AS n_shingles,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_contaminated,
+               ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS contaminated_frac
+        FROM doc_sh d LEFT JOIN bench_sh b USING (shingle)
+        GROUP BY d.{id_col}
+    """
 
 
 # ---------------------------------------------------------------------------

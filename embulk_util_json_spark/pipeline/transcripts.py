@@ -1,0 +1,152 @@
+"""Transcript-native operators over the replayed conversations table
+``(conv_id, turn_idx, role, text, tool, ts)`` — the payload this
+engine ingests (BASELINE.json input_hint). These are the ops a
+training-data pipeline runs *after* CDC replay materializes the
+table: assemble documents, score conversations, validate structure.
+
+All pure Catalyst: one hash shuffle on ``conv_id`` per operator (the
+same key the sink buckets by, so on a bucketed read Spark can elide
+the exchange), codegen'd string/window expressions, no Python.
+
+Determinism: every per-conversation aggregate orders by
+``(turn_idx)`` — the stable turn ordering the north rule pins
+(BASELINE.json: "per-turn text equality under stable turn ordering").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+ROLE_TAG_SEP = ": "
+TURN_SEP = "\n"
+
+
+def assemble_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """One document per conversation: turns sorted by ``turn_idx``,
+    rendered ``role: text`` and joined with newlines — the standard
+    transcript→document flattening before text-level pipeline ops.
+
+    Plan: ``sort_array(collect_list(struct(turn_idx, line)))`` — ONE
+    partial-aggregating shuffle; the sort is per-group over the
+    collected array (conversations are short — bounded by turn count,
+    not corpus size), not a global sort."""
+    line = F.concat_ws(ROLE_TAG_SEP, F.col(role_col), F.col(text_col))
+    assembled = (
+        df.groupBy(conv_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(turn_col), line.alias("l")))
+                    ),
+                    lambda s: s["l"],
+                ),
+                TURN_SEP,
+            ).alias("document"),
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+        )
+    )
+    return assembled
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation structure metrics: turn count, distinct roles,
+    tool-call rate, total/mean text length, turn-index span — the
+    conversation-level quality signal (filter malformed or truncated
+    conversations before training)."""
+    return df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.countDistinct(role_col).cast("int").alias("n_roles"),
+        F.sum(F.when(F.col(tool_col).isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_tool_calls"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.min(turn_col).cast("int").alias("first_turn"),
+        F.max(turn_col).cast("int").alias("last_turn"),
+        # contiguity: span+1 == n_turns ⇔ no missing turn indices
+        # (duplicate turn_idx cannot survive the keyed LWW upsert)
+        (
+            (F.max(turn_col) - F.min(turn_col) + 1)
+            == F.count(F.lit(1))
+        ).alias("contiguous"),
+    )
+
+
+def role_alternation_violations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Turns whose role equals the previous turn's role (per
+    conversation, turn order) — the structural lint for chat-format
+    training data (two consecutive same-role turns usually mean a
+    merge/split bug upstream). One window shuffle on ``conv_id``."""
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col).asc())
+    prev = F.lag(F.col(role_col)).over(w)
+    return (
+        df.select(
+            F.col(conv_col),
+            F.col(turn_col),
+            F.col(role_col),
+            prev.alias("prev_role"),
+        )
+        .filter(F.col("prev_role").isNotNull() & (F.col("prev_role") == F.col(role_col)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (generated from the same constants)
+# ---------------------------------------------------------------------------
+
+
+def assemble_conversations_sql(table_sql: str) -> str:
+    """``table_sql``: a query producing (conv_id, turn_idx, role, text)."""
+    return f"""
+        SELECT conv_id,
+               string_agg(role || '{ROLE_TAG_SEP}' || text, '{TURN_SEP}'
+                          ORDER BY turn_idx) AS document,
+               CAST(COUNT(*) AS INTEGER) AS n_turns
+        FROM ({table_sql})
+        GROUP BY conv_id
+    """
+
+
+def conversation_stats_sql(table_sql: str) -> str:
+    return f"""
+        SELECT conv_id,
+               CAST(COUNT(*) AS INTEGER) AS n_turns,
+               CAST(COUNT(DISTINCT role) AS INTEGER) AS n_roles,
+               CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_tool_calls,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
+               CAST(MAX(turn_idx) AS INTEGER) AS last_turn,
+               (MAX(turn_idx) - MIN(turn_idx) + 1) = COUNT(*) AS contiguous
+        FROM ({table_sql})
+        GROUP BY conv_id
+    """
+
+
+def role_alternation_violations_sql(table_sql: str) -> str:
+    return f"""
+        SELECT conv_id, turn_idx, role, prev_role FROM (
+            SELECT conv_id, turn_idx, role,
+                   LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role
+            FROM ({table_sql})
+        ) WHERE prev_role IS NOT NULL AND prev_role = role
+    """

@@ -1,0 +1,131 @@
+"""Transcript-native ops, PII detection/redaction, repetition,
+benchmark contamination — micro-table unit tests with DuckDB
+cross-checks of the generated oracles where cheap."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.pipeline.pii import (
+    pii_counts,
+    pii_counts_sql,
+    redact_pii,
+    redact_pii_sql,
+)
+from embulk_util_json_spark.pipeline.transcripts import (
+    assemble_conversations,
+    conversation_stats,
+    role_alternation_violations,
+)
+from embulk_util_json_spark.pipeline.dedup import (
+    benchmark_contamination,
+    repetition_stats,
+)
+
+
+def _turns(spark):
+    rows = [
+        ("c1", 0, "user", "hello there", None),
+        ("c1", 1, "assistant", "hi!", None),
+        ("c1", 2, "assistant", "double turn", "search"),
+        ("c2", 3, "user", "lone turn", None),  # starts at 3: not contiguous
+        ("c2", 5, "tool", "result", "calc"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def test_assemble_conversations(spark):
+    out = {r.conv_id: r for r in assemble_conversations(_turns(spark)).collect()}
+    assert out["c1"].document == (
+        "user: hello there\nassistant: hi!\nassistant: double turn"
+    )
+    assert out["c1"].n_turns == 3
+    assert out["c2"].document == "user: lone turn\ntool: result"
+
+
+def test_conversation_stats(spark):
+    out = {r.conv_id: r for r in conversation_stats(_turns(spark)).collect()}
+    c1, c2 = out["c1"], out["c2"]
+    assert (c1.n_turns, c1.n_roles, c1.n_tool_calls) == (3, 2, 1)
+    assert c1.contiguous is True and (c1.first_turn, c1.last_turn) == (0, 2)
+    assert c2.contiguous is False  # span 3..5 with only 2 turns
+
+
+def test_role_alternation_violations(spark):
+    out = role_alternation_violations(_turns(spark)).collect()
+    assert [(r.conv_id, r.turn_idx, r.role) for r in out] == [
+        ("c1", 2, "assistant")
+    ]
+
+
+def test_pii_counts_and_redaction_with_oracle(spark):
+    rows = [
+        (1, "mail a@b.co and a.b+c@d.org, call 555-123-4567"),
+        (2, "ip 10.0.0.255 ssn 123-45-6789"),
+        (3, "clean text, no pii at all; 1234 alone is fine"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_counts(df, "text", "doc_id").collect()}
+    assert (got[1].n_email, got[1].n_phone) == (2, 1)
+    assert (got[2].n_ipv4, got[2].n_ssn) == (1, 1)
+    assert got[3].n_pii == 0 and got[4].n_pii == 0
+
+    red = {r.doc_id: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert red[1].redacted == "mail [PII] and [PII], call [PII]"
+    assert red[2].redacted == "ip [PII] ssn [PII]"
+    assert red[3].chars_removed == 0
+
+    # oracle agreement on the same micro-table (both SQL twins)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows).replace("''", "''")
+        + ") t(doc_id, text)"
+    )
+    ora = {r[0]: r for r in con.execute(pii_counts_sql("d", "text", "doc_id")).fetchall()}
+    for i in (1, 2, 3, 4):
+        g = got[i]
+        assert ora[i] == (
+            i, g.n_email, g.n_phone, g.n_ipv4, g.n_ssn, g.n_pii
+        )
+    ora_r = {r[0]: r for r in con.execute(redact_pii_sql("d", "text", "doc_id")).fetchall()}
+    for i in (1, 2, 3, 4):
+        assert ora_r[i][1] == red[i].redacted
+        assert ora_r[i][2] == red[i].chars_removed
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # trigrams: 7 total, 3 distinct
+            (2, "all words different here now"),  # 3 total, 3 distinct
+            (3, "too short"),            # no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id", 3).collect()}
+    assert (out[1].n_grams, out[1].n_distinct) == (7, 3)
+    assert out[1].distinct_ratio == round(3 / 7, 6)
+    assert (out[2].n_grams, out[2].n_distinct, out[2].distinct_ratio) == (3, 3, 1.0)
+    assert (out[3].n_grams, out[3].n_distinct, out[3].distinct_ratio) == (0, 0, None)
+
+
+def test_benchmark_contamination(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence with novel phrasing"),
+            (3, "quick brown fox phrase appears here quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r.doc_id: r
+        for r in benchmark_contamination(docs, bench, "text", "doc_id", 3).collect()
+    }
+    assert out[1].contaminated_frac == 1.0  # benchmark member: full overlap
+    assert out[2].n_contaminated == 0
+    assert 0 < out[3].n_contaminated < out[3].n_shingles
