@@ -117,25 +117,39 @@ def generate_events(
     else:
         model_frag = np.broadcast_to(np.array("", dtype=object), len(seq_o))
 
-    # arrow element-wise join is C-speed string assembly
+    # arrow element-wise join is C-speed string assembly. Assembled in
+    # bounded slices: a single pa.string() array caps at 2 GiB of
+    # bytes (~12M events) — one chunk per slice keeps generation
+    # O(chunk) memory and removes the cap (needed for the 32M+-event
+    # scaling runs).
     import pyarrow.compute as pc
 
-    def arr(x) -> pa.Array:
-        return pa.array(x, type=pa.string())
-
     m = len(seq_o)
+    chunk_rows = 1 << 21  # ~2M rows ≈ 350 MB of JSON per chunk
 
-    def const(s: str) -> pa.Array:
-        return pa.array(np.broadcast_to(np.array(s, dtype=object), m), type=pa.string())
+    def join_slice(lo: int, hi: int) -> pa.Array:
+        k = hi - lo
 
-    # text embeds key+seq so every update rewrites it deterministically
-    event_json = pc.binary_join_element_wise(
-        arr(op_s), arr(ts_iso),
-        const('","data":{"conv_id":"'), arr(conv_s), const('","turn_idx":'),
-        arr(turn_s), arr(role_s),
-        const("text "), arr(conv_s), const(" t"), arr(turn_s), const(" rev"), arr(seq_s),
-        const('"'), arr(tool_frag), arr(model_frag), const("}}"),
-        const(""),  # separator
+        def arr(x) -> pa.Array:
+            return pa.array(x[lo:hi], type=pa.string())
+
+        def const(s: str) -> pa.Array:
+            return pa.array(
+                np.broadcast_to(np.array(s, dtype=object), k), type=pa.string()
+            )
+
+        # text embeds key+seq so every update rewrites it deterministically
+        return pc.binary_join_element_wise(
+            arr(op_s), arr(ts_iso),
+            const('","data":{"conv_id":"'), arr(conv_s), const('","turn_idx":'),
+            arr(turn_s), arr(role_s),
+            const("text "), arr(conv_s), const(" t"), arr(turn_s), const(" rev"), arr(seq_s),
+            const('"'), arr(tool_frag), arr(model_frag), const("}}"),
+            const(""),  # separator
+        )
+
+    event_json = pa.chunked_array(
+        [join_slice(lo, min(lo + chunk_rows, m)) for lo in range(0, m, chunk_rows)]
     )
 
     return pa.table(
