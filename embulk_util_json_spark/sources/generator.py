@@ -184,12 +184,19 @@ def ensure_events_segments(
     table = generate_events(
         n_events, n_convs, n_turns, seed, evolve_after=evolve_after, **kwargs
     )
-    table = table.sort_by("seq")
+    # Sort + materialize PER SEGMENT: a whole-table sort_by would
+    # `take` the full set into one contiguous string array, which caps
+    # at 2 GiB (~12M events). Sorting the index vector is cheap; each
+    # per-segment take stays bounded by the segment size.
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(table, sort_keys=[("seq", "ascending")])
     per = (table.num_rows + segments - 1) // segments
     for i in range(segments):
-        chunk = table.slice(i * per, per)
-        if chunk.num_rows == 0:
+        part = idx.slice(i * per, per)
+        if len(part) == 0:
             break
+        chunk = table.take(part)
         tmp = os.path.join(dir_path, f".seg-{i:03d}.tmp")
         pq.write_table(chunk, tmp, row_group_size=1 << 18)
         os.rename(tmp, os.path.join(dir_path, f"seg-{i:03d}.parquet"))
@@ -218,8 +225,18 @@ def ensure_events_parquet(
         # seq order with modest row groups so a seq-range micro-batch
         # filter prunes row groups at the parquet reader (each replay
         # batch scans ~1/num_batches of the file instead of all of it).
-        table = table.sort_by("seq")
+        # Sorted via index slices (whole-table sort_by would `take`
+        # into one >2 GiB string array past ~12M events).
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(table, sort_keys=[("seq", "ascending")])
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, row_group_size=min(row_group_size, 1 << 18))
+        rg = min(row_group_size, 1 << 18)
+        writer = pq.ParquetWriter(tmp, table.schema)
+        try:
+            for lo in range(0, len(idx), rg):
+                writer.write_table(table.take(idx.slice(lo, rg)))
+        finally:
+            writer.close()
         os.rename(tmp, path)
     return path
