@@ -45,10 +45,16 @@ def generate_events(
     dup_rate: float = 0.02,
     delete_rate: float = 0.05,
     evolve_after: float | None = None,
+    sort_by_seq: bool = False,
 ) -> pa.Table:
     """Return an arrow table (seq: int64, event_json: string).
 
     Deterministic for a given (n_events, n_convs, n_turns, seed, ...).
+    ``sort_by_seq`` orders rows by log position ON THE NUMPY SIDE,
+    before Arrow string assembly — an Arrow-side sort would gather the
+    whole string column into one >2 GiB array past ~12M events.
+    Row payloads are unchanged; duplicate-delivery rows share a seq
+    and identical bytes, so tie order is unobservable.
     """
     rng = np.random.default_rng(seed)
     n = int(n_events)
@@ -101,9 +107,17 @@ def generate_events(
     )
     op_lut = np.array([f'{{"op":"{o}","ts":"' for o in OPS], dtype=object)
 
+    seq_o = col(seq)
+    if sort_by_seq:
+        perm = np.argsort(seq_o, kind="stable")
+        seq_o = seq_o[perm]
+        base_col = col
+
+        def col(a: np.ndarray) -> np.ndarray:  # noqa: F811
+            return base_col(a)[perm]
+
     conv_i = col(conv)
     turn_i = col(turn)
-    seq_o = col(seq)
     conv_s = conv_lut[conv_i]
     turn_s = turn_lut[turn_i]
     op_s = op_lut[col(op)]
@@ -181,22 +195,18 @@ def ensure_events_segments(
     if os.path.exists(done):
         return dir_path
     os.makedirs(dir_path, exist_ok=True)
+    # seq order comes from the numpy side (sort_by_seq): an Arrow-side
+    # sort/take would gather the whole string column into one >2 GiB
+    # array past ~12M events. Sorted chunks slice cleanly.
     table = generate_events(
-        n_events, n_convs, n_turns, seed, evolve_after=evolve_after, **kwargs
+        n_events, n_convs, n_turns, seed, evolve_after=evolve_after,
+        sort_by_seq=True, **kwargs
     )
-    # Sort + materialize PER SEGMENT: a whole-table sort_by would
-    # `take` the full set into one contiguous string array, which caps
-    # at 2 GiB (~12M events). Sorting the index vector is cheap; each
-    # per-segment take stays bounded by the segment size.
-    import pyarrow.compute as pc
-
-    idx = pc.sort_indices(table, sort_keys=[("seq", "ascending")])
     per = (table.num_rows + segments - 1) // segments
     for i in range(segments):
-        part = idx.slice(i * per, per)
-        if len(part) == 0:
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows == 0:
             break
-        chunk = table.take(part)
         tmp = os.path.join(dir_path, f".seg-{i:03d}.tmp")
         pq.write_table(chunk, tmp, row_group_size=1 << 18)
         os.rename(tmp, os.path.join(dir_path, f"seg-{i:03d}.parquet"))
@@ -218,25 +228,16 @@ def ensure_events_parquet(
     """Materialize the generated stream once; reuse on later calls."""
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        table = generate_events(
-            n_events, n_convs, n_turns, seed, evolve_after=evolve_after, **kwargs
-        )
         # A real binlog/WAL file is ordered by log position: persist in
-        # seq order with modest row groups so a seq-range micro-batch
-        # filter prunes row groups at the parquet reader (each replay
-        # batch scans ~1/num_batches of the file instead of all of it).
-        # Sorted via index slices (whole-table sort_by would `take`
-        # into one >2 GiB string array past ~12M events).
-        import pyarrow.compute as pc
-
-        idx = pc.sort_indices(table, sort_keys=[("seq", "ascending")])
+        # seq order (numpy-side sort — see generate_events) with modest
+        # row groups so a seq-range micro-batch filter prunes row
+        # groups at the parquet reader (each replay batch scans
+        # ~1/num_batches of the file instead of all of it).
+        table = generate_events(
+            n_events, n_convs, n_turns, seed, evolve_after=evolve_after,
+            sort_by_seq=True, **kwargs
+        )
         tmp = path + ".tmp"
-        rg = min(row_group_size, 1 << 18)
-        writer = pq.ParquetWriter(tmp, table.schema)
-        try:
-            for lo in range(0, len(idx), rg):
-                writer.write_table(table.take(idx.slice(lo, rg)))
-        finally:
-            writer.close()
+        pq.write_table(table, tmp, row_group_size=min(row_group_size, 1 << 18))
         os.rename(tmp, path)
     return path
