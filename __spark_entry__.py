@@ -350,12 +350,46 @@ def _q_transcript_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     return role_alternation_violations(_final_state(spark, sf_dir))
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII injected (the corpus
+    text itself is PII-free, which would make the oracle comparison a
+    trivial all-zeros check): every 3rd doc gains an email, every 5th
+    a phone, every 7th an ip, every 11th an ssn."""
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    add = F.concat(
+        F.when(i % 3 == 0, F.concat(F.lit(" user"), s, F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.concat(F.lit(" host 10.0.0."), (i % 250).cast("string"))).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", F.concat("text", add).alias("text"))
+
+
+# mirrored text enrichment for the DuckDB side
+_PII_DOCS_SQL = """(
+    SELECT doc_id,
+           text ||
+           CASE WHEN doc_id % 3 = 0
+                THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0
+                THEN ' host 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+               AS text
+    FROM documents
+)"""
+
+
 def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII hit counts (email/phone/ipv4/ssn) — codegen'd
     regexp_count scans, patterns in the Java∩RE2 subset."""
     from embulk_util_json_spark.pipeline.pii import pii_counts
 
-    return pii_counts(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return pii_counts(_pii_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +397,7 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars-removed delta."""
     from embulk_util_json_spark.pipeline.pii import redact_pii
 
-    return redact_pii(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return redact_pii(_pii_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,8 +860,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "transcript_role_violations": transcripts.role_alternation_violations_sql(
             _ORACLE_CDC_FINAL
         ),
-        "pii_counts": pii.pii_counts_sql("documents", "text", "doc_id"),
-        "pii_redact": pii.redact_pii_sql("documents", "text", "doc_id"),
+        "pii_counts": pii.pii_counts_sql(_PII_DOCS_SQL, "text", "doc_id"),
+        "pii_redact": pii.redact_pii_sql(_PII_DOCS_SQL, "text", "doc_id"),
         "text_repetition": dedup.repetition_stats_sql(
             "documents", "text", "doc_id", n=3
         ),

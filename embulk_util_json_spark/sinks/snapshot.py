@@ -455,6 +455,96 @@ class ParquetSnapshotSink:
             df = df.drop(EXTRAS_COL)
         return df
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed — the "CDC out" twin of ``apply``:
+        net row-level changes between two committed versions, one row
+        per key whose winning record changed, carrying the new winner
+        (``op = 'delete'`` = the key was tombstoned). The Iceberg
+        incremental-scan / changelog analogue over the manifest log.
+
+        Plan (incremental, not a snapshot diff):
+
+        1. delta files in ``to`` but not in ``from`` → candidate rows
+           (MOR appends only ever ADD files, so this is exactly the
+           data written in between — O(changes), not O(table));
+        2. LWW-reduce candidates per key → candidate winners;
+        3. read the ``from`` state ONLY for candidate keys (bucket
+           pruning via the candidates' bucket set, then a broadcast
+           semi-join) and keep keys whose old winner already beats or
+           equals the candidate — those are late-losing replays, NOT
+           net changes;
+        4. emit candidate winners that beat (or are new to) the old
+           state.
+
+        Compaction between the versions only *widens* step 1's
+        candidate set (rewritten files carry old rows); step 3's
+        equality check filters them out, so the result stays exact —
+        at the cost of scanning the rewritten buckets. ``from_version
+        = 0`` returns the whole ``to`` state as inserts/upserts.
+        """
+        to_version = to_version or self.current_version()
+        if to_version < from_version:
+            raise ValueError("to_version must be >= from_version")
+        to_manifest = self.manifest_at(to_version)
+        if not to_manifest or not to_manifest["buckets"]:
+            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+        from_manifest = (
+            self.manifest_at(from_version) if from_version > 0 else None
+        )
+        from_paths = set(self._all_paths(from_manifest)) if from_manifest else set()
+        new_paths = [
+            p for p in self._all_paths(to_manifest) if p not in from_paths
+        ]
+        if not new_paths:
+            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+
+        cand = self._read_bucket_paths(new_paths).filter(
+            F.col(self.keys[0]).isNotNull()
+        )
+        cand = lww_agg(cand, self.keys, self.order_cols)
+
+        if from_manifest:
+            # bucket-pruned old state: only chains that got new files
+            new_buckets = {p.split(f"{BUCKET_COL}=")[-1] for p in new_paths}
+            old_paths = [
+                p
+                for b in from_manifest["buckets"]
+                if b in new_buckets
+                for p in self._paths_of(from_manifest, b)
+            ]
+            if old_paths:
+                old = self._read_bucket_paths(old_paths).filter(
+                    F.col(self.keys[0]).isNotNull()
+                )
+                old = lww_agg(old, self.keys, self.order_cols).select(
+                    *self.keys,
+                    *[F.col(c).alias(f"_old_{c}") for c in self.order_cols],
+                )
+                # identical inner field names on both sides — struct
+                # comparison requires matching types including names
+                new_ord = F.struct(
+                    *[F.col(c).alias(c) for c in self.order_cols]
+                )
+                old_ord = F.struct(
+                    *[
+                        F.col(f"_old_{c}").alias(c)
+                        for c in self.order_cols
+                    ]
+                )
+                cand = cand.join(old, self.keys, "left").filter(
+                    F.col(f"_old_{self.order_cols[0]}").isNull()
+                    | (new_ord > old_ord)
+                ).drop(*[f"_old_{c}" for c in self.order_cols])
+        out = cand.drop(BUCKET_COL)
+        if EXTRAS_COL in out.columns:
+            for name in to_manifest.get("extra_fields", []):
+                if name not in out.columns:
+                    out = out.withColumn(name, F.col(EXTRAS_COL)[name])
+            out = out.drop(EXTRAS_COL)
+        return out
+
     def compact(
         self,
         drop_tombstones: bool = True,
