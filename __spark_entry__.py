@@ -835,6 +835,24 @@ def _q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN against the exact brute-force top-k —
+    the tuning loop for the ANN knobs (raise planes until recall
+    clears target, then drop the exact pass)."""
+    from embulk_util_json_spark.pipeline.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, "embedding", "vec_id", k=5, query_mod=50)
+    ann = lsh_ann_topk(
+        emb, "embedding", "vec_id", dim=64, planes=8, k=5, query_mod=50
+    )
+    return ann_recall(ann, exact, k=5)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.pipeline.multimodal import attach_media, byte_features
 
@@ -907,6 +925,16 @@ def _pipeline_oracles() -> dict[str, str]:
             "embeddings", "embedding", "vec_id",
             n_centroids=8, centroid_mod=61, k=5, query_mod=50,
         ),
+        "sim_ann_recall": similarity.ann_recall_sql(
+            similarity.lsh_ann_topk_sql(
+                "embeddings", "embedding", "vec_id",
+                dim=64, planes=8, k=5, query_mod=50,
+            ),
+            similarity.cosine_topk_sql(
+                "embeddings", "embedding", "vec_id", k=5, query_mod=50
+            ),
+            k=5,
+        ),
         "sim_neardup_pairs": similarity.neardup_pairs_sql(
             "embeddings", "embedding", "vec_id", threshold=0.35
         ),
@@ -956,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_ivf_ann_topk": _q_sim_ivf_ann,
+        "sim_ann_recall": _q_sim_ann_recall,
         "multimodal_byte_features": _q_multimodal_features,
     }
 

@@ -349,6 +349,68 @@ _SQL_QVEC = (
 )
 
 
+def ann_recall(ann: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k — the
+    evaluation loop that tunes P (LSH planes) / nprobe (IVF) at scale:
+    run both on a sampled query set, keep raising the ANN knob until
+    recall clears the target, then drop the exact pass.
+
+    Inputs are (query_id, neighbor_id, rank, ...) frames as produced
+    by the *_topk operators. Per query: hits = |ANN ∩ exact| within
+    rank ≤ k; recall = hits / |exact| (denominator is the achievable
+    set, < k at corpus edges). Both sides are tiny (queries × k rows)
+    — a broadcast join, no corpus scan."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = ann.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    base = e.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact")
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_sql(ann_sql: str, exact_sql: str, k: int = 5) -> str:
+    """DuckDB oracle: composes the two result oracles."""
+    return f"""
+        WITH exact_r AS (
+            SELECT query_id, neighbor_id FROM ({exact_sql}) WHERE rank <= {k}
+        ),
+        ann_r AS (
+            SELECT query_id, neighbor_id FROM ({ann_sql}) WHERE rank <= {k}
+        ),
+        h AS (
+            SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+            FROM exact_r e SEMI JOIN ann_r a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        ),
+        b AS (
+            SELECT query_id, CAST(COUNT(*) AS INTEGER) AS n_exact
+            FROM exact_r GROUP BY query_id
+        )
+        SELECT b.query_id, b.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST(b.n_exact AS DOUBLE), 6)
+                   AS recall
+        FROM b LEFT JOIN h USING (query_id)
+    """
+
+
 def _sql_qn(table: str, vec_col: str, id_col: str) -> str:
     qvec = _SQL_QVEC.format(vec=vec_col)
     return f"""

@@ -241,3 +241,19 @@ def test_cosine_topk_arrow_matches_sql_variant(vecs):
         map(tuple, cosine_topk(vecs, "embedding", "vec_id", k=2, query_mod=50).collect())
     )
     assert a == b  # bit-identical across the Arrow and Catalyst paths
+
+
+def test_ann_recall(spark):
+    from embulk_util_json_spark.pipeline.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (50, 9, 1), (50, 8, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    ann = spark.createDataFrame(
+        [(0, 2, 1), (0, 7, 2), (0, 3, 3), (50, 1, 1)],  # q0: 2 of 3; q50: 0 of 2
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.query_id: r for r in ann_recall(ann, exact, k=3).collect()}
+    assert (out[0].n_exact, out[0].n_hits, out[0].recall) == (3, 2, round(2 / 3, 6))
+    assert (out[50].n_exact, out[50].n_hits, out[50].recall) == (2, 0, 0.0)
