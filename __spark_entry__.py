@@ -629,6 +629,34 @@ _ORACLE_SESSIONIZE = """
 """
 
 
+def _q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap sessionization expressed with Spark's NATIVE
+    session_window aggregate (the Structured-Streaming-ready
+    formulation — works under watermarks unchanged) — validated
+    against the identical oracle as the window/cumsum variant.
+    Boundary semantics verified equal: a gap of exactly gap_sec
+    merges; strictly greater splits. Ordinal session_id is assigned
+    post-hoc by session start order per user."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("session_window.start").asc())
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
 def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every 'error' event picks up the most recent
     non-error event of the same user at or before it (union-tag +
@@ -969,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_salted": _q_cdc_apply_salted,
         "quality_topk_unique": _q_quality_topk_unique,
         "events_sessionize": _q_events_sessionize,
+        "events_sessionize_native": _q_events_sessionize_native,
         "events_asof_join": _q_events_asof_join,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -1007,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
         "quality_topk_unique": _quality_topk_unique_sql(),
         "events_sessionize": _ORACLE_SESSIONIZE,
+        "events_sessionize_native": _ORACLE_SESSIONIZE,
         "events_asof_join": _ORACLE_ASOF,
         **_pipeline_oracles(),
     }
