@@ -384,6 +384,17 @@ _PII_DOCS_SQL = """(
 )"""
 
 
+def _q_transcript_merge_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair transform for the alternation lint: consecutive
+    same-role runs collapse into one turn (texts joined in turn
+    order), indices re-densified."""
+    from embulk_util_json_spark.pipeline.transcripts import (
+        merge_consecutive_roles,
+    )
+
+    return merge_consecutive_roles(_final_state(spark, sf_dir))
+
+
 def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII hit counts (email/phone/ipv4/ssn) — codegen'd
     regexp_count scans, patterns in the Java∩RE2 subset."""
@@ -906,6 +917,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "transcript_role_violations": transcripts.role_alternation_violations_sql(
             _ORACLE_CDC_FINAL
         ),
+        "transcript_merge_roles": transcripts.merge_consecutive_roles_sql(
+            _ORACLE_CDC_FINAL
+        ),
         "pii_counts": pii.pii_counts_sql(_PII_DOCS_SQL, "text", "doc_id"),
         "pii_redact": pii.redact_pii_sql(_PII_DOCS_SQL, "text", "doc_id"),
         "text_repetition": dedup.repetition_stats_sql(
@@ -987,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_assemble": _q_transcript_assemble,
         "transcript_stats": _q_transcript_stats,
         "transcript_role_violations": _q_transcript_role_violations,
+        "transcript_merge_roles": _q_transcript_merge_roles,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,

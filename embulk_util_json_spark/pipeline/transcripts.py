@@ -108,6 +108,58 @@ def role_alternation_violations(
     )
 
 
+def merge_consecutive_roles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repair transform for the alternation lint: runs of consecutive
+    same-role turns collapse into one turn — texts joined with a
+    newline in turn order, the run's first turn_idx kept, turn indices
+    re-densified (0..n-1) afterwards. The standard chat-format
+    normalization before training.
+
+    Same plan shape as gap sessionization: lag marks run starts,
+    cumulative sum assigns run ids (one window shuffle on the
+    conversation key), then one aggregation per run."""
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col).asc())
+    starts = F.when(
+        F.lag(F.col(role_col)).over(w).isNull()
+        | (F.lag(F.col(role_col)).over(w) != F.col(role_col)),
+        1,
+    ).otherwise(0)
+    runs = df.withColumn(
+        "_run",
+        F.sum(starts).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = runs.groupBy(conv_col, "_run").agg(
+        F.first(role_col).alias(role_col),  # constant within a run
+        F.min(turn_col).alias("_first_turn"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(turn_col), F.col(text_col).alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            TURN_SEP,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("int").alias("n_merged"),
+    )
+    return merged.select(
+        F.col(conv_col),
+        (F.col("_run") - 1).cast("int").alias(turn_col),  # densified 0-based
+        role_col,
+        text_col,
+        "n_merged",
+        F.col("_first_turn").cast("int").alias("orig_turn_idx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (generated from the same constants)
 # ---------------------------------------------------------------------------
@@ -138,6 +190,31 @@ def conversation_stats_sql(table_sql: str) -> str:
                (MAX(turn_idx) - MIN(turn_idx) + 1) = COUNT(*) AS contiguous
         FROM ({table_sql})
         GROUP BY conv_id
+    """
+
+
+def merge_consecutive_roles_sql(table_sql: str) -> str:
+    return f"""
+        WITH runs AS (
+            SELECT conv_id, turn_idx, role, text,
+                   SUM(CASE WHEN prev_role IS NULL OR prev_role <> role
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS run
+            FROM (
+                SELECT *, LAG(role) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+                FROM ({table_sql})
+            )
+        )
+        SELECT conv_id,
+               CAST(run - 1 AS INTEGER) AS turn_idx,
+               MIN(role) AS role,
+               string_agg(text, '{TURN_SEP}' ORDER BY turn_idx) AS text,
+               CAST(COUNT(*) AS INTEGER) AS n_merged,
+               CAST(MIN(turn_idx) AS INTEGER) AS orig_turn_idx
+        FROM runs
+        GROUP BY conv_id, run
     """
 
 

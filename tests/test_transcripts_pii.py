@@ -129,3 +129,17 @@ def test_benchmark_contamination(spark):
     assert out[1].contaminated_frac == 1.0  # benchmark member: full overlap
     assert out[2].n_contaminated == 0
     assert 0 < out[3].n_contaminated < out[3].n_shingles
+
+
+def test_merge_consecutive_roles(spark):
+    from embulk_util_json_spark.pipeline.transcripts import merge_consecutive_roles
+
+    out = merge_consecutive_roles(_turns(spark)).orderBy("conv_id", "turn_idx")
+    rows = [(r.conv_id, r.turn_idx, r.role, r.text, r.n_merged, r.orig_turn_idx)
+            for r in out.collect()]
+    assert rows == [
+        ("c1", 0, "user", "hello there", 1, 0),
+        ("c1", 1, "assistant", "hi!\ndouble turn", 2, 1),  # run merged
+        ("c2", 0, "user", "lone turn", 1, 3),
+        ("c2", 1, "tool", "result", 1, 5),
+    ]
