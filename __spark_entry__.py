@@ -810,9 +810,11 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.pipeline.dedup import simhash_pairs
 
+    # 60-bit signature, 15-bit bands: candidate volume per band is
+    # n^2 / 2^band_bits — 128x fewer candidates than 8-bit bands.
     return simhash_pairs(
         _read(spark, sf_dir, "documents"), "text", "doc_id",
-        bits=32, bands=4, max_hamming=3,
+        bits=60, bands=4, max_hamming=3,
     )
 
 
@@ -945,7 +947,7 @@ def _pipeline_oracles() -> dict[str, str]:
             n=3, num_hashes=16, bands=4, verify_threshold=0.5, max_df_frac=0.05,
         ),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(
-            "documents", "text", "doc_id", bits=32, bands=4, max_hamming=3
+            "documents", "text", "doc_id", bits=60, bands=4, max_hamming=3
         ),
         "dedup_clusters": dedup.dup_clusters_sql(
             "documents", "doc_id",

@@ -356,17 +356,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """Per-document SimHash over word hashes: bit p of the signature is
     1 iff sum over words of (+1 if word-hash bit p else -1) > 0.
     One codegen'd projection; duplicate words count once (distinct),
-    making the signature a pure set function like the minhash path."""
+    making the signature a pure set function like the minhash path.
+
+    ``bits`` ≤ 60: the portable md5-prefix hash yields 60 usable bits
+    (and bit 63 of a signed long can't be set by a positive literal).
+    Wider signatures matter at scale — band-bucket width is
+    2^(bits/bands), and candidate volume is quadratic in bucket
+    occupancy (see ``simhash_pairs``)."""
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits (md5-prefix hash)")
     # Codegen'd path: exploded distinct words → ONE hash aggregation
     # with `bits` sum() vote expressions; the signature is assembled
     # from the votes in a follow-up projection. (Array HOFs would run
     # interpreted — CodegenFallback — and re-hash per bit position.)
+    word_hash = _md5_32 if bits <= 32 else _md5_60
     words = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
         ).alias("_w"),
-    ).select(F.col(id_col), _md5_32(F.col("_w")).alias("_h"))
+    ).select(F.col(id_col), word_hash(F.col("_w")).alias("_h"))
     h = F.col("_h")
     votes = words.groupBy(id_col).agg(
         *[
@@ -394,9 +403,14 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into `bands`
-    contiguous byte-bands; by pigeonhole any pair with Hamming
+    contiguous bit-bands; by pigeonhole any pair with Hamming
     distance < bands shares a band → bucket equi-join on (band, band
-    bits), then exact Hamming (bit_count of xor) filter."""
+    bits), then exact Hamming (bit_count of xor) filter.
+
+    Scale note: candidate volume per band ≈ n²/2^(bits/bands) — at
+    60k docs, 32/4 (8-bit bands, 256 buckets) materializes ~28M
+    candidate pairs while 60/4 (15-bit bands, 32768 buckets) is ~220k;
+    prefer the widest signature the hash supports (60)."""
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -807,8 +821,15 @@ def simhash_pairs_sql(
     bands: int = 4,
     max_hamming: int = 3,
 ) -> str:
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits (md5-prefix hash)")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    hash_expr = (
+        _sql_md5_32("w")
+        if bits <= 32
+        else "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
+    )
     band_selects = " UNION ALL ".join(
         f"SELECT {id_col}, simhash, {bi} AS band, "
         f"(simhash >> {bi * band_bits}) & {mask} AS bkey FROM sigs"
@@ -820,7 +841,7 @@ def simhash_pairs_sql(
                    unnest(list_distinct(string_split({_sql_norm(text_col)}, ' '))) AS w
             FROM {table}
         ),
-        wh AS (SELECT {id_col}, {_sql_md5_32('w')} AS h FROM words),
+        wh AS (SELECT {id_col}, {hash_expr} AS h FROM words),
         votes AS (
             SELECT {id_col}, p,
                    SUM(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END) AS v
