@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..sources.events import (
+    BASE_DATA_FIELDS,
+    EXTRAS_COL,
     discover_extra_fields,
     parse_change_events,
     parse_change_events_single_pass,
@@ -63,17 +65,99 @@ def apply_events_batch(
     return sink.apply(changes, batch_id)
 
 
+def bootstrap_snapshot(
+    sink: ParquetSnapshotSink,
+    snapshot: DataFrame,
+    watermark_seq: int,
+    batch_id: str | None = None,
+) -> dict:
+    """Debezium-style initial load: seed an empty sink from a
+    consistent snapshot taken at binlog position ``watermark_seq``,
+    then continue the tail with ``replay_*(..., min_seq=watermark_seq
+    + 1)``.
+
+    ``snapshot`` columns: the key + payload columns (``conv_id,
+    turn_idx, role, text, tool, ts``); optional ``op``/``seq``/extra
+    columns. Missing ``op`` → ``'insert'``; missing ``seq`` →
+    ``watermark_seq``. Pinning snapshot rows at (their own ts,
+    watermark_seq) is LWW-exact across the handoff: every prefix
+    winner has seq ≤ watermark and every tail event seq > it, so a
+    tail event beats a snapshot row iff it would have beaten the
+    row's original event in a full replay.
+
+    One caveat is inherent to snapshot (vs CDC-complete) sources: a
+    snapshot carries no tombstones, so a tail event with seq >
+    watermark but event-time *older* than a pre-watermark delete
+    resurrects the key. Handing over from another sink, pass
+    ``other.read(include_tombstones=True, include_meta=True)`` — the
+    tombstone rows ride along as ``op='delete'`` and the handoff is
+    bit-exact even under out-of-order event time.
+
+    Payload columns beyond the base schema are folded into the
+    ``_extras`` map so every stored level keeps the homogeneous
+    (base + extras) shape the parsed-batch path writes — mixed
+    real-column/extras levels would break read()'s materialization.
+    """
+    cols = snapshot.columns
+    base_names = [n for n, _ in BASE_DATA_FIELDS]
+    known = set(base_names) | {"op", "ts", "seq", EXTRAS_COL}
+    extra_src = [c for c in cols if c not in known]
+
+    out = snapshot
+    if "op" not in cols:
+        out = out.withColumn("op", F.lit("insert"))
+    if "seq" not in cols:
+        out = out.withColumn("seq", F.lit(int(watermark_seq)).cast("long"))
+    for n, dtype in BASE_DATA_FIELDS:
+        if n not in cols:
+            out = out.withColumn(n, F.lit(None).cast(dtype))
+    if extra_src:
+        # Only rows that HAVE a value carry the key (parse produces
+        # absent, not null, entries for absent members).
+        entries = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in extra_src
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+        built = F.map_from_entries(entries)
+        if EXTRAS_COL in cols:
+            built = F.map_concat(F.col(EXTRAS_COL), built)
+        out = out.withColumn(EXTRAS_COL, built).drop(*extra_src)
+    elif EXTRAS_COL not in cols:
+        out = out.withColumn(
+            EXTRAS_COL,
+            F.create_map().cast("map<string,string>"),
+        )
+    out = out.select(
+        "op", F.col("ts").cast("timestamp").alias("ts"), "seq",
+        *base_names, EXTRAS_COL,
+    )
+    return sink.apply(out, batch_id or f"bootstrap-seq-{watermark_seq}")
+
+
 def replay_parquet(
     spark: SparkSession,
     events_path: str,
     sink: ParquetSnapshotSink,
     num_batches: int = 1,
     evolve: bool = True,
+    min_seq: int | None = None,
 ) -> list[dict]:
     """Batch replay: split the event log into ``num_batches`` seq-range
     micro-batches (deterministic batch ids → resumable: already-applied
-    ranges are skipped by the sink)."""
+    ranges are skipped by the sink). ``min_seq`` starts the tail after
+    a bootstrap watermark (the filter is pushed to the parquet scan —
+    seq-sorted segments skip whole row groups via footer stats)."""
     events = spark.read.parquet(events_path)
+    if min_seq is not None:
+        events = events.filter(F.col("seq") >= min_seq)
     bounds = events.agg(
         F.min("seq").alias("lo"), F.max("seq").alias("hi")
     ).collect()[0]
@@ -100,12 +184,15 @@ def replay_segments(
     sink: ParquetSnapshotSink,
     num_batches: int = 1,
     evolve: bool = True,
+    min_seq: int | None = None,
 ) -> list[dict]:
     """Batch replay over a directory of seq-contiguous binlog segment
     files: each micro-batch reads EXACTLY its group of segment files
     (the file-source batching model), so per-batch scan cost is
     proportional to the batch — no monolithic-file re-open per batch.
-    Batch ids are the file-name ranges → deterministic and resumable."""
+    Batch ids are the file-name ranges → deterministic and resumable.
+    ``min_seq`` resumes the tail after a bootstrap watermark (pushed
+    to the scan; fully-covered segments cost one footer read)."""
     files = sorted(
         f
         for f in os.listdir(segments_dir)
@@ -124,6 +211,9 @@ def replay_segments(
             *[os.path.join(segments_dir, f) for f in group]
         )
         batch_id = f"seg-{group[0]}-{group[-1]}"
+        if min_seq is not None:
+            batch = batch.filter(F.col("seq") >= min_seq)
+            batch_id += f"@{min_seq}"
         out.append(apply_events_batch(batch, sink, batch_id, evolve=evolve))
     return out
 

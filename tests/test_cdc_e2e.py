@@ -246,3 +246,69 @@ def test_discover_extra_fields(spark):
         "seq long, event_json string",
     )
     assert discover_extra_fields(df) == ["model", "zz"]
+
+
+def test_bootstrap_snapshot_handoff_bit_exact(spark, events_parquet, oracle_state, tmp_path):
+    """Debezium-style initial load: snapshot-at-watermark + tail replay
+    must equal a full replay bit-for-bit (tombstones carried across the
+    handoff make it exact even under out-of-order event time)."""
+    from embulk_util_json_spark.streaming.runner import bootstrap_snapshot
+
+    events = spark.read.parquet(events_parquet)
+    w = N_EVENTS // 2
+
+    full = ParquetSnapshotSink(spark, str(tmp_path / "full"), num_buckets=8)
+    replay_parquet(spark, events_parquet, full, num_batches=2)
+
+    prefix = ParquetSnapshotSink(spark, str(tmp_path / "prefix"), num_buckets=8)
+    apply_events_batch(events.filter(F.col("seq") <= w), prefix, "prefix")
+    snap = prefix.read(include_tombstones=True, include_meta=True)
+
+    boot = ParquetSnapshotSink(
+        spark, str(tmp_path / "boot"), num_buckets=8, mode="mor"
+    )
+    bootstrap_snapshot(boot, snap, w)
+    replay_parquet(spark, events_parquet, boot, num_batches=2, min_seq=w + 1)
+
+    assert_matches_oracle(boot, oracle_state)
+    cols = sorted(full.read().columns)
+    assert sorted(boot.read().columns) == cols
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols)
+        for r in boot.read().collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols)
+        for r in full.read().collect()
+    }
+    assert got == want
+
+
+def test_bootstrap_plain_snapshot_defaults(spark, tmp_path):
+    """A payload-only snapshot (no op/seq/extras) bootstraps with
+    op='insert', seq=watermark; tail events with seq > watermark win
+    iff their (ts, seq) beats the snapshot row's (own ts, watermark)."""
+    from embulk_util_json_spark.streaming.runner import bootstrap_snapshot
+
+    snap = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello", None, "2024-01-01T00:00:10"),
+            ("c1", 1, "assistant", "hi", "search", "2024-01-01T00:00:20"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "s"), num_buckets=4)
+    bootstrap_snapshot(sink, snap, 100)
+
+    tail = spark.createDataFrame(
+        [
+            # newer ts -> wins
+            (101, '{"op":"update","ts":"2024-01-01T00:00:30","data":{"conv_id":"c1","turn_idx":0,"role":"user","text":"hello v2","tool":null}}'),
+            # older ts than the snapshot row -> loses despite higher seq
+            (102, '{"op":"update","ts":"2024-01-01T00:00:05","data":{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"stale","tool":null}}'),
+        ],
+        "seq long, event_json string",
+    )
+    apply_events_batch(tail, sink, "tail")
+    got = {(r.conv_id, r.turn_idx): r.text for r in sink.read().collect()}
+    assert got == {("c1", 0): "hello v2", ("c1", 1): "hi"}
