@@ -715,6 +715,43 @@ _ORACLE_ASOF = """
 """
 
 
+def _q_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed per-conversation activity (5-min tumbling
+    windows) over the parsed change stream — the batch shape of the
+    watermarked streaming aggregation (streaming/windowed.py); in
+    streaming the same operator runs under withWatermark with append-
+    mode exactly-once window emission."""
+    from embulk_util_json_spark.sources.events import (
+        parse_change_events_single_pass,
+    )
+    from embulk_util_json_spark.streaming.windowed import windowed_activity
+
+    changes = parse_change_events_single_pass(
+        _events_as_cdc_json(spark, sf_dir)
+    )
+    return windowed_activity(changes, window_duration="5 minutes")
+
+
+# Spark's window() aligns tumbling windows to the epoch; FLOOR of
+# epoch seconds reproduces it exactly at minute granularity. CASTs pin
+# DuckDB's HUGEINT SUM and BIGINT COUNT to Spark's LongType.
+_ORACLE_WINDOWED = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS})
+    SELECT
+        CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300)
+             AS TIMESTAMP) AS window_start,
+        CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 + 300)
+             AS TIMESTAMP) AS window_end,
+        conv_id,
+        COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_deletes,
+        MAX(turn_idx) AS max_turn
+    FROM changes
+    GROUP BY 1, 2, 3
+"""
+
+
 def _q_quality_topk_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pipeline: exact-dedup to canonical docs, broadcast-join
     quality scores, global top-10 by (quality desc, doc_id)."""
@@ -1016,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_sessionize_native": _q_events_sessionize_native,
         "events_asof_join": _q_events_asof_join,
+        "windowed_activity": _q_windowed_activity,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -1055,5 +1093,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _ORACLE_SESSIONIZE,
         "events_sessionize_native": _ORACLE_SESSIONIZE,
         "events_asof_join": _ORACLE_ASOF,
+        "windowed_activity": _ORACLE_WINDOWED,
         **_pipeline_oracles(),
     }

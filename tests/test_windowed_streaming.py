@@ -1,0 +1,134 @@
+"""Watermarked event-time windowed aggregation: append-mode windows
+emit exactly once when finalized; late-within-watermark events count,
+later-than-watermark events are dropped."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.sources.events import parse_change_events_single_pass
+from embulk_util_json_spark.streaming.runner import EVENTS_SCHEMA
+from embulk_util_json_spark.streaming.windowed import windowed_activity
+
+
+def _ev(seq, ts, conv="c1", turn=0, op="insert"):
+    return (
+        seq,
+        json.dumps(
+            {
+                "op": op,
+                "ts": ts,
+                "data": {
+                    "conv_id": conv,
+                    "turn_idx": turn,
+                    "role": "user",
+                    "text": f"t{seq}",
+                    "tool": None,
+                },
+            }
+        ),
+    )
+
+
+def _write(rows, path):
+    seqs, js = zip(*rows)
+    pq.write_table(
+        pa.table({"seq": pa.array(seqs, pa.int64()), "event_json": pa.array(js)}),
+        str(path),
+    )
+
+
+def test_windowed_activity_watermark_late_data(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    agg = windowed_activity(
+        parse_change_events_single_pass(stream),
+        window_duration="1 minute",
+        watermark_delay="2 minutes",
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # batch 1: two events in window [00:00, 00:01), one delete in
+        # [00:05, 00:06) → max event time 00:05:00, watermark (after
+        # this batch) = 00:03:00 → the [00:00, 00:01) window is now
+        # older than the watermark.
+        _write(
+            [
+                _ev(1, "2024-01-01T00:00:10"),
+                _ev(2, "2024-01-01T00:00:50", turn=1),
+                _ev(3, "2024-01-01T00:05:00", op="delete", turn=0),
+            ],
+            src / "f1.parquet",
+        )
+        q.processAllAvailable()
+
+        # batch 2: one event at 00:00:30 is LATER than the watermark
+        # (00:03) → dropped, its window already finalized; one at
+        # 00:04:30 lands in the still-open [00:04, 00:05) window; one
+        # at 00:10:00 advances the watermark to 00:08 so every earlier
+        # window finalizes.
+        _write(
+            [
+                _ev(4, "2024-01-01T00:00:30", turn=2),  # too late: dropped
+                _ev(5, "2024-01-01T00:04:30", turn=3),  # within watermark
+                _ev(6, "2024-01-01T00:10:00", turn=4),
+            ],
+            src / "f2.parquet",
+        )
+        q.processAllAvailable()
+        # one more empty-input cycle so the advanced watermark emits
+        # the finalized windows
+        _write([_ev(7, "2024-01-01T00:10:01", turn=5)], src / "f3.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.window_start.isoformat(), r.conv_id): (
+            r.n_events,
+            r.n_deletes,
+            r.max_turn,
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    # [00:00, 00:01): finalized with the 2 on-time events ONLY — the
+    # seq-4 late event was dropped, so n_events=2 and max_turn=1 (not 2)
+    assert rows[("2024-01-01T00:00:00", "c1")] == (2, 0, 1)
+    # [00:05, 00:06): the delete
+    assert rows[("2024-01-01T00:05:00", "c1")] == (1, 1, 0)
+    # [00:04, 00:05): the late-but-within-watermark event WAS counted
+    assert rows[("2024-01-01T00:04:00", "c1")] == (1, 0, 3)
+    # the 00:10 windows are still open (watermark 00:08:01) → not emitted
+    assert ("2024-01-01T00:10:00", "c1") not in rows
+
+
+def test_windowed_activity_batch_shape(spark):
+    """Batch mode: same operator, watermark a no-op, every window
+    present (this shape is the windowed_activity oracle query)."""
+    df = spark.createDataFrame(
+        [_ev(1, "2024-01-01T00:00:10"), _ev(2, "2024-01-01T00:02:30", turn=7)],
+        "seq long, event_json string",
+    )
+    got = {
+        (r.window_start.isoformat(), r.conv_id): (r.n_events, r.max_turn)
+        for r in windowed_activity(
+            parse_change_events_single_pass(df)
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", "c1"): (1, 0),
+        ("2024-01-01T00:02:00", "c1"): (1, 7),
+    }
