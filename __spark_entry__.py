@@ -395,6 +395,69 @@ def _q_transcript_merge_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_consecutive_roles(_final_state(spark, sf_dir))
 
 
+def _dq_rules():
+    """(spark rules, mirrored SQL rules) for the transcripts DQ gate —
+    one source of truth per rule, expressed twice, keyed identically."""
+    spark_rules = {
+        "key_not_null": F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull(),
+        "turn_in_range": (F.col("turn_idx") >= 0) & (F.col("turn_idx") <= 24),
+        "role_known": F.col("role").isin("r0", "r1", "r2", "r3"),
+        "text_nonempty": F.length("text") > 0,
+        "ts_not_null": F.col("ts").isNotNull(),
+        "turn_lt_20": F.col("turn_idx") < 20,  # deliberately violable
+    }
+    sql_rules = {
+        "key_not_null": "conv_id IS NOT NULL AND turn_idx IS NOT NULL",
+        "turn_in_range": "turn_idx >= 0 AND turn_idx <= 24",
+        "role_known": "role IN ('r0','r1','r2','r3')",
+        "text_nonempty": "length(text) > 0",
+        "ts_not_null": "ts IS NOT NULL",
+        "turn_lt_20": "turn_idx < 20",
+    }
+    return spark_rules, sql_rules
+
+
+def _q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over the replayed transcripts table: one scan,
+    one aggregate, a (rule, counts) row per constraint."""
+    from embulk_util_json_spark.pipeline.dq import dq_summary
+
+    rules, _ = _dq_rules()
+    return dq_summary(_final_state(spark, sf_dir), rules)
+
+
+def _q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failing rows with their failed-rule list (comma-joined for
+    hash-stable comparison) — the quarantine feed of the DQ gate."""
+    from embulk_util_json_spark.pipeline.dq import dq_violations
+
+    rules, _ = _dq_rules()
+    out = dq_violations(
+        _final_state(spark, sf_dir), rules, ["conv_id", "turn_idx"]
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join("failed_rules", ",").alias("failed_rules"),
+    )
+
+
+def _dq_oracles() -> dict[str, str]:
+    from embulk_util_json_spark.pipeline.dq import (
+        dq_summary_sql,
+        dq_violations_sql,
+    )
+
+    _, sql_rules = _dq_rules()
+    return {
+        "dq_summary": dq_summary_sql(_ORACLE_CDC_FINAL, sql_rules),
+        "dq_violations": dq_violations_sql(
+            _ORACLE_CDC_FINAL, sql_rules, ["conv_id", "turn_idx"]
+        ),
+    }
+
+
 def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII hit counts (email/phone/ipv4/ssn) — codegen'd
     regexp_count scans, patterns in the Java∩RE2 subset."""
@@ -1041,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_stats": _q_transcript_stats,
         "transcript_role_violations": _q_transcript_role_violations,
         "transcript_merge_roles": _q_transcript_merge_roles,
+        "dq_summary": _q_dq_summary,
+        "dq_violations": _q_dq_violations,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
@@ -1094,5 +1159,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_native": _ORACLE_SESSIONIZE,
         "events_asof_join": _ORACLE_ASOF,
         "windowed_activity": _ORACLE_WINDOWED,
+        **_dq_oracles(),
         **_pipeline_oracles(),
     }
