@@ -167,6 +167,36 @@ class ParquetSnapshotSink:
         m = self.current_manifest()
         return m["batch_ids"] if m else []
 
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage/metrics as a queryable DataFrame: one
+        row per (apply, bucket) with batch identity, rows landed in
+        that bucket, and the apply's throughput counters. Driver-side
+        manifest JSON → createDataFrame (metadata-sized: ≤1000 applies
+        × buckets — no table scan)."""
+        m = self.current_manifest()
+        rows = []
+        for a in (m or {}).get("applies", []):
+            per_bucket = a.get("rows_per_bucket") or {}
+            for b, n in sorted(per_bucket.items(), key=lambda kv: int(kv[0])):
+                rows.append(
+                    (
+                        a.get("version"),
+                        a.get("batch_id"),
+                        int(b),
+                        int(n),
+                        a.get("change_rows"),
+                        a.get("malformed_rows"),
+                        float(a.get("wall_sec") or 0.0),
+                        float(a.get("events_per_sec") or 0.0),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, batch_id string, bucket int, bucket_rows long, "
+            "change_rows long, malformed_rows long, wall_sec double, "
+            "events_per_sec double",
+        )
+
     def _empty_manifest(self) -> dict:
         return {
             "version": 0,

