@@ -235,8 +235,21 @@ class ParquetSnapshotSink:
 
     # ---- apply (the MERGE) ---------------------------------------------
 
-    def _bucket_expr(self):
-        return F.pmod(F.xxhash64(F.col(self.bucket_by)), F.lit(self.num_buckets))
+    def _bucket_expr(self, col=None):
+        if col is None:
+            col = F.col(self.bucket_by)
+        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets))
+
+    def bucket_of(self, value) -> int:
+        """Bucket of a key value, computed with the SAME expression the
+        writer uses (xxhash64 is bit-stable across versions/runs, so
+        buckets are recomputable from the key — never stored). The
+        1-row job constant-folds; no data is scanned."""
+        return int(
+            self.spark.range(1)
+            .select(self._bucket_expr(F.lit(value)).alias("b"))
+            .collect()[0].b
+        )
 
     def apply(self, changes: DataFrame, batch_id: str) -> dict:
         """MERGE one micro-batch of change rows. Returns apply metrics.
@@ -451,6 +464,7 @@ class ParquetSnapshotSink:
         include_tombstones: bool = False,
         include_meta: bool = False,
         at_version: int | None = None,
+        key_eq: dict | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -459,18 +473,38 @@ class ParquetSnapshotSink:
         MOR delta chains are merged here with the same LWW reduction
         the writer uses — LWW over (ts, seq) is associative, so
         merge-at-read of pre-reduced levels equals sequential apply.
+
+        ``key_eq`` — equality predicates on key columns (point/prefix
+        lookup). When it pins ``bucket_by``, only that key's bucket
+        chain is opened — O(chain), not O(table) — and the equality
+        filters sit directly on the scan, so parquet row-group stats
+        (files are sorted within buckets by the keys) prune further.
+        Filtering before the LWW merge is exact: LWW reduces per key,
+        and every row of a key carries the same key values.
         """
         manifest = (
             self.manifest_at(at_version) if at_version else self.current_manifest()
         )
         if not manifest or not manifest["buckets"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMA)
-        df = self._read_bucket_paths(self._all_paths(manifest))
+        if key_eq and self.bucket_by in key_eq:
+            chain = self._paths_of(
+                manifest, str(self.bucket_of(key_eq[self.bucket_by]))
+            )
+            if not chain:
+                return self.spark.createDataFrame([], EMPTY_SCHEMA)
+            df = self._read_bucket_paths(chain)
+            depth = len(chain)
+        else:
+            df = self._read_bucket_paths(self._all_paths(manifest))
+            depth = self._chain_depth(manifest)
         # Null-key guard: quarantined (malformed) rows are stored as a
         # null-key group rather than pre-filtered before the shuffle
         # (see runner.apply_events_batch); they never surface in reads.
         df = df.filter(F.col(self.keys[0]).isNotNull())
-        if self._chain_depth(manifest) > 1:
+        for k, v in (key_eq or {}).items():
+            df = df.filter(F.col(k) == F.lit(v))
+        if depth > 1:
             df = lww_agg(df, self.keys, self.order_cols)
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")

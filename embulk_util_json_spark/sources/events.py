@@ -79,10 +79,14 @@ def discover_extra_fields(events: DataFrame, json_col: str = "event_json") -> li
     return sorted(r.k for r in rows)
 
 
+TABLE_COL = "_table"
+
+
 def parse_change_events_single_pass(
     events: DataFrame,
     json_col: str = "event_json",
     seq_col: str = "seq",
+    with_table: bool = False,
 ) -> DataFrame:
     """Single-pass envelope parse for the hot replay path: ONE
     ``from_json`` with ``data`` as ``map<string,string>`` — typed base
@@ -98,14 +102,20 @@ def parse_change_events_single_pass(
     materializes them as string columns. Old rows read NULL. This
     halves the JSON-parse work per batch versus discover-then-parse
     and removes one Spark job per micro-batch.
+
+    ``with_table=True`` additionally extracts the envelope's optional
+    top-level ``table`` member into a ``_table`` column (multiplexed
+    CDC streams — Debezium-style topic routing; events without it
+    read NULL). Same single parse; the extra struct field is free.
     """
-    schema = T.StructType(
-        [
-            T.StructField("op", T.StringType()),
-            T.StructField("ts", T.StringType()),
-            T.StructField("data", T.MapType(T.StringType(), T.StringType())),
-        ]
-    )
+    env_fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+    ]
+    if with_table:
+        env_fields.insert(0, T.StructField("table", T.StringType()))
+    schema = T.StructType(env_fields)
     # Two-step projection: materialize the parsed struct under ONE
     # alias, then extract fields from it in a second select. Inlining
     # from_json per output column defeats Catalyst's common-
@@ -121,6 +131,8 @@ def parse_change_events_single_pass(
         F.to_timestamp(F.col("_e.ts")).alias("ts"),
         F.col("seq"),
     ]
+    if with_table:
+        cols.insert(0, F.col("_e.table").alias(TABLE_COL))
     for name, dtype in BASE_DATA_FIELDS:
         cols.append(F.col("_e.data")[name].cast(dtype).alias(name))
     cols.append(

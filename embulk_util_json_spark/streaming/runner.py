@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..sources.events import (
     BASE_DATA_FIELDS,
     EXTRAS_COL,
+    TABLE_COL,
     discover_extra_fields,
     parse_change_events,
     parse_change_events_single_pass,
@@ -63,6 +64,42 @@ def apply_events_batch(
     else:
         changes = parse_change_events(events)
     return sink.apply(changes, batch_id)
+
+
+def route_tables(
+    events: DataFrame,
+    sinks: dict[str, ParquetSnapshotSink],
+    batch_id: str,
+) -> dict:
+    """Demultiplex one micro-batch of a MULTI-TABLE change stream
+    (envelopes carrying a top-level ``table`` member — Debezium topic
+    routing) into per-table sinks.
+
+    ONE envelope parse for the whole batch (``_table`` rides the same
+    from_json), then the parsed batch is persisted and each sink
+    applies its filtered slice — T table-applies re-scan the cached
+    Arrow/Tungsten rows, never the JSON. Per-table batch ids
+    (``batch_id:table``) keep exactly-once independent per table, so
+    a crash mid-routing resumes exactly where it stopped: committed
+    tables skip, uncommitted re-apply.
+
+    Rows with an unknown or missing ``table`` are counted (one
+    aggregate on the cached batch) and left unapplied — the router's
+    quarantine contract mirrors the parser's malformed-row taxonomy.
+    """
+    changes = parse_change_events_single_pass(events, with_table=True)
+    changes = changes.persist()
+    try:
+        results: dict[str, dict] = {}
+        for name, sink in sinks.items():
+            sub = changes.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
+            results[name] = sink.apply(sub, f"{batch_id}:{name}")
+        unrouted = changes.filter(
+            F.col(TABLE_COL).isNull() | ~F.col(TABLE_COL).isin(*sinks)
+        ).count()
+        return {"tables": results, "unrouted_rows": unrouted}
+    finally:
+        changes.unpersist()
 
 
 def bootstrap_snapshot(

@@ -312,3 +312,79 @@ def test_bootstrap_plain_snapshot_defaults(spark, tmp_path):
     apply_events_batch(tail, sink, "tail")
     got = {(r.conv_id, r.turn_idx): r.text for r in sink.read().collect()}
     assert got == {("c1", 0): "hello v2", ("c1", 1): "hi"}
+
+
+def _mt_ev(seq, table, conv, turn, text, ts="2024-01-01T00:00:01", op="insert"):
+    return (
+        seq,
+        json.dumps(
+            {
+                "table": table,
+                "op": op,
+                "ts": ts,
+                "data": {
+                    "conv_id": conv,
+                    "turn_idx": turn,
+                    "role": "user",
+                    "text": text,
+                    "tool": None,
+                },
+            }
+        ),
+    )
+
+
+def test_route_tables_demux(spark, tmp_path):
+    """Multiplexed stream → per-table sinks: one parse, per-table
+    exactly-once, unknown/missing table counted as unrouted."""
+    from embulk_util_json_spark.streaming.runner import route_tables
+
+    rows = [
+        _mt_ev(1, "transcripts", "c1", 0, "a"),
+        _mt_ev(2, "transcripts", "c1", 1, "b"),
+        _mt_ev(3, "audit", "c9", 0, "audit-row"),
+        _mt_ev(4, "unknown_tbl", "cx", 0, "lost"),
+        (5, json.dumps({"op": "insert", "ts": "2024-01-01T00:00:01",
+                        "data": {"conv_id": "cy", "turn_idx": 0, "role": "user",
+                                 "text": "no table", "tool": None}})),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    sinks = {
+        "transcripts": ParquetSnapshotSink(
+            spark, str(tmp_path / "transcripts"), num_buckets=2
+        ),
+        "audit": ParquetSnapshotSink(spark, str(tmp_path / "audit"), num_buckets=2),
+    }
+    out = route_tables(df, sinks, "b0")
+    assert out["unrouted_rows"] == 2
+    assert {r.conv_id for r in sinks["transcripts"].read().collect()} == {"c1"}
+    assert {r.text for r in sinks["audit"].read().collect()} == {"audit-row"}
+    assert sinks["transcripts"].applied_batch_ids() == ["b0:transcripts"]
+
+    # redelivery of the same batch id is a per-table no-op
+    out2 = route_tables(df, sinks, "b0")
+    assert out2["tables"]["transcripts"]["skipped"]
+    assert sinks["transcripts"].read().count() == 2
+
+
+def test_route_tables_resume_after_partial_crash(spark, tmp_path):
+    """Crash after table A committed but before table B: re-routing the
+    batch skips A and applies B — exactly-once stays per-table."""
+    from embulk_util_json_spark.streaming.runner import route_tables
+
+    rows = [
+        _mt_ev(1, "a", "c1", 0, "x"),
+        _mt_ev(2, "b", "c2", 0, "y"),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    sink_a = ParquetSnapshotSink(spark, str(tmp_path / "a"), num_buckets=2)
+    sink_b = ParquetSnapshotSink(spark, str(tmp_path / "b"), num_buckets=2)
+
+    # only route table a (simulates crash before b was reached)
+    route_tables(df, {"a": sink_a}, "b0")
+    assert sink_a.read().count() == 1 and sink_b.read().count() == 0
+
+    out = route_tables(df, {"a": sink_a, "b": sink_b}, "b0")
+    assert out["tables"]["a"].get("skipped")
+    assert "skipped" not in out["tables"]["b"]
+    assert sink_a.read().count() == 1 and sink_b.read().count() == 1

@@ -297,3 +297,73 @@ def test_lineage_dataframe(spark, events_parquet, tmp_path):
     }
     for b, s in per_batch.items():
         assert s > 0
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, events_parquet, tmp_path):
+    """read(key_eq=...) opens ONLY the key's bucket chain (O(chain),
+    not O(table)) and returns exactly the full-read rows for that key."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=8, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+
+    full = sink.read().collect()
+    some_key = next((r.conv_id, r.turn_idx) for r in full)
+    want = sorted(
+        tuple(r) for r in full
+        if (r.conv_id, r.turn_idx) == some_key
+    )
+
+    opened: list[list[str]] = []
+    orig = sink._read_bucket_paths
+
+    def spy(rel_paths):
+        opened.append(list(rel_paths))
+        return orig(rel_paths)
+
+    sink._read_bucket_paths = spy
+    got = sorted(
+        tuple(r)
+        for r in sink.read(
+            key_eq={"conv_id": some_key[0], "turn_idx": some_key[1]}
+        ).collect()
+    )
+    sink._read_bucket_paths = orig
+
+    assert got == want and len(got) == 1
+    # every opened path belongs to the single bucket of the key
+    b = sink.bucket_of(some_key[0])
+    assert opened and all(
+        p.endswith(f"_bucket={b}") for paths in opened for p in paths
+    )
+    # and it is a strict subset of the full-table path set
+    assert len(opened[-1]) < len(sink._all_paths(sink.current_manifest()))
+
+
+def test_point_lookup_missing_key_and_deleted_key(spark, events_parquet, tmp_path):
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=8, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=2)
+    assert sink.read(key_eq={"conv_id": "no-such-conv"}).count() == 0
+    # a tombstoned key returns nothing without include_tombstones
+    dead = (
+        sink.read(include_tombstones=True, include_meta=True)
+        .filter(F.col("op") == "delete")
+        .select("conv_id", "turn_idx")
+        .first()
+    )
+    if dead is not None:
+        assert (
+            sink.read(
+                key_eq={"conv_id": dead.conv_id, "turn_idx": dead.turn_idx}
+            ).count()
+            == 0
+        )
+        assert (
+            sink.read(
+                include_tombstones=True,
+                key_eq={"conv_id": dead.conv_id, "turn_idx": dead.turn_idx},
+            ).count()
+            == 1
+        )
