@@ -458,6 +458,65 @@ def _dq_oracles() -> dict[str, str]:
     }
 
 
+def _q_export_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: the full path from raw change events to a
+    train-ready corpus slice — CDC replay final state → transcript
+    assembly → quality + language scoring → exact dedup → threshold
+    filter. All derived frames share the conv_id aggregation keying,
+    so Catalyst reuses the assembled-docs exchange instead of
+    recomputing the replay per branch."""
+    from embulk_util_json_spark.pipeline.dedup import exact_dup_groups
+    from embulk_util_json_spark.pipeline.text import lang_id, quality_score
+    from embulk_util_json_spark.pipeline.transcripts import (
+        assemble_conversations,
+    )
+
+    docs = assemble_conversations(_final_state(spark, sf_dir))
+    q = quality_score(docs, "document", ["conv_id"])
+    lang = lang_id(docs, "document", ["conv_id"]).select("conv_id", "lang_pred")
+    dd = exact_dup_groups(docs, "document", "conv_id").select(
+        "conv_id", "is_dup"
+    )
+    return (
+        docs.join(q, "conv_id")
+        .join(lang, "conv_id")
+        .join(dd, "conv_id")
+        .filter(
+            (~F.col("is_dup"))
+            & (F.col("n_turns") >= 3)
+            & (F.col("quality") > 0.2)
+        )
+        .select(
+            "conv_id", "n_turns", "n_chars", "n_words", "quality", "lang_pred"
+        )
+    )
+
+
+def _export_training_sql() -> str:
+    from embulk_util_json_spark.pipeline.dedup import exact_dup_groups_sql
+    from embulk_util_json_spark.pipeline.text import (
+        lang_id_sql,
+        quality_score_sql,
+    )
+    from embulk_util_json_spark.pipeline.transcripts import (
+        assemble_conversations_sql,
+    )
+
+    return f"""
+    WITH _docs AS ({assemble_conversations_sql(_ORACLE_CDC_FINAL)}),
+    _q AS ({quality_score_sql("_docs", "document", ["conv_id"])}),
+    _l AS ({lang_id_sql("_docs", "document", ["conv_id"])}),
+    _dd AS ({exact_dup_groups_sql("_docs", "document", "conv_id")})
+    SELECT d.conv_id, d.n_turns, q.n_chars, q.n_words, q.quality,
+           l.lang_pred
+    FROM _docs d
+    JOIN _q q ON d.conv_id = q.conv_id
+    JOIN _l l ON d.conv_id = l.conv_id
+    JOIN _dd dd ON d.conv_id = dd.conv_id
+    WHERE NOT dd.is_dup AND d.n_turns >= 3 AND q.quality > 0.2
+    """
+
+
 def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII hit counts (email/phone/ipv4/ssn) — codegen'd
     regexp_count scans, patterns in the Java∩RE2 subset."""
@@ -1106,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_merge_roles": _q_transcript_merge_roles,
         "dq_summary": _q_dq_summary,
         "dq_violations": _q_dq_violations,
+        "export_training_set": _q_export_training_set,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
@@ -1159,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_native": _ORACLE_SESSIONIZE,
         "events_asof_join": _ORACLE_ASOF,
         "windowed_activity": _ORACLE_WINDOWED,
+        "export_training_set": _export_training_sql(),
         **_dq_oracles(),
         **_pipeline_oracles(),
     }
