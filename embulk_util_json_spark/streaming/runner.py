@@ -284,6 +284,35 @@ def stream_directory(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         apply_events_batch(batch_df, sink, f"{stream_id}-epoch-{epoch_id}", evolve=evolve)
 
+    return _start(stream, handle, checkpoint_dir)
+
+
+def stream_directory_multi(
+    spark: SparkSession,
+    events_dir: str,
+    sinks: dict[str, ParquetSnapshotSink],
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming tail of a MULTIPLEXED change-event directory: each
+    micro-batch is demuxed by the envelope's ``table`` member into the
+    per-table sinks (``route_tables`` — one parse per batch, per-table
+    exactly-once batch ids, so a crash between table commits within an
+    epoch resumes per-table on redelivery)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(events_dir)
+    stream_id = checkpoint_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        route_tables(batch_df, sinks, f"{stream_id}-epoch-{epoch_id}")
+
+    return _start(stream, handle, checkpoint_dir)
+
+
+def _start(stream, handle, checkpoint_dir: str):
     return (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

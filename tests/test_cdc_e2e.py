@@ -388,3 +388,53 @@ def test_route_tables_resume_after_partial_crash(spark, tmp_path):
     assert out["tables"]["a"].get("skipped")
     assert "skipped" not in out["tables"]["b"]
     assert sink_a.read().count() == 1 and sink_b.read().count() == 1
+
+
+def test_stream_directory_multi_demux_and_resume(spark, tmp_path):
+    """Streaming demux: a multiplexed directory tails into per-table
+    sinks; checkpoint restart with a new file applies only the new
+    epoch, per-table exactly-once intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_util_json_spark.streaming.runner import stream_directory_multi
+
+    def write(rows, path):
+        seqs, js = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {"seq": pa.array(seqs, pa.int64()), "event_json": pa.array(js)}
+            ),
+            str(path),
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    write(
+        [
+            _mt_ev(1, "transcripts", "c1", 0, "a"),
+            _mt_ev(2, "audit", "c2", 0, "b"),
+        ],
+        src / "f1.parquet",
+    )
+    sinks = {
+        "transcripts": ParquetSnapshotSink(
+            spark, str(tmp_path / "t"), num_buckets=2
+        ),
+        "audit": ParquetSnapshotSink(spark, str(tmp_path / "a"), num_buckets=2),
+    }
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_directory_multi(spark, str(src), sinks, ckpt)
+    q.awaitTermination()
+    assert sinks["transcripts"].read().count() == 1
+    assert sinks["audit"].read().count() == 1
+
+    write([_mt_ev(3, "audit", "c3", 0, "c")], src / "f2.parquet")
+    q2 = stream_directory_multi(spark, str(src), sinks, ckpt)
+    q2.awaitTermination()
+    assert sinks["transcripts"].read().count() == 1
+    assert sinks["audit"].read().count() == 2
+    # per-table batch ids are epoch-scoped
+    assert all(
+        b.startswith("ckpt-epoch-") for b in sinks["audit"].applied_batch_ids()
+    )
