@@ -367,3 +367,30 @@ def test_point_lookup_missing_key_and_deleted_key(spark, events_parquet, tmp_pat
             ).count()
             == 1
         )
+
+
+def test_point_lookup_filters_reach_parquet_scan(spark, events_parquet, tmp_path):
+    """The key_eq equality predicates must be PUSHED to the parquet
+    scan (row-group stats pruning within the bucket chain), not applied
+    post-scan only."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=4, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=2)
+    df = sink.read(key_eq={"conv_id": "c000001", "turn_idx": 3})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        "conv_id" in l and "turn_idx" in l and "IsNotNull" not in l.split("PushedFilters")[0]
+        for l in pushed
+    ), pushed
+
+
+def test_replay_min_seq_pushdown(spark, events_parquet, tmp_path):
+    """min_seq tail filters reach the binlog parquet scan."""
+    from pyspark.sql import functions as F2
+
+    events = spark.read.parquet(events_parquet).filter(F2.col("seq") >= 1234)
+    plan = events._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(seq,1234)" in plan
