@@ -41,6 +41,7 @@ def apply_events_batch(
     sink: ParquetSnapshotSink,
     batch_id: str,
     evolve: bool = True,
+    quarantine_dir: str | None = None,
 ) -> dict:
     """Parse one micro-batch of raw events and MERGE into the sink.
 
@@ -63,7 +64,38 @@ def apply_events_batch(
         changes = parse_change_events_single_pass(events)
     else:
         changes = parse_change_events(events)
-    return sink.apply(changes, batch_id)
+    result = sink.apply(changes, batch_id)
+    if (
+        quarantine_dir
+        and not result.get("skipped")
+        and result.get("malformed_rows")
+    ):
+        _quarantine_malformed(events, batch_id, quarantine_dir)
+        result["quarantined_to"] = quarantine_dir
+    return result
+
+
+def _quarantine_malformed(
+    events: DataFrame, batch_id: str, quarantine_dir: str
+) -> None:
+    """Dead-letter the RAW rows whose envelope failed the permissive
+    parse (the reference's row-skippable JsonParseException taxonomy,
+    JsonParseException.java:24-43 — policy 'quarantine' for the CDC
+    path). Runs ONLY when the apply's observe() counted malformed rows,
+    so clean batches (the overwhelming case) never pay the extra scan.
+    Per-batch overwrite keeps replays idempotent."""
+    parsed = events.select(
+        "*",
+        F.from_json(
+            F.col("event_json"),
+            "op string, data struct<conv_id:string>",
+        ).alias("_e"),
+    )
+    bad = parsed.filter(
+        F.col("_e.op").isNull() | F.col("_e.data.conv_id").isNull()
+    ).drop("_e")
+    safe = "".join(c if c.isalnum() or c in "-." else "_" for c in batch_id)
+    bad.write.mode("overwrite").parquet(os.path.join(quarantine_dir, safe))
 
 
 def route_tables(
@@ -165,7 +197,15 @@ def bootstrap_snapshot(
         )
         built = F.map_from_entries(entries)
         if EXTRAS_COL in cols:
-            built = F.map_concat(F.col(EXTRAS_COL), built)
+            # column value wins over a same-named map entry (dedup
+            # BEFORE concat: Spark's default mapKeyDedupPolicy raises
+            # on duplicates)
+            built = F.map_concat(
+                F.map_filter(
+                    F.col(EXTRAS_COL), lambda k, _v: ~k.isin(*extra_src)
+                ),
+                built,
+            )
         out = out.withColumn(EXTRAS_COL, built).drop(*extra_src)
     elif EXTRAS_COL not in cols:
         out = out.withColumn(

@@ -438,3 +438,38 @@ def test_stream_directory_multi_demux_and_resume(spark, tmp_path):
     assert all(
         b.startswith("ckpt-epoch-") for b in sinks["audit"].applied_batch_ids()
     )
+
+
+def test_quarantine_dead_letter_raw_rows(spark, tmp_path):
+    """Malformed envelopes are dead-lettered as RAW (seq, event_json)
+    rows — only when the batch actually had any (clean batches pay no
+    extra scan) — and replays of a committed batch don't rewrite."""
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    rows = [
+        (1, '{"op":"insert","ts":"2024-01-01T00:00:01","data":{"conv_id":"c1","turn_idx":0,"role":"user","text":"ok","tool":null}}'),
+        (2, 'this is not json at all'),
+        (3, '{"op":"update","ts":"2024-01-01T00:00:02","data":{"turn_idx":1}}'),  # no conv_id
+        (4, '{"op":"insert","ts":"2024-01-01T00:00:03","data":{"conv_id":"c2","turn_idx":0,"role":"user","text":"ok2","tool":null}}'),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    qdir = str(tmp_path / "dead")
+    out = apply_events_batch(df, sink, "b0", quarantine_dir=qdir)
+    assert out["malformed_rows"] == 2
+    assert out["quarantined_to"] == qdir
+
+    dead = spark.read.parquet(qdir + "/b0").orderBy("seq").collect()
+    assert [r.seq for r in dead] == [2, 3]
+    assert dead[0].event_json == "this is not json at all"
+    assert sink.read().count() == 2
+
+    # replay of the committed batch: no-op, quarantine untouched
+    out2 = apply_events_batch(df, sink, "b0", quarantine_dir=qdir)
+    assert out2.get("skipped")
+
+    # clean batch: no quarantine subdir is written
+    clean = spark.createDataFrame([rows[0]], "seq long, event_json string")
+    out3 = apply_events_batch(clean, sink, "b1", quarantine_dir=qdir)
+    assert "quarantined_to" not in out3
+    assert sorted(os.listdir(qdir)) == ["b0"]

@@ -1,0 +1,118 @@
+"""Property-based hardening of the LWW core (SURVEY §7.3 hard-part
+#1): for random event multisets with deliberate (ts) and (ts, seq)
+ties, duplicate deliveries, and arbitrary arrival order, all three
+engine variants (agg / window / salted) must equal an independent
+pure-Python fold, and the reduction must be arrival-order-insensitive
+and duplicate-delivery-idempotent — the properties that make replay +
+at-least-once delivery safe.
+
+One Spark roundtrip per example → small example budget; the pure-
+Python mirror of the same properties runs with a generous budget.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from embulk_util_json_spark.operators.lww import lww_agg, lww_salted, lww_window
+
+# events: (key, ts, seq, payload) with tiny domains to force ties and
+# hot keys. seq is NOT necessarily unique across rows -> duplicate
+# deliveries of the same (ts, seq) carry identical payloads (the
+# at-least-once contract: a redelivery is byte-identical).
+_event = st.tuples(
+    st.sampled_from(["k0", "k1", "k2"]),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=9),
+)
+
+
+def _payload(key: str, ts: int, seq: int) -> str:
+    return f"{key}|{ts}|{seq}"
+
+
+def _rows(events):
+    return [(k, t, s, _payload(k, t, s)) for k, t, s in events]
+
+
+def _oracle(rows):
+    best: dict = {}
+    for k, t, s, p in rows:
+        if k not in best or (t, s) > best[k][:2]:
+            best[k] = (t, s, p)
+    return {k: v[2] for k, v in best.items()}
+
+
+def _collect(df):
+    return {r.key: r.payload for r in df.collect()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=st.lists(_event, min_size=1, max_size=24), seed=st.integers(0, 2**16))
+def test_lww_variants_equal_oracle_any_order(spark, events, seed):
+    rows = _rows(events)
+    random.Random(seed).shuffle(rows)  # arrival order must not matter
+    df = spark.createDataFrame(
+        rows, "key string, ts int, seq int, payload string"
+    )
+    want = _oracle(rows)
+    assert _collect(lww_agg(df, ["key"], ["ts", "seq"])) == want
+    assert _collect(lww_window(df, ["key"], ["ts", "seq"])) == want
+    assert (
+        _collect(lww_salted(df, ["key"], ["ts", "seq"], salt_buckets=4))
+        == want
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(_event, min_size=1, max_size=16),
+    dup_idx=st.lists(st.integers(0, 15), max_size=8),
+)
+def test_lww_duplicate_delivery_idempotent(spark, events, dup_idx):
+    rows = _rows(events)
+    dups = rows + [rows[i % len(rows)] for i in dup_idx]
+    a = lww_agg(
+        spark.createDataFrame(rows, "key string, ts int, seq int, payload string"),
+        ["key"],
+        ["ts", "seq"],
+    )
+    b = lww_agg(
+        spark.createDataFrame(dups, "key string, ts int, seq int, payload string"),
+        ["key"],
+        ["ts", "seq"],
+    )
+    assert _collect(a) == _collect(b) == _oracle(rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events=st.lists(_event, min_size=1, max_size=40),
+    cut=st.integers(0, 40),
+)
+def test_lww_fold_is_associative_pure(events, cut):
+    """Pure-Python mirror with a big budget: folding a prefix and a
+    suffix separately, then folding the two partial states, equals one
+    fold — the associativity that makes MOR chain-merge ≡ sequential
+    apply and bootstrap handoff exact."""
+    rows = _rows(events)
+    cut = min(cut, len(rows))
+    left, right = rows[:cut], rows[cut:]
+
+    def fold_state(state_rows):
+        st_ = _oracle(state_rows)
+        # re-materialize partial state as rows (ts, seq) of the winner
+        out = []
+        for k, p in st_.items():
+            _, t, s = p.split("|")
+            out.append((k, int(t), int(s), p))
+        return out
+
+    merged = _oracle(fold_state(left) + fold_state(right))
+    assert merged == _oracle(rows)
