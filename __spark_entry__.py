@@ -458,6 +458,52 @@ def _dq_oracles() -> dict[str, str]:
     }
 
 
+def _q_cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-equality checksum: keyed full-outer diff of the CDC
+    final state against a deterministically perturbed copy (dropped
+    turns → only_left, injected turns → only_right, edited text →
+    mismatch) — the distributed form of the per-turn text-equality
+    invariant. One co-partitioned shuffle per side, codegen'd
+    null-safe struct compare, map-side-combined status counts."""
+    from embulk_util_json_spark.operators.diff import table_diff_summary
+
+    final = _final_state(spark, sf_dir)
+    perturbed = final.filter(F.col("turn_idx") < 24).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")),
+    )
+    injected = final.filter(F.col("turn_idx") == 1).withColumn(
+        "turn_idx", F.lit(99)
+    )
+    right = perturbed.unionByName(injected)
+    return table_diff_summary(
+        final, right, ["conv_id", "turn_idx"], ["role", "text", "tool", "ts"]
+    )
+
+
+def _cdc_replay_diff_sql() -> str:
+    from embulk_util_json_spark.operators.diff import table_diff_summary_sql
+
+    right = f"""
+        WITH f AS ({_ORACLE_CDC_FINAL})
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN turn_idx = 0 THEN text || '!' ELSE text END AS text,
+               tool, ts
+        FROM f WHERE turn_idx < 24
+        UNION ALL
+        SELECT conv_id, 99 AS turn_idx, role, text, tool, ts
+        FROM f WHERE turn_idx = 1
+    """
+    return table_diff_summary_sql(
+        _ORACLE_CDC_FINAL,
+        right,
+        ["conv_id", "turn_idx"],
+        ["role", "text", "tool", "ts"],
+    )
+
+
 def _q_export_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composite: the full path from raw change events to a
     train-ready corpus slice — CDC replay final state → transcript
@@ -1166,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_summary": _q_dq_summary,
         "dq_violations": _q_dq_violations,
         "export_training_set": _q_export_training_set,
+        "cdc_replay_diff": _q_cdc_replay_diff,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
@@ -1220,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _ORACLE_ASOF,
         "windowed_activity": _ORACLE_WINDOWED,
         "export_training_set": _export_training_sql(),
+        "cdc_replay_diff": _cdc_replay_diff_sql(),
         **_dq_oracles(),
         **_pipeline_oracles(),
     }

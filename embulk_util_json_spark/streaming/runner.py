@@ -268,13 +268,18 @@ def replay_segments(
     (the file-source batching model), so per-batch scan cost is
     proportional to the batch — no monolithic-file re-open per batch.
     Batch ids are the file-name ranges → deterministic and resumable.
-    ``min_seq`` resumes the tail after a bootstrap watermark (pushed
-    to the scan; fully-covered segments cost one footer read)."""
+    ``min_seq`` resumes the tail after a bootstrap watermark: segments
+    wholly below the watermark are skipped from the plan entirely
+    (one driver-side parquet-footer stat read each — never opened by
+    an executor), and the residual filter is pushed to the scan of the
+    straddling segment."""
     files = sorted(
         f
         for f in os.listdir(segments_dir)
         if f.endswith(".parquet") and not f.startswith(".")
     )
+    if min_seq is not None and files:
+        files = _segments_reaching(segments_dir, files, min_seq)
     if not files:
         return []
     num_batches = min(num_batches, len(files))
@@ -293,6 +298,40 @@ def replay_segments(
             batch_id += f"@{min_seq}"
         out.append(apply_events_batch(batch, sink, batch_id, evolve=evolve))
     return out
+
+
+def _segments_reaching(
+    segments_dir: str, files: list[str], min_seq: int
+) -> list[str]:
+    """Segment files whose max(seq) footer statistic reaches
+    ``min_seq``. Metadata-only: row-group stats from the parquet
+    footer, no data pages touched. A file without seq stats is kept
+    (correctness over pruning)."""
+    import pyarrow.parquet as pq
+
+    keep: list[str] = []
+    for f in files:
+        meta = pq.read_metadata(os.path.join(segments_dir, f))
+        file_max = None
+        prunable = True
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema != "seq":
+                    continue
+                stats = col.statistics
+                if stats is None or not stats.has_min_max:
+                    prunable = False
+                else:
+                    file_max = (
+                        stats.max
+                        if file_max is None
+                        else max(file_max, stats.max)
+                    )
+        if not prunable or file_max is None or file_max >= min_seq:
+            keep.append(f)
+    return keep
 
 
 def stream_directory(

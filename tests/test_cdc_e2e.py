@@ -473,3 +473,29 @@ def test_quarantine_dead_letter_raw_rows(spark, tmp_path):
     out3 = apply_events_batch(clean, sink, "b1", quarantine_dir=qdir)
     assert "quarantined_to" not in out3
     assert sorted(os.listdir(qdir)) == ["b0"]
+
+
+def test_replay_segments_min_seq_skips_whole_segments(spark, tmp_path):
+    """Segments wholly below the bootstrap watermark never enter the
+    plan (footer-stat skip); the straddling segment is filtered; state
+    equals a full tail replay."""
+    from embulk_util_json_spark.sources.generator import ensure_events_segments
+    from embulk_util_json_spark.streaming.runner import replay_segments
+
+    seg_dir = ensure_events_segments(
+        str(tmp_path / "segs"), 4000, segments=8, n_convs=20, n_turns=10
+    )
+    w = 2500
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=4)
+    out = replay_segments(spark, seg_dir, sink, num_batches=8, min_seq=w)
+    # 8 segments of 500 seqs: segments 0-4 (seq<2500) must be skipped
+    applied = sink.applied_batch_ids()
+    assert len(applied) <= 4, applied
+    assert all(f"@{w}" in b for b in applied)
+
+    ref = ParquetSnapshotSink(spark, str(tmp_path / "ref"), num_buckets=4)
+    ev = spark.read.parquet(seg_dir).filter(F.col("seq") >= w)
+    apply_events_batch(ev, ref, "tail")
+    got = sorted(map(tuple, sink.read().collect()))
+    want = sorted(map(tuple, ref.read().collect()))
+    assert got == want and len(got) > 0

@@ -108,3 +108,32 @@ def test_sink_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError):
         sink.read(at_version=99)
+
+
+def test_table_diff_statuses(spark):
+    from embulk_util_json_spark.operators.diff import table_diff, table_diff_summary
+
+    left = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 1, "y"), ("c", 1, None)],
+        "k string, t int, v string",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 1, "Y"), ("d", 1, "z"), ("c", 1, None)],
+        "k string, t int, v string",
+    )
+    got = {
+        (r.k, r.t): r.diff_status
+        for r in table_diff(left, right, ["k", "t"]).collect()
+    }
+    # NULL == NULL is equal (null-safe compare)
+    assert got == {
+        ("a", 1): "equal",
+        ("b", 1): "mismatch",
+        ("c", 1): "equal",
+        ("d", 1): "only_right",
+    }
+    s = {
+        r.diff_status: r.n
+        for r in table_diff_summary(left, right, ["k", "t"]).collect()
+    }
+    assert s == {"equal": 2, "mismatch": 1, "only_right": 1}
