@@ -132,3 +132,63 @@ def test_windowed_activity_batch_shape(spark):
         ("2024-01-01T00:00:00", "c1"): (1, 0),
         ("2024-01-01T00:02:00", "c1"): (1, 7),
     }
+
+
+def test_session_window_streaming_with_watermark(spark, tmp_path):
+    """Gap sessionization in STREAMING mode: the session_window
+    formulation runs under a watermark with append-mode emission —
+    sessions close when the watermark passes their (end + gap)."""
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    changes = parse_change_events_single_pass(stream)
+    sessions = (
+        changes.withWatermark("ts", "1 minute")
+        .groupBy("conv_id", F.session_window("ts", "30 seconds"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # session A: two events 10s apart; then a 00:05 event opens
+        # session B and advances the watermark to 00:04 -> A closes
+        _write(
+            [
+                _ev(1, "2024-01-01T00:00:00"),
+                _ev(2, "2024-01-01T00:00:10", turn=1),
+                _ev(3, "2024-01-01T00:05:00", turn=2),
+            ],
+            src / "f1.parquet",
+        )
+        q.processAllAvailable()
+        # advance watermark past B's close
+        _write([_ev(4, "2024-01-01T00:10:00", turn=3)], src / "f2.parquet")
+        q.processAllAvailable()
+        _write([_ev(5, "2024-01-01T00:15:00", turn=4)], src / "f3.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.session_start.isoformat(), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # A: [00:00:00, 00:00:40) with 2 events; B: [00:05:00, 00:05:30) with 1
+    assert ("2024-01-01T00:00:00", 2) in rows
+    assert ("2024-01-01T00:05:00", 1) in rows
+    # the 00:15 session is still open -> not emitted
+    assert not any(s.startswith("2024-01-01T00:15") for s, _ in rows)
