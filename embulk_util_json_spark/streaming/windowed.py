@@ -34,17 +34,28 @@ def windowed_activity(
     changes: DataFrame,
     window_duration: str = "1 minute",
     watermark_delay: str = "10 minutes",
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """Per-conversation event-time windowed activity counts.
 
     ``changes``: parsed change rows (streaming or batch) with at least
     (conv_id, ts, op). Returns one row per (window, conv_id) with
     event/update/delete counts and the max turn touched.
+
+    ``slide_duration`` < ``window_duration`` makes the windows
+    SLIDING (each event lands in window/slide overlapping windows);
+    default is tumbling. The session-gap third shape lives in
+    ``operators.temporal.sessionize`` / ``session_window``.
     """
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
     return (
         changes.withWatermark("ts", watermark_delay)
         .groupBy(
-            F.window("ts", window_duration).alias("_w"),
+            win.alias("_w"),
             F.col("conv_id"),
         )
         .agg(

@@ -192,3 +192,20 @@ def test_session_window_streaming_with_watermark(spark, tmp_path):
     assert ("2024-01-01T00:05:00", 1) in rows
     # the 00:15 session is still open -> not emitted
     assert not any(s.startswith("2024-01-01T00:15") for s, _ in rows)
+
+
+def test_windowed_activity_sliding(spark):
+    """Sliding windows: a single event lands in window/slide
+    overlapping windows."""
+    df = spark.createDataFrame(
+        [_ev(1, "2024-01-01T00:02:10")], "seq long, event_json string"
+    )
+    got = sorted(
+        r.window_start.isoformat()
+        for r in windowed_activity(
+            parse_change_events_single_pass(df),
+            window_duration="2 minutes",
+            slide_duration="1 minute",
+        ).collect()
+    )
+    assert got == ["2024-01-01T00:01:00", "2024-01-01T00:02:00"]
