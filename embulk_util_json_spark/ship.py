@@ -26,10 +26,20 @@ def register_self_contained_udfs() -> None:
         from pyspark import cloudpickle
 
         from .functions import json_values
-        from .pipeline import multimodal
+        from .operators import capture
+        from .pipeline import multimodal, similarity
         from .plans import capture_spec, pointer
+        from .streaming import stateful
 
-        for mod in (json_values, pointer, capture_spec, multimodal):
+        for mod in (
+            json_values,
+            pointer,
+            capture_spec,
+            capture,
+            multimodal,
+            similarity,
+            stateful,
+        ):
             cloudpickle.register_pickle_by_value(mod)
         _REGISTERED = True
     except Exception:  # pragma: no cover - non-Spark contexts
