@@ -251,6 +251,24 @@ class ParquetSnapshotSink:
             .collect()[0].b
         )
 
+    def apply_with_retry(
+        self, changes: DataFrame, batch_id: str, max_retries: int = 3
+    ) -> dict:
+        """Optimistic-concurrency wrapper: on ``ConcurrentCommitError``
+        (another writer took our manifest version) re-read the log and
+        re-apply — the Iceberg commit-retry loop. Convergent because
+        ``apply`` re-reads the manifest each attempt: if the competing
+        writer committed THIS batch_id, the retry is a skip; otherwise
+        the batch lands on the next free version. Data written by the
+        losing attempt is orphaned, never referenced (vacuum GCs it).
+        """
+        for _ in range(max_retries):
+            try:
+                return self.apply(changes, batch_id)
+            except ConcurrentCommitError:
+                continue
+        return self.apply(changes, batch_id)
+
     def apply(self, changes: DataFrame, batch_id: str) -> dict:
         """MERGE one micro-batch of change rows. Returns apply metrics.
 

@@ -394,3 +394,56 @@ def test_replay_min_seq_pushdown(spark, events_parquet, tmp_path):
     events = spark.read.parquet(events_parquet).filter(F2.col("seq") >= 1234)
     plan = events._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(seq,1234)" in plan
+
+
+def test_apply_with_retry_wins_after_race(spark, tmp_path):
+    """Two writers on the same table: the loser's apply raises
+    ConcurrentCommitError mid-commit; apply_with_retry re-reads the
+    log and lands the batch on the next free version; both batches'
+    rows are present and a redelivered batch_id is a skip."""
+    import json as _json
+
+    from embulk_util_json_spark.sinks.snapshot import ConcurrentCommitError
+
+    root = str(tmp_path / "cc")
+    a = ParquetSnapshotSink(spark, root, num_buckets=2, mode="mor")
+    df1 = spark.createDataFrame(
+        [(0, '{"op":"insert","ts":"2024-01-01T00:00:00","data":{"conv_id":"c1","turn_idx":0,"role":"u","text":"x","tool":null}}')],
+        "seq long, event_json string",
+    )
+    apply_events_batch(df1, a, "b0")
+
+    # writer B races: steal exactly ONE version commit out from under A
+    stolen = {"done": False}
+    orig_commit = a._commit
+
+    def stealing_commit(manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            m = a.current_manifest()
+            with open(a._manifest_path(manifest["version"]), "w") as fh:
+                _json.dump(
+                    {**m, "version": manifest["version"],
+                     "batch_ids": m["batch_ids"] + ["writer-b"]},
+                    fh,
+                )
+        return orig_commit(manifest)
+
+    a._commit = stealing_commit
+    from embulk_util_json_spark.sources.events import parse_change_events_single_pass
+
+    df2 = spark.createDataFrame(
+        [(1, '{"op":"insert","ts":"2024-01-01T00:00:01","data":{"conv_id":"c2","turn_idx":0,"role":"u","text":"y","tool":null}}')],
+        "seq long, event_json string",
+    )
+    out = a.apply_with_retry(parse_change_events_single_pass(df2), "b1")
+    a._commit = orig_commit
+    assert not out.get("skipped")
+
+    ids = a.applied_batch_ids()
+    assert "b0" in ids and "writer-b" in ids and "b1" in ids
+    assert {r.conv_id for r in a.read().collect()} == {"c1", "c2"}
+    # redelivery of b1 after the race: skip
+    assert a.apply_with_retry(
+        parse_change_events_single_pass(df2), "b1"
+    ).get("skipped")
