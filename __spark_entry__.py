@@ -458,6 +458,47 @@ def _dq_oracles() -> dict[str, str]:
     }
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup with durable fingerprint state:
+    batch 1 (doc_id < 250) claims its fingerprints, then the full
+    corpus arrives as batch 2 — survivors are exactly the rows whose
+    fingerprint is still owned by them (first batch wins, min id
+    within a batch). State lives in a fingerprint-keyed MOR sink in a
+    scratch dir; results are deterministic for fixed batches."""
+    import tempfile
+
+    from embulk_util_json_spark.pipeline.incremental import (
+        IncrementalDeduper,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = IncrementalDeduper(
+        spark, tempfile.mkdtemp(prefix="incr_dedup_"), num_buckets=8
+    )
+    d.dedupe_batch(docs.filter(F.col("doc_id") < 250), "text", "doc_id", 1)
+    survivors = d.dedupe_batch(docs, "text", "doc_id", 2)
+    return survivors.select("doc_id")
+
+
+# Fingerprint equality == normalized-text equality, so the oracle
+# groups by the same normalization the SQL twins use; owner = min id
+# of batch 1 when the fingerprint appeared there, else min id overall.
+_ORACLE_DEDUP_INCREMENTAL = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+        FROM documents
+    ),
+    owner AS (
+        SELECT nt,
+               COALESCE(MIN(CASE WHEN doc_id < 250 THEN doc_id END),
+                        MIN(doc_id)) AS own
+        FROM d GROUP BY nt
+    )
+    SELECT d.doc_id FROM d JOIN owner o ON d.nt = o.nt AND d.doc_id = o.own
+"""
+
+
 def _q_cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-equality checksum: keyed full-outer diff of the CDC
     final state against a deterministically perturbed copy (dropped
@@ -1213,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_violations": _q_dq_violations,
         "export_training_set": _q_export_training_set,
         "cdc_replay_diff": _q_cdc_replay_diff,
+        "dedup_incremental": _q_dedup_incremental,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
@@ -1268,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_activity": _ORACLE_WINDOWED,
         "export_training_set": _export_training_sql(),
         "cdc_replay_diff": _cdc_replay_diff_sql(),
+        "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         **_dq_oracles(),
         **_pipeline_oracles(),
     }

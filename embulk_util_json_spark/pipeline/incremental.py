@@ -1,0 +1,108 @@
+"""Incremental (cross-batch) corpus deduplication with durable state.
+
+Batch-global dedup (``dedup.exact_dup_groups``) re-scans the corpus;
+at 100 TB the corpus arrives over weeks and each increment must be
+deduped against *history* without touching it. This operator keeps a
+fingerprint → owner store as a ``ParquetSnapshotSink`` keyed by the
+128-bit text fingerprint — the same bucketed, exactly-once,
+merge-on-read machinery the CDC path uses, pointed at dedup state:
+
+- one apply per increment (idempotent on batch_id: redelivery after a
+  crash neither re-claims nor loses ownership);
+- first-seen-wins across batches and min-id-wins within a batch,
+  encoded as LWW over the (−batch_seq, −doc_id) priority — ownership
+  is NEVER stolen by later arrivals because max-LWW over that order
+  is exactly "earliest batch, then smallest id";
+- survivors are read back as "fingerprints this batch owns", so the
+  answer is a deterministic function of the store — identical on
+  replay, which plain anti-join-then-insert gets wrong (a redelivered
+  batch would anti-join against its own fingerprints and report zero
+  survivors).
+
+Scale: the store is hash-bucketed by fingerprint (uniform keys), the
+per-batch apply shuffles only the increment, and the ownership join
+is an equi-join on the fingerprint — broadcastable when the increment
+is small, storage-partitioned against the bucketed store otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sinks.snapshot import ParquetSnapshotSink
+from .dedup import norm_text
+
+
+class IncrementalDeduper:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 32,
+        mode: str = "mor",
+    ) -> None:
+        self.spark = spark
+        self.store = ParquetSnapshotSink(
+            spark,
+            root,
+            num_buckets=num_buckets,
+            keys=["fingerprint"],
+            order_cols=["p_batch", "p_doc"],
+            bucket_by="fingerprint",
+            mode=mode,
+        )
+
+    def dedupe_batch(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        batch_seq: int,
+        batch_id: str | None = None,
+    ) -> DataFrame:
+        """Register one increment and return its SURVIVORS (rows whose
+        fingerprint this batch now owns — i.e. first occurrence in the
+        corpus so far; within the batch, the smallest ``id_col`` per
+        fingerprint). ``batch_seq`` must be monotone over increments.
+        Idempotent: replaying a committed batch returns the same
+        survivor set."""
+        fps = df.select(
+            F.col(id_col),
+            F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
+        )
+        changes = fps.select(
+            "fingerprint",
+            F.col(id_col).alias("owner_id"),
+            F.lit(-int(batch_seq)).cast("long").alias("p_batch"),
+            (-F.col(id_col)).cast("long").alias("p_doc"),
+            F.lit("insert").alias("op"),
+        )
+        self.store.apply(
+            changes, batch_id or f"dedup-batch-{batch_seq}"
+        )
+        owners = self.store.read().select("fingerprint", "owner_id")
+        return (
+            df.join(fps.select(id_col, "fingerprint"), id_col)
+            .join(owners, "fingerprint")
+            .filter(F.col("owner_id") == F.col(id_col))
+            .drop("fingerprint", "owner_id")
+        )
+
+    def is_dup_against_history(
+        self, df: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        """Read-only probe: flag rows whose fingerprint is already
+        owned (by anyone). No state change."""
+        fps = df.select(
+            F.col(id_col),
+            F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
+        )
+        if self.store.current_version() == 0:
+            return df.withColumn("is_dup", F.lit(False))
+        owners = self.store.read().select(
+            "fingerprint", F.lit(True).alias("_seen")
+        )
+        flagged = fps.join(owners, "fingerprint", "left").select(
+            id_col, F.coalesce(F.col("_seen"), F.lit(False)).alias("is_dup")
+        )
+        return df.join(flagged, id_col)

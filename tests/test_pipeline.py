@@ -257,3 +257,47 @@ def test_ann_recall(spark):
     out = {r.query_id: r for r in ann_recall(ann, exact, k=3).collect()}
     assert (out[0].n_exact, out[0].n_hits, out[0].recall) == (3, 2, round(2 / 3, 6))
     assert (out[50].n_exact, out[50].n_hits, out[50].recall) == (2, 0, 0.0)
+
+
+def test_incremental_dedup_first_seen_wins_and_idempotent(spark, tmp_path):
+    from embulk_util_json_spark.pipeline.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(spark, str(tmp_path / "store"), num_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [(300, "alpha text"), (301, "beta text")], "doc_id long, text string"
+    )
+    s1 = {r.doc_id for r in d.dedupe_batch(b1, "text", "doc_id", 1).collect()}
+    assert s1 == {300, 301}
+
+    # batch 2: doc 100 duplicates batch-1's "alpha text" (smaller id,
+    # later batch -> ownership NOT stolen); docs 101/102 duplicate each
+    # other within the batch (min id wins); 103 is whitespace-variant
+    # of beta (normalized fingerprint -> dup)
+    b2 = spark.createDataFrame(
+        [
+            (100, "alpha text"),
+            (101, "gamma text"),
+            (102, "gamma text"),
+            (103, "  beta   text "),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = {r.doc_id for r in d.dedupe_batch(b2, "text", "doc_id", 2).collect()}
+    assert s2 == {101}
+
+    # redelivery of the committed batch: same survivors, no re-claim
+    s2b = {r.doc_id for r in d.dedupe_batch(b2, "text", "doc_id", 2).collect()}
+    assert s2b == {101}
+    # batch 1 replay unchanged too
+    s1b = {r.doc_id for r in d.dedupe_batch(b1, "text", "doc_id", 1).collect()}
+    assert s1b == {300, 301}
+
+    probe = spark.createDataFrame(
+        [(999, "alpha text"), (998, "delta text")], "doc_id long, text string"
+    )
+    flags = {
+        r.doc_id: r.is_dup
+        for r in d.is_dup_against_history(probe, "text", "doc_id").collect()
+    }
+    assert flags == {999: True, 998: False}
