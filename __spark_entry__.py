@@ -1147,6 +1147,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_features(media)
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: the
+    1-to-N Arrow expansion plumbing (mapInPandas rows out > rows in)
+    with deterministic byte-chunk frames in place of a codec."""
+    from embulk_util_json_spark.pipeline.multimodal import (
+        attach_media,
+        frame_sample,
+    )
+
+    media = attach_media(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return frame_sample(media, frame_bytes=64, every_n=2)
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from embulk_util_json_spark.pipeline import (
         dedup,
@@ -1228,6 +1241,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "sim_neardup_pairs": similarity.neardup_pairs_sql(
             "embeddings", "embedding", "vec_id", threshold=0.35
         ),
+        "multimodal_frame_sample": multimodal.frame_sample_sql(
+            "documents", "text", "doc_id", frame_bytes=64, every_n=2
+        ),
         "multimodal_byte_features": multimodal.byte_features_sql(
             "documents", "text", "doc_id"
         ),
@@ -1284,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_ann_topk": _q_sim_ivf_ann,
         "sim_ann_recall": _q_sim_ann_recall,
         "multimodal_byte_features": _q_multimodal_features,
+        "multimodal_frame_sample": _q_multimodal_frames,
     }
 
 

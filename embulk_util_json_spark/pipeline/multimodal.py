@@ -78,6 +78,92 @@ def byte_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int, frame_sum long"
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 2
+) -> DataFrame:
+    """Video-style frame sampling plumbing: treat the payload as a
+    concatenation of fixed-size frames, emit every ``every_n``-th one
+    as its own row — the 1→N Arrow batch EXPANSION shape a real video
+    sampler uses (bytes in → frame rows out), with byte-chunk
+    arithmetic standing in for the codec. Empty payloads yield no
+    frames (a zero-frame video contributes nothing downstream)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    sums.append(int(sum(chunk)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def frame_sample_sql(
+    table: str, text_col: str, id_col: str, frame_bytes: int = 64, every_n: int = 2
+) -> str:
+    """DuckDB oracle for ``frame_sample`` (ASCII-safe text ⇒ byte
+    arithmetic equals char-code arithmetic)."""
+    codes = (
+        f"list_transform(string_split(substr({text_col}, "
+        f"frame_idx * {frame_bytes} + 1, {frame_bytes}), ''), "
+        "c -> CAST(ascii(c) AS BIGINT))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {text_col},
+                   CAST(ceil(strlen({text_col}) / {frame_bytes}.0) AS BIGINT)
+                       AS n_frames
+            FROM {table}
+        ),
+        frames AS (
+            SELECT doc_id, {text_col},
+                   CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx
+            FROM base
+        ),
+        frames_kept AS (
+            SELECT * FROM frames WHERE frame_idx % {every_n} = 0
+        )
+        SELECT doc_id, frame_idx,
+               CAST(strlen(substr({text_col}, frame_idx * {frame_bytes} + 1,
+                           {frame_bytes})) AS INTEGER) AS frame_len,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}),
+                           (a, b) -> a + b) AS frame_sum
+        FROM frames_kept
+    """
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real image resize — requires PIL (absent in this container).
+    Same mapInPandas plumbing as byte_features/frame_sample; only the
+    kernel differs."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires pillow; this environment has no image "
+            "libraries — frame_sample/byte_features exercise the same "
+            "Arrow plumbing with deterministic kernels"
+        ) from e
+    raise NotImplementedError("real resizer intentionally not implemented in-sandbox")
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Real image decode (resize + RGB stats) — requires PIL, which
     this container does not ship. The mapInPandas plumbing is the same

@@ -301,3 +301,31 @@ def test_incremental_dedup_first_seen_wins_and_idempotent(spark, tmp_path):
         for r in d.is_dup_against_history(probe, "text", "doc_id").collect()
     }
     assert flags == {999: True, 998: False}
+
+
+def test_frame_sample_expansion_and_empty_payload(spark):
+    from embulk_util_json_spark.pipeline.multimodal import (
+        attach_media,
+        frame_sample,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 130), (2, ""), (3, "b" * 64)], "doc_id long, text string"
+    )
+    media = attach_media(df, "text", "doc_id")
+    rows = frame_sample(media, frame_bytes=64, every_n=2).collect()
+    got = {(r.doc_id, r.frame_idx): (r.frame_len, r.frame_sum) for r in rows}
+    # doc 1: frames 0,1,2 (64+64+2 bytes) -> sampled 0 and 2
+    assert got == {
+        (1, 0): (64, 64 * 97),
+        (1, 2): (2, 2 * 97),
+        (3, 0): (64, 64 * 98),
+    }
+    # doc 2 (empty) contributes no rows at all
+    assert not any(r.doc_id == 2 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        resize_image(media, 224, 224)
