@@ -167,6 +167,28 @@ class ParquetSnapshotSink:
         m = self.current_manifest()
         return m["batch_ids"] if m else []
 
+    def schema_history(self) -> DataFrame:
+        """When each evolved field first appeared: one row per extra
+        field with the version and batch that introduced it — the
+        audit trail of additive schema evolution. Metadata-only (walks
+        the retained manifest files; vacuumed versions fall back to
+        the earliest retained sighting)."""
+        rows = []
+        seen: set[str] = set()
+        current = self.current_version()
+        for v in range(1, current + 1):
+            m = self.manifest_at(v)
+            if not m:
+                continue
+            batch = m["batch_ids"][-1] if m["batch_ids"] else None
+            for f in m.get("extra_fields", []):
+                if f not in seen:
+                    seen.add(f)
+                    rows.append((f, v, batch))
+        return self.spark.createDataFrame(
+            rows, "field string, since_version int, introduced_by_batch string"
+        )
+
     def lineage(self) -> DataFrame:
         """Per-partition lineage/metrics as a queryable DataFrame: one
         row per (apply, bucket) with batch identity, rows landed in

@@ -447,3 +447,25 @@ def test_apply_with_retry_wins_after_race(spark, tmp_path):
     assert a.apply_with_retry(
         parse_change_events_single_pass(df2), "b1"
     ).get("skipped")
+
+
+def test_schema_history_tracks_field_introduction(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    base = '{"op":"insert","ts":"2024-01-01T00:00:0%d","data":{"conv_id":"c%d","turn_idx":0,"role":"u","text":"x","tool":null%s}}'
+    b1 = spark.createDataFrame(
+        [(0, base % (0, 1, ""))], "seq long, event_json string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, base % (1, 2, ',"model":"m1"'))], "seq long, event_json string"
+    )
+    b3 = spark.createDataFrame(
+        [(2, base % (2, 3, ',"model":"m2","lang":"en"'))],
+        "seq long, event_json string",
+    )
+    for i, b in enumerate([b1, b2, b3]):
+        apply_events_batch(b, sink, f"b{i}")
+    hist = {
+        r.field: (r.since_version, r.introduced_by_batch)
+        for r in sink.schema_history().collect()
+    }
+    assert hist == {"model": (2, "b1"), "lang": (3, "b2")}
