@@ -721,6 +721,109 @@ class ParquetSnapshotSink:
         )
         return {"version": version, "buckets_compacted": len(target)}
 
+    def purge(
+        self,
+        key_eq: dict | None = None,
+        where=None,
+        expire_history: bool = True,
+    ) -> dict:
+        """Compliance delete (right-to-be-forgotten). A CDC delete is a
+        *tombstone* — it wins LWW but the bytes stay on disk and in
+        history. ``purge`` physically removes matching rows: the
+        affected bucket chains are rewritten without them (every
+        level, including tombstones and superseded versions of the
+        key), and with ``expire_history=True`` all prior snapshots are
+        vacuumed so no retained file contains the data. Time travel
+        across the purge boundary is intentionally destroyed.
+
+        ``key_eq`` — equality match on key columns; pinning
+        ``bucket_by`` confines the rewrite to ONE bucket chain
+        (O(chain), not O(table)). ``where`` — arbitrary Column
+        predicate; rewrites every bucket. Exactly-once bookkeeping is
+        preserved: committed batch ids stay in the manifest, so a
+        replayed old batch that carried the purged rows is still a
+        skip, not a resurrection. (A genuinely NEW batch re-inserting
+        the key is out of scope — gate upstream.)
+        """
+        if (key_eq is None) == (where is None):
+            raise ValueError("pass exactly one of key_eq / where")
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return {"skipped": True, "purged_rows": 0}
+        t0 = time.time()
+        if key_eq is not None:
+            pred = None
+            for k, v in key_eq.items():
+                c = F.col(k) == F.lit(v)
+                pred = c if pred is None else (pred & c)
+            if self.bucket_by in key_eq:
+                target = [str(self.bucket_of(key_eq[self.bucket_by]))]
+                target = [b for b in target if b in manifest["buckets"]]
+            else:
+                target = sorted(manifest["buckets"], key=int)
+        else:
+            pred = where
+            target = sorted(manifest["buckets"], key=int)
+        if not target:
+            return {"skipped": True, "purged_rows": 0}
+
+        paths = [p for b in target for p in self._paths_of(manifest, b)]
+        obs = Observation(f"purge-{uuid.uuid4().hex[:8]}")
+        df = self._read_bucket_paths(paths).observe(
+            obs,
+            F.sum(F.when(pred, 1).otherwise(0)).alias("purged_rows"),
+        )
+        kept = df.filter(~F.coalesce(pred, F.lit(False)))
+        # collapse to one level per bucket (tombstones preserved), so
+        # the rewritten chain stays read-correct at depth 1
+        kept = lww_agg(kept, self.keys, self.order_cols).withColumn(
+            BUCKET_COL, self._bucket_expr()
+        )
+        version = manifest["version"] + 1
+        out_rel = f"data/v{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+        (
+            kept.repartition(min(len(target), 256), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        present = set(self._written_buckets(out_dir))
+        buckets = {
+            b: self._paths_of(manifest, b)
+            for b in manifest["buckets"]
+            if b not in set(target)
+        }
+        for b in sorted(present, key=int):
+            buckets[b] = [f"{out_rel}/{BUCKET_COL}={b}"]
+        purged = int(obs.get["purged_rows"] or 0)
+        self._commit(
+            {
+                **manifest,
+                "version": version,
+                "buckets": buckets,
+                "applies": manifest["applies"]
+                + [
+                    {
+                        "purge": True,
+                        "version": version,
+                        "purged_rows": purged,
+                        "buckets_rewritten": len(target),
+                        "wall_sec": round(time.time() - t0, 3),
+                    }
+                ],
+            }
+        )
+        out = {
+            "version": version,
+            "purged_rows": purged,
+            "buckets_rewritten": len(target),
+        }
+        if expire_history:
+            out["vacuum"] = self.vacuum(keep_versions=1)
+        return out
+
     # ---- maintenance ----------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> dict:
@@ -744,16 +847,14 @@ class ParquetSnapshotSink:
         # the nominal keep range may already be gone, and manifest_at
         # on them would raise and abort maintenance.
         keep: set[int] = set()
-        referenced: set[str] = set()
+        referenced: set[str] = set()  # full "data/vN/_bucket=K" rel paths
         for v in range(max(1, current - keep_versions + 1), current + 1):
             if not os.path.exists(self._manifest_path(v)):
                 continue
             keep.add(v)
             m = self.manifest_at(v)
             for b in m["buckets"]:
-                for p in self._paths_of(m, b):
-                    # data/vNNNNNNNN/_bucket=K → keep the version dir
-                    referenced.add(p.split("/")[1])
+                referenced.update(self._paths_of(m, b))
         removed_versions = 0
         for v in range(1, current):
             if v in keep:
@@ -762,11 +863,29 @@ class ParquetSnapshotSink:
             if os.path.exists(path):
                 os.unlink(path)
                 removed_versions += 1
+        # Reference tracking is per BUCKET SUBDIR, not per version dir:
+        # a retained manifest's chain may point at only some buckets of
+        # an old version dir, and the others must still be reclaimed —
+        # purge() depends on this (a superseded bucket subdir left
+        # behind would retain the purged rows on disk).
         data_root = os.path.join(self.root, "data")
         removed_dirs = 0
         if os.path.isdir(data_root):
-            for d in os.listdir(data_root):
-                if d not in referenced:
-                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                    removed_dirs += 1
+            for d in sorted(os.listdir(data_root)):
+                vdir = os.path.join(data_root, d)
+                if not os.path.isdir(vdir):
+                    continue
+                for sub in sorted(os.listdir(vdir)):
+                    rel = f"data/{d}/{sub}"
+                    if sub.startswith(f"{BUCKET_COL}=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(vdir, sub), ignore_errors=True)
+                        removed_dirs += 1
+                # version dir with no referenced content left → remove
+                remaining = [
+                    s
+                    for s in os.listdir(vdir)
+                    if s.startswith(f"{BUCKET_COL}=")
+                ]
+                if not remaining:
+                    shutil.rmtree(vdir, ignore_errors=True)
         return {"removed_versions": removed_versions, "removed_dirs": removed_dirs}

@@ -2,6 +2,8 @@
 and with the sequential oracle, exactly-once, auto-compaction, and
 schema evolution across delta levels."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -469,3 +471,62 @@ def test_schema_history_tracks_field_introduction(spark, tmp_path):
         for r in sink.schema_history().collect()
     }
     assert hist == {"model": (2, "b1"), "lang": (3, "b2")}
+
+
+def test_purge_physically_removes_key_everywhere(spark, events_parquet, tmp_path):
+    """Compliance delete: after purge(key_eq), the key is absent from
+    the current state, from tombstone-inclusive reads, from EVERY
+    remaining parquet file on disk, and history is expired — while
+    all other rows and exactly-once bookkeeping survive."""
+    import glob as _glob
+
+    root = str(tmp_path / "t")
+    sink = ParquetSnapshotSink(spark, root, num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+
+    victim = sink.read().select("conv_id").first().conv_id
+    before = sink.read().count()
+    victim_rows = sink.read().filter(F.col("conv_id") == victim).count()
+    assert victim_rows > 0
+    ids_before = sink.applied_batch_ids()
+
+    out = sink.purge(key_eq={"conv_id": victim})
+    assert out["purged_rows"] >= victim_rows  # includes superseded levels
+    assert out["buckets_rewritten"] == 1
+
+    assert sink.read().filter(F.col("conv_id") == victim).count() == 0
+    assert (
+        sink.read(include_tombstones=True, include_meta=True)
+        .filter(F.col("conv_id") == victim)
+        .count()
+        == 0
+    )
+    assert sink.read().count() == before - victim_rows
+    # no parquet file anywhere under the root still contains the key
+    files = _glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                       recursive=True)
+    leftovers = spark.read.option("mergeSchema", "true").parquet(*files)
+    assert leftovers.filter(F.col("conv_id") == victim).count() == 0
+    # history expired: only the purge version remains
+    with pytest.raises(ValueError, match="no committed version"):
+        sink.manifest_at(out["version"] - 1)
+    # exactly-once bookkeeping intact
+    assert sink.applied_batch_ids() == ids_before
+
+    # replaying an already-committed batch cannot resurrect the key
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+    assert sink.read().filter(F.col("conv_id") == victim).count() == 0
+
+
+def test_purge_where_predicate_all_buckets(spark, events_parquet, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=4)
+    replay_parquet(spark, events_parquet, sink, num_batches=2)
+    n_high = sink.read().filter(F.col("turn_idx") >= 20).count()
+    out = sink.purge(where=F.col("turn_idx") >= 20, expire_history=False)
+    assert out["purged_rows"] >= n_high > 0
+    assert sink.read().filter(F.col("turn_idx") >= 20).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        sink.purge()
