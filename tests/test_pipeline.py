@@ -329,3 +329,36 @@ def test_frame_sample_expansion_and_empty_payload(spark):
 
     with _pytest.raises(NotImplementedError, match="pillow"):
         resize_image(media, 224, 224)
+
+
+def test_export_shards_global_order_and_manifest(spark, tmp_path):
+    from embulk_util_json_spark.pipeline.export import export_shards
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "concat('d', id) AS text"
+    )
+    out = str(tmp_path / "shards")
+    m = export_shards(df, out, n_shards=8, order_by=["doc_id"])
+    assert m["total_rows"] == 10_000
+    assert m["n_shards"] == 8
+    assert sum(m["shards"].values()) == 10_000
+    # no pathological skew from range sampling
+    assert max(m["shards"].values()) < 10_000 / 2
+
+    # global order: every shard's max < next shard's min
+    import pyarrow.parquet as pq
+    import os as _os
+
+    bounds = []
+    for f in sorted(m["shards"]):
+        t = pq.read_table(_os.path.join(out, f), columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids)
+        bounds.append((ids[0], ids[-1]))
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(bounds, bounds[1:]):
+        assert hi_a < lo_b
+
+    import json as _json
+
+    disk = _json.load(open(_os.path.join(out, "_shard_manifest.json")))
+    assert disk == m
