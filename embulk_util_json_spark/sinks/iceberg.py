@@ -168,6 +168,33 @@ def merge_upsert_sql(
     )
 
 
+def purge_sql(table: str, key_eq: dict) -> list[str]:
+    """Compliance purge statements (the snapshot sink's ``purge``
+    twin): DELETE the matching rows (real row removal, not an engine
+    tombstone — the sink's own soft-delete rows for the key go too),
+    then expire every prior snapshot and orphan files so no retained
+    Iceberg file still carries the data. String values are quoted;
+    the caller passes trusted key values (same contract as the other
+    builders)."""
+    conds = []
+    for k, v in key_eq.items():
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        conds.append(f"{k} = {lit}")
+    where = " AND ".join(conds)
+    catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
+    return [
+        f"DELETE FROM {table} WHERE {where}",
+        (
+            f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+            "older_than => now(), retain_last => 1)"
+        ),
+        (
+            f"CALL {catalog}.system.remove_orphan_files(table => '{table}', "
+            "older_than => now())"
+        ),
+    ]
+
+
 def compact_sql(table: str) -> str:
     """rewrite_data_files maintenance call, catalog-qualified from the
     table identifier (was hard-coded to ``lake``)."""

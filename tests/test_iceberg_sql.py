@@ -158,3 +158,20 @@ def test_add_column_and_compact():
     assert compact_sql("transcripts") == (
         "CALL spark_catalog.system.rewrite_data_files(table => 'transcripts')"
     )
+
+
+def test_purge_sql_golden():
+    from embulk_util_json_spark.sinks.iceberg import purge_sql
+
+    stmts = purge_sql("lake.db.transcripts", {"conv_id": "c42", "turn_idx": 3})
+    assert stmts[0] == (
+        "DELETE FROM lake.db.transcripts WHERE conv_id = 'c42' AND turn_idx = 3"
+    )
+    assert stmts[1] == (
+        "CALL lake.system.expire_snapshots(table => 'lake.db.transcripts', "
+        "older_than => now(), retain_last => 1)"
+    )
+    assert stmts[2] == (
+        "CALL lake.system.remove_orphan_files(table => 'lake.db.transcripts', "
+        "older_than => now())"
+    )
