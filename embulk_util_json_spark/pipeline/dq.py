@@ -33,6 +33,8 @@ def dq_summary(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     the per-rule expansion is a driver-side stack over the 1-row
     aggregate (no second job, no shuffle of data rows).
     """
+    if not rules:
+        raise ValueError("dq_summary requires at least one rule")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, col in rules.items():
         aggs.append(F.sum(_violation(col)).alias(f"_v_{name}"))
