@@ -499,6 +499,15 @@ _ORACLE_DEDUP_INCREMENTAL = """
 """
 
 
+def _q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-20 word trigrams by occurrence
+    (one explode, one gram-keyed hash agg, TakeOrdered top-k)."""
+    from embulk_util_json_spark.pipeline.dedup import top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", "doc_id", n=3, k=20)
+
+
 def _q_cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-equality checksum: keyed full-outer diff of the CDC
     final state against a deterministically perturbed copy (dropped
@@ -1171,6 +1180,9 @@ def _pipeline_oracles() -> dict[str, str]:
     )
 
     return {
+        "text_top_ngrams": dedup.top_ngrams_sql(
+            "documents", "text", "doc_id", n=3, k=20
+        ),
         "transcript_assemble": transcripts.assemble_conversations_sql(
             _ORACLE_CDC_FINAL
         ),
@@ -1271,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_training_set": _q_export_training_set,
         "cdc_replay_diff": _q_cdc_replay_diff,
         "dedup_incremental": _q_dedup_incremental,
+        "text_top_ngrams": _q_text_top_ngrams,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,

@@ -483,6 +483,50 @@ def repetition_stats(
     )
 
 
+def top_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-level n-gram frequency table, top-k: total occurrences
+    and document frequency per gram — the vocabulary/boilerplate
+    profile of a corpus (the high-DF grams are what stop-shingle caps
+    and boilerplate filters key on).
+
+    Plan: one gram explode, ONE hash aggregation keyed by gram
+    (map-side combined count + count-distinct), then a global top-k
+    via TakeOrdered (orderBy+limit — no full sort materializes).
+    (gram, n_occurrences, n_docs) with the (count desc, gram asc)
+    total order making the k-boundary deterministic."""
+    grams = _gram_rows(df, text_col, id_col, n, distinct=False)
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)
+
+
+def top_ngrams_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, k: int = 20
+) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        WITH g AS (
+            SELECT {id_col}, {gram} AS gram
+            FROM (SELECT {id_col}, string_split({_sql_norm(text_col)}, ' ') AS w
+                  FROM {table}),
+                 UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+        ),
+        c AS (
+            SELECT gram, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT {id_col}) AS n_docs
+            FROM g GROUP BY gram
+        )
+        SELECT gram, n_occurrences, n_docs
+        FROM c ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
+    """
+
+
 def benchmark_contamination(
     df: DataFrame,
     bench: DataFrame,
