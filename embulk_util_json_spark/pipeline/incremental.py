@@ -80,13 +80,24 @@ class IncrementalDeduper:
         self.store.apply(
             changes, batch_id or f"dedup-batch-{batch_seq}"
         )
-        owners = self.store.read().select("fingerprint", "owner_id")
+        owners = self._owners(changes)
         return (
             df.join(fps.select(id_col, "fingerprint"), id_col)
             .join(owners, "fingerprint")
             .filter(F.col("owner_id") == F.col(id_col))
             .drop("fingerprint", "owner_id")
         )
+
+    def _owners(self, shaped: DataFrame) -> DataFrame:
+        """(fingerprint, owner_id) ownership view of the store. A
+        store with no buckets yet (fresh, or only empty increments)
+        has no ownership rows — built as an empty same-schema frame,
+        because the sink's generic empty-read placeholder carries the
+        transcript schema, not this sink's keys."""
+        m = self.store.current_manifest()
+        if not m or not m["buckets"]:
+            return shaped.select("fingerprint", "owner_id").limit(0)
+        return self.store.read().select("fingerprint", "owner_id")
 
     def is_dup_against_history(
         self, df: DataFrame, text_col: str, id_col: str
@@ -97,7 +108,8 @@ class IncrementalDeduper:
             F.col(id_col),
             F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
         )
-        if self.store.current_version() == 0:
+        m = self.store.current_manifest()
+        if not m or not m["buckets"]:
             return df.withColumn("is_dup", F.lit(False))
         owners = self.store.read().select(
             "fingerprint", F.lit(True).alias("_seen")

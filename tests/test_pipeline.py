@@ -362,3 +362,34 @@ def test_export_shards_global_order_and_manifest(spark, tmp_path):
 
     disk = _json.load(open(_os.path.join(out, "_shard_manifest.json")))
     assert disk == m
+
+
+def test_incremental_dedup_empty_batch_and_empty_store_probe(spark, tmp_path):
+    from embulk_util_json_spark.pipeline.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(spark, str(tmp_path / "store"), num_buckets=2)
+    probe = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    # probe before any batch: nothing is a dup
+    flags = {
+        r.doc_id: r.is_dup
+        for r in d.is_dup_against_history(probe, "text", "doc_id").collect()
+    }
+    assert flags == {1: False}
+    # empty increment commits and returns no survivors
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert d.dedupe_batch(empty, "text", "doc_id", 1).count() == 0
+    # following batch unaffected
+    s = {r.doc_id for r in d.dedupe_batch(probe, "text", "doc_id", 2).collect()}
+    assert s == {1}
+
+
+def test_export_shards_empty_input(spark, tmp_path):
+    from embulk_util_json_spark.pipeline.export import export_shards
+
+    m = export_shards(
+        spark.createDataFrame([], "doc_id long, text string"),
+        str(tmp_path / "s"),
+        n_shards=4,
+        order_by=["doc_id"],
+    )
+    assert m["total_rows"] == 0
