@@ -508,6 +508,45 @@ def _q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "text", "doc_id", n=3, k=20)
 
 
+def _q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample (30%) keyed on the row id — stable
+    under repartitioning, corpus growth, and engine (md5 bucket
+    arithmetic, no rand())."""
+    from embulk_util_json_spark.pipeline.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.3).select("doc_id")
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment as a pure function of (id,
+    salt): disjoint md5-bucket ranges, exhaustive and reproducible."""
+    from embulk_util_json_spark.pipeline.sampling import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def _sampling_oracles() -> dict[str, str]:
+    from embulk_util_json_spark.pipeline.sampling import (
+        assign_split_sql,
+        hash_sample_sql,
+    )
+
+    return {
+        "sample_docs": "SELECT doc_id FROM ("
+        + hash_sample_sql("documents", "doc_id", 0.3)
+        + ")",
+        "split_assign": "SELECT doc_id, split FROM ("
+        + assign_split_sql(
+            "documents", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        + ")",
+    }
+
+
 def _q_cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-equality checksum: keyed full-outer diff of the CDC
     final state against a deterministically perturbed copy (dropped
@@ -1284,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_diff": _q_cdc_replay_diff,
         "dedup_incremental": _q_dedup_incremental,
         "text_top_ngrams": _q_text_top_ngrams,
+        "sample_docs": _q_sample_docs,
+        "split_assign": _q_split_assign,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
@@ -1342,5 +1383,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_diff": _cdc_replay_diff_sql(),
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         **_dq_oracles(),
+        **_sampling_oracles(),
         **_pipeline_oracles(),
     }

@@ -393,3 +393,54 @@ def test_export_shards_empty_input(spark, tmp_path):
         order_by=["doc_id"],
     )
     assert m["total_rows"] == 0
+
+
+def test_hash_sample_deterministic_and_growth_stable(spark):
+    from embulk_util_json_spark.pipeline.sampling import hash_sample
+
+    small = spark.range(0, 2000).selectExpr("id AS doc_id")
+    grown = spark.range(0, 4000).selectExpr("id AS doc_id")
+    s_small = {r.doc_id for r in hash_sample(small, "doc_id", 0.25).collect()}
+    s_small2 = {
+        r.doc_id
+        for r in hash_sample(small.repartition(7), "doc_id", 0.25).collect()
+    }
+    assert s_small == s_small2  # partition-layout independent
+    s_grown = {r.doc_id for r in hash_sample(grown, "doc_id", 0.25).collect()}
+    assert s_small == {i for i in s_grown if i < 2000}  # growth never evicts
+    assert 0.18 < len(s_grown) / 4000 < 0.32
+    # independent draw under a different salt
+    s_other = {
+        r.doc_id for r in hash_sample(small, "doc_id", 0.25, salt="b").collect()
+    }
+    assert s_other != s_small
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_frac"):
+        hash_sample(small, "doc_id", 1.5)
+
+
+def test_assign_split_exhaustive_disjoint_reproducible(spark):
+    from embulk_util_json_spark.pipeline.sampling import assign_split
+
+    df = spark.range(0, 5000).selectExpr("id AS doc_id")
+    out = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 5000
+    assigned = {r.doc_id: r.split for r in rows}
+    assert set(assigned.values()) == {"train", "val", "test"}
+    frac = {
+        s: sum(1 for v in assigned.values() if v == s) / 5000
+        for s in ("train", "val", "test")
+    }
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13
+    # reproducible across a second evaluation
+    again = {r.doc_id: r.split for r in out.repartition(5).collect()}
+    assert again == assigned
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, "doc_id", {"a": 0.5, "b": 0.6})
