@@ -27,6 +27,8 @@ is small, storage-partitioned against the bucketed store otherwise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sinks.snapshot import ParquetSnapshotSink
@@ -118,3 +120,48 @@ class IncrementalDeduper:
             id_col, F.coalesce(F.col("_seen"), F.lit(False)).alias("is_dup")
         )
         return df.join(flagged, id_col)
+
+
+def stream_dedupe_directory(
+    spark: SparkSession,
+    docs_dir: str,
+    deduper: IncrementalDeduper,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str = "doc_id long, text string",
+):
+    """Streaming incremental dedup: tail a growing document directory,
+    dedupe each micro-batch against ALL history via the fingerprint
+    store, append only first-seen documents to ``out_dir`` (one
+    ``epoch=N`` subdir per micro-batch, overwrite-idempotent).
+
+    Exactly-once composes from the parts: the store apply is
+    idempotent on the epoch-scoped batch id, survivors are a
+    deterministic function of the store, and the per-epoch output dir
+    is overwritten — so a checkpoint-restart that redelivers an epoch
+    rewrites byte-identical output. Epoch ids are monotone within a
+    checkpoint lineage, which is exactly the ``batch_seq`` contract.
+    """
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    stream_id = checkpoint_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = deduper.dedupe_batch(
+            batch_df,
+            text_col,
+            id_col,
+            batch_seq=epoch_id,
+            batch_id=f"{stream_id}-epoch-{epoch_id}",
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

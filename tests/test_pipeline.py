@@ -444,3 +444,44 @@ def test_assign_split_exhaustive_disjoint_reproducible(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         assign_split(df, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_stream_dedupe_directory_first_seen_across_epochs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_util_json_spark.pipeline.incremental import (
+        IncrementalDeduper,
+        stream_dedupe_directory,
+    )
+
+    def write(rows, path):
+        ids, txts = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(txts)}
+            ),
+            str(path),
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d = IncrementalDeduper(spark, str(tmp_path / "store"), num_buckets=2)
+
+    write([(1, "alpha"), (2, "beta")], src / "f1.parquet")
+    q = stream_dedupe_directory(spark, str(src), d, out, ckpt)
+    q.awaitTermination()
+
+    # second epoch: duplicate of alpha + fresh gamma; restart resumes
+    # from the checkpoint and processes only the new file
+    write([(3, "alpha"), (4, "gamma")], src / "f2.parquet")
+    q2 = stream_dedupe_directory(spark, str(src), d, out, ckpt)
+    q2.awaitTermination()
+
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got == {1: "alpha", 2: "beta", 4: "gamma"}
