@@ -547,6 +547,32 @@ def _sampling_oracles() -> dict[str, str]:
     }
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy contiguous context-window fill per
+    id-range group (parallel across groups — no global sequential
+    window), token counts from normalized whitespace words."""
+    from embulk_util_json_spark.pipeline.dedup import norm_text
+    from embulk_util_json_spark.pipeline.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(norm_text(F.col("text")), " ")).alias("tokens"),
+    )
+    return pack_sequences(toks, "doc_id", "tokens", budget=256, group_size=100)
+
+
+def _pack_sequences_oracle() -> str:
+    from embulk_util_json_spark.pipeline.packing import pack_sequences_sql
+
+    token_expr = (
+        "len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+    )
+    return pack_sequences_sql(
+        "documents", "doc_id", token_expr, budget=256, group_size=100
+    )
+
+
 def _q_cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-equality checksum: keyed full-outer diff of the CDC
     final state against a deterministically perturbed copy (dropped
@@ -1325,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _q_text_top_ngrams,
         "sample_docs": _q_sample_docs,
         "split_assign": _q_split_assign,
+        "pack_sequences": _q_pack_sequences,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "text_repetition": _q_text_repetition,
@@ -1384,5 +1411,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         **_dq_oracles(),
         **_sampling_oracles(),
+        "pack_sequences": _pack_sequences_oracle(),
         **_pipeline_oracles(),
     }

@@ -485,3 +485,45 @@ def test_stream_dedupe_directory_first_seen_across_epochs(spark, tmp_path):
         for r in spark.read.option("basePath", out).parquet(out).collect()
     }
     assert got == {1: "alpha", 2: "beta", 4: "gamma"}
+
+
+def test_pack_sequences_fill_semantics(spark):
+    from embulk_util_json_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate([60, 60, 60, 60, 30, 250, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens int")
+    out = {
+        r.doc_id: (r.pack_group, r.pack_bin)
+        for r in pack_sequences(
+            df, "doc_id", "tokens", budget=200, group_size=100
+        ).collect()
+    }
+    # greedy contiguous fill: 60+60+60=180 fits bin 0; next 60 starts at
+    # running-60=180 -> bin 0 boundary: floor(180/200)=0 -> still bin 0?
+    # running sums: 60,120,180,240,270,520,530; bin=floor((run-t)/200)
+    assert out == {
+        0: (0, 0),   # (0)/200
+        1: (0, 0),   # 60/200
+        2: (0, 0),   # 120/200
+        3: (0, 0),   # 180/200 = 0 -> overflows budget but bin decided at start
+        4: (0, 1),   # 240/200
+        5: (0, 1),   # 270/200
+        6: (0, 2),   # 520/200
+    }
+    # oversize doc (250 > budget) coexists: it advances the running sum
+    # so the next doc lands in a fresh bin
+
+
+def test_pack_sequences_groups_pack_independently(spark):
+    from embulk_util_json_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 150), (1, 150), (100, 150), (101, 150)], "doc_id long, tokens int"
+    )
+    out = {
+        r.doc_id: r.bin_id
+        for r in pack_sequences(
+            df, "doc_id", "tokens", budget=200, group_size=100
+        ).collect()
+    }
+    assert out == {0: "0:0", 1: "0:0", 100: "1:0", 101: "1:0"}
