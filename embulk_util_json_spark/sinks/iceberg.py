@@ -195,6 +195,30 @@ def purge_sql(table: str, key_eq: dict) -> list[str]:
     ]
 
 
+def changelog_sql(
+    table: str, start_snapshot_id: int | None = None,
+    end_snapshot_id: int | None = None,
+) -> str:
+    """Incremental change feed — the Iceberg twin of
+    ``ParquetSnapshotSink.read_changes``: the create_changelog_view
+    procedure materializes net row-level changes between snapshots
+    (insert/delete change types; an update is delete+insert of the
+    key). Callers then SELECT from the returned view name."""
+    catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
+    opts = [f"table => '{table}'"]
+    rng = []
+    if start_snapshot_id is not None:
+        rng.append(f"'start-snapshot-id', '{start_snapshot_id}'")
+    if end_snapshot_id is not None:
+        rng.append(f"'end-snapshot-id', '{end_snapshot_id}'")
+    if rng:
+        opts.append(f"options => map({', '.join(rng)})")
+    opts.append("changelog_view => 'changes_view'")
+    return (
+        f"CALL {catalog}.system.create_changelog_view({', '.join(opts)})"
+    )
+
+
 def compact_sql(table: str) -> str:
     """rewrite_data_files maintenance call, catalog-qualified from the
     table identifier (was hard-coded to ``lake``)."""

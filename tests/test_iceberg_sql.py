@@ -175,3 +175,17 @@ def test_purge_sql_golden():
         "CALL lake.system.remove_orphan_files(table => 'lake.db.transcripts', "
         "older_than => now())"
     )
+
+
+def test_changelog_sql_golden():
+    from embulk_util_json_spark.sinks.iceberg import changelog_sql
+
+    assert changelog_sql("lake.db.t") == (
+        "CALL lake.system.create_changelog_view(table => 'lake.db.t', "
+        "changelog_view => 'changes_view')"
+    )
+    assert changelog_sql("lake.db.t", 10, 20) == (
+        "CALL lake.system.create_changelog_view(table => 'lake.db.t', "
+        "options => map('start-snapshot-id', '10', 'end-snapshot-id', '20'), "
+        "changelog_view => 'changes_view')"
+    )
