@@ -406,7 +406,14 @@ def synthetic_envelope_expr(seq, n_convs: int = 50, n_turns: int = 20):
     granular and deliberately NOT monotone in seq (seq*7 mod span), so
     LWW ordering is exercised by the synthetic stream too."""
     conv = F.pmod(seq, F.lit(n_convs)).cast("string")
-    turn = F.pmod(seq / n_convs, F.lit(n_turns)).cast("int").cast("string")
+    # exact integer division (decimal, not `/`): double division loses
+    # exactness past 2^53 and a 10^10-seq stream must stay
+    # bit-deterministic end to end
+    seq_div = (
+        (seq - F.pmod(seq, F.lit(n_convs))).cast("decimal(38,0)")
+        / F.lit(n_convs)
+    ).cast("long")
+    turn = F.pmod(seq_div, F.lit(n_turns)).cast("string")
     ts = F.date_format(
         F.timestamp_seconds(
             F.lit(1704067200) + F.pmod(seq * 7, F.lit(86400))
