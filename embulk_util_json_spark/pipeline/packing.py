@@ -36,7 +36,13 @@ def pack_sequences(
     """(id, tokens) → (id, tokens, pack_group, pack_bin, bin_id):
     contiguous greedy fill per id-range group. ``bin_id`` is the
     stable string key ``group:local_bin``."""
-    group = (F.col(id_col) / F.lit(group_size)).cast("long")
+    # exact integer division (double `/` loses exactness past 2^53;
+    # the SQL twin's `//` is exact, so the Spark side must match)
+    gid = F.col(id_col)
+    group = (
+        (gid - F.pmod(gid, F.lit(group_size))).cast("decimal(38,0)")
+        / F.lit(group_size)
+    ).cast("long")
     w = (
         Window.partitionBy(group)
         .orderBy(F.col(id_col))
