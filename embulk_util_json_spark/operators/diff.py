@@ -37,11 +37,16 @@ def table_diff(
         )
 
     def side(df: DataFrame, tag: str) -> DataFrame:
+        # no shared payload columns -> presence-only diff (constant
+        # payload: keys present on both sides compare 'equal')
+        payload = (
+            F.struct(*[F.col(c).alias(c) for c in compare_cols])
+            if compare_cols
+            else F.lit(0)
+        )
         return df.select(
             *keys,
-            F.struct(*[F.col(c).alias(c) for c in compare_cols]).alias(
-                f"_p_{tag}"
-            ),
+            payload.alias(f"_p_{tag}"),
             F.lit(1).alias(f"_in_{tag}"),
         )
 

@@ -119,6 +119,8 @@ def route_tables(
     aggregate on the cached batch) and left unapplied — the router's
     quarantine contract mirrors the parser's malformed-row taxonomy.
     """
+    if not sinks:
+        raise ValueError("route_tables requires at least one sink")
     changes = parse_change_events_single_pass(events, with_table=True)
     changes = changes.persist()
     try:

@@ -137,3 +137,12 @@ def test_table_diff_statuses(spark):
         for r in table_diff_summary(left, right, ["k", "t"]).collect()
     }
     assert s == {"equal": 2, "mismatch": 1, "only_right": 1}
+
+
+def test_table_diff_presence_only_no_shared_payload(spark):
+    from embulk_util_json_spark.operators.diff import table_diff
+
+    left = spark.createDataFrame([("a", 1)], "k string, x int")
+    right = spark.createDataFrame([("a", 2), ("b", 3)], "k string, y int")
+    got = {r.k: r.diff_status for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {"a": "equal", "b": "only_right"}
