@@ -164,6 +164,15 @@ def main() -> None:
                 continue
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+        # Release module-tracked persisted intermediates between
+        # queries: the shared-shingle caches are per-call scratch, and
+        # letting them pile up across 50+ queries both skews storage
+        # memory for later queries and models a long-lived session
+        # badly. Released AFTER each materialization — the timed run
+        # still benefits from its own caches.
+        from embulk_util_json_spark.pipeline.dedup import release_caches
+
+        release_caches()
         qtimes: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
             if wanted is not None and name not in wanted:
@@ -171,6 +180,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.perf_counter() - t0, 3)
+            release_caches()
 
         out = {
             "metric": "cdc_replay_sec",

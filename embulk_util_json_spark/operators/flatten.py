@@ -90,6 +90,12 @@ def root_typed_multi(df: DataFrame, doc_col: str, root: str) -> DataFrame:
     from .capture import extract_parity
 
     tokens = split_pointer(root)
+    if not tokens:
+        # '/' re-roots at the whole document: exactly one match per
+        # doc, multi-match impossible — the fast path is exact for
+        # every row (previously cond stayed None and filter(~None)
+        # raised TypeError).
+        return root_typed(df, doc_col, root)
     name_keys = list(dict.fromkeys(tokens))  # digit keys can duplicate too
     cond = None
     for tok in name_keys:
@@ -97,6 +103,22 @@ def root_typed_multi(df: DataFrame, doc_col: str, root: str) -> DataFrame:
         pat = '"\\Q' + tok + '\\E"\\s*:'
         c = F.regexp_count(F.col(doc_col), F.lit(pat)) >= 2
         cond = c if cond is None else (cond | c)
+    # A key spelled WITH a JSON escape (e.g. "seg" for "seg") is
+    # invisible to the literal counters above, so a disguised
+    # duplicate would ride the fast path and its extra matches would
+    # be dropped. Route any row containing an escape-bearing quoted
+    # string immediately followed by ':' (i.e. an escaped KEY —
+    # values can't precede a colon in well-formed JSON) to the parity
+    # engine, which matches on DECODED key names. Over-triggers only
+    # (escaped keys are rare; extra rows just take the slow path).
+    escaped_key = (
+        F.regexp_count(
+            F.col(doc_col),
+            F.lit(r'"(?:[^"\\]|\\.)*\\(?:[^"\\]|\\.)*"\s*:'),
+        )
+        >= 1
+    )
+    cond = cond | escaped_key
     fast = root_typed(df.filter(~cond), doc_col, root)
 
     spec = CaptureSpec.compile([], ["_rooted"])

@@ -25,6 +25,41 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 HASH_PRIME = 2147483647  # 2^31 - 1
 
+# Persisted intermediates (shared shingle/gram frames) registered here
+# so long-lived sessions can reclaim executor storage: the returned
+# pair/cluster plans still REFERENCE the caches lazily, so the
+# operators themselves can't unpersist before the caller materializes.
+# Call :func:`release_caches` after materializing results (bench.py
+# does, per query); unreleased frames are harmless in short-lived jobs.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(frame: DataFrame, eager: bool = True) -> DataFrame:
+    """persist + register for :func:`release_caches`. ``eager``
+    materializes immediately — a lazy persist lets downstream consumer
+    stages launch concurrently, each recomputing the plan while racing
+    to populate the cache (pure overhead on the shared-shingle paths)."""
+    frame = frame.persist()
+    if eager:
+        frame.count()
+    _LIVE_CACHES.append(frame)
+    return frame
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module cached since the last
+    release; returns how many were freed. Safe to call at any time —
+    an un-materialized consumer just recomputes."""
+    n = 0
+    while _LIVE_CACHES:
+        frame = _LIVE_CACHES.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def norm_text(text: Column) -> Column:
     """Canonical text: lowercase, trim, collapse whitespace."""
@@ -147,11 +182,8 @@ def shingles(
     if max_df_frac is None:
         return sh
     # sh feeds both the df-frequency pass and the filtered join below —
-    # persist AND materialize eagerly: a lazy persist lets the
-    # downstream consumer stages launch concurrently, each recomputing
-    # the explode while racing to populate the cache (pure overhead).
-    sh = sh.persist()
-    sh.count()
+    # persist eagerly (see _persist_tracked) and register for release.
+    sh = _persist_tracked(sh)
     n_docs = df.select(id_col).distinct().count()
     cap = math.ceil(max_df_frac * n_docs)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -174,11 +206,9 @@ def jaccard_pairs(
     ``max_df_frac``, Jaccard is over the stop-shingle-filtered sets
     (see ``shingles``)."""
     # sh is consumed three times (sizes agg + both sides of the
-    # inverted-index self-join): persist and materialize so the
-    # explode + df-cap join run once. Eager — a lazy persist lets the
-    # consumer stages launch concurrently and race-recompute.
-    sh = shingles(df, text_col, id_col, n, max_df_frac).persist()
-    sh.count()
+    # inverted-index self-join): persist eagerly so the explode +
+    # df-cap join run once; registered for release_caches().
+    sh = _persist_tracked(shingles(df, text_col, id_col, n, max_df_frac))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -271,9 +301,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # ONE gram explode shared by the signature pass and (when
     # verifying) the shingle inverted index — previously computed up
-    # to three times. Persisted: signature agg, df-cap pass, and both
-    # verify join sides all read the cached rows.
-    grams = _gram_rows(df, text_col, id_col, n).persist()
+    # to three times. Persisted (lazily: the signature aggregation is
+    # the first and dominant consumer, so there is no concurrent-stage
+    # race to warm it) and registered for release_caches().
+    grams = _persist_tracked(_gram_rows(df, text_col, id_col, n), eager=False)
     sigs = minhash_signatures(
         df, text_col, id_col, n, num_hashes, _grams=grams
     ).filter(F.col("minhash").isNotNull())
@@ -318,7 +349,13 @@ def minhash_lsh_pairs(
     # pair in the corpus (which is quadratic in hot shingles).
     # max_df_frac additionally drops stop-shingles from the verify
     # space (signatures keep the full set — recall side untouched).
-    sh = shingles(df, text_col, id_col, n, max_df_frac, _grams=grams).persist()
+    # Eager (was lazy with no materializing count — inconsistent with
+    # the rationale above) and release-tracked. Note shingles() itself
+    # caches its inner pre-df-cap frame when max_df_frac is set; both
+    # registrations free on the same release_caches() call.
+    sh = _persist_tracked(
+        shingles(df, text_col, id_col, n, max_df_frac, _grams=grams)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))

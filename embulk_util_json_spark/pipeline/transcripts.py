@@ -35,8 +35,19 @@ def assemble_conversations(
     Plan: ``sort_array(collect_list(struct(turn_idx, line)))`` — ONE
     partial-aggregating shuffle; the sort is per-group over the
     collected array (conversations are short — bounded by turn count,
-    not corpus size), not a global sort."""
-    line = F.concat_ws(ROLE_TAG_SEP, F.col(role_col), F.col(text_col))
+    not corpus size), not a global sort.
+
+    NULL semantics are PINNED on both engine and oracle: a NULL role
+    or text renders as the empty string (``coalesce``), so the line
+    always appears. Without the pin, Spark's ``concat_ws`` silently
+    skips NULL args while the SQL ``||`` nulls the whole line and
+    ``string_agg`` drops it — the engines would diverge on any
+    conversation containing a NULL turn."""
+    line = F.concat(
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(ROLE_TAG_SEP),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
     assembled = (
         df.groupBy(conv_col)
         .agg(
@@ -123,7 +134,10 @@ def merge_consecutive_roles(
 
     Same plan shape as gap sessionization: lag marks run starts,
     cumulative sum assigns run ids (one window shuffle on the
-    conversation key), then one aggregation per run."""
+    conversation key), then one aggregation per run. NULL texts join
+    as empty strings (same pin as :func:`assemble_conversations` — the
+    SQL twin's ``string_agg`` would otherwise drop the NULL element
+    while ``array_join`` keeps it)."""
     w = Window.partitionBy(conv_col).orderBy(F.col(turn_col).asc())
     starts = F.when(
         F.lag(F.col(role_col)).over(w).isNull()
@@ -137,12 +151,20 @@ def merge_consecutive_roles(
         ),
     )
     merged = runs.groupBy(conv_col, "_run").agg(
-        F.first(role_col).alias(role_col),  # constant within a run
+        # constant within a run for well-formed input; min (not first)
+        # so a degenerate NULL-role row merged into a run resolves
+        # deterministically and identically to the SQL twin's MIN
+        F.min(role_col).alias(role_col),
         F.min(turn_col).alias("_first_turn"),
         F.array_join(
             F.transform(
                 F.sort_array(
-                    F.collect_list(F.struct(F.col(turn_col), F.col(text_col).alias("t")))
+                    F.collect_list(
+                        F.struct(
+                            F.col(turn_col),
+                            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+                        )
+                    )
                 ),
                 lambda s: s["t"],
             ),
@@ -169,7 +191,8 @@ def assemble_conversations_sql(table_sql: str) -> str:
     """``table_sql``: a query producing (conv_id, turn_idx, role, text)."""
     return f"""
         SELECT conv_id,
-               string_agg(role || '{ROLE_TAG_SEP}' || text, '{TURN_SEP}'
+               string_agg(coalesce(role, '') || '{ROLE_TAG_SEP}'
+                          || coalesce(text, ''), '{TURN_SEP}'
                           ORDER BY turn_idx) AS document,
                CAST(COUNT(*) AS INTEGER) AS n_turns
         FROM ({table_sql})
@@ -210,7 +233,8 @@ def merge_consecutive_roles_sql(table_sql: str) -> str:
         SELECT conv_id,
                CAST(run - 1 AS INTEGER) AS turn_idx,
                MIN(role) AS role,
-               string_agg(text, '{TURN_SEP}' ORDER BY turn_idx) AS text,
+               string_agg(coalesce(text, ''), '{TURN_SEP}'
+                          ORDER BY turn_idx) AS text,
                CAST(COUNT(*) AS INTEGER) AS n_merged,
                CAST(MIN(turn_idx) AS INTEGER) AS orig_turn_idx
         FROM runs

@@ -55,10 +55,38 @@ execute them.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.lww import lww_agg
 from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
+
+
+def sql_str_lit(value: str) -> str:
+    """Quote a string as a SQL literal, escaping embedded quotes.
+
+    Batch ids produced elsewhere in this engine legally contain
+    ``.``, ``@`` and ``:`` (``replay_segments`` uses
+    ``seg-<file>.parquet-...@<min_seq>``; ``route_tables`` uses
+    ``<batch>:<table>``), and nothing stops a caller-supplied id from
+    carrying a quote — interpolating it raw into the batch-log SQL was
+    a foot-gun even under the trusted-caller contract."""
+    return "'" + value.replace("'", "''") + "'"
+
+
+def staged_view_name(batch_id: str) -> str:
+    """Deterministic, always-valid temp-view name for a staged batch.
+
+    ``createOrReplaceTempView`` rejects identifiers with ``.``/``@``/
+    ``:`` — all of which appear in legal batch ids (see
+    :func:`sql_str_lit`). Whitelist-sanitize and suffix a short hash
+    of the ORIGINAL id so two ids that sanitize identically (e.g.
+    ``b.1`` vs ``b:1``) still get distinct views."""
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", batch_id)
+    tag = hashlib.sha256(batch_id.encode("utf-8")).hexdigest()[:8]
+    return f"_staged_{safe}_{tag}"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -118,7 +146,7 @@ def applied_check_sql(table: str, batch_id: str) -> str:
     """SELECT that is non-empty iff ``batch_id`` was already logged."""
     return (
         f"SELECT batch_id FROM {batchlog_table(table)} "
-        f"WHERE batch_id = '{batch_id}' LIMIT 1"
+        f"WHERE batch_id = {sql_str_lit(batch_id)} LIMIT 1"
     )
 
 
@@ -126,13 +154,38 @@ def log_batch_sql(table: str, batch_id: str) -> str:
     """Append the applied batch id to the log (after the MERGE)."""
     return (
         f"INSERT INTO {batchlog_table(table)} "
-        f"VALUES ('{batch_id}', current_timestamp())"
+        f"VALUES ({sql_str_lit(batch_id)}, current_timestamp())"
     )
 
 
 def add_column_sql(table: str, name: str, sql_type: str) -> str:
     """Additive evolution: one new nullable column."""
     return f"ALTER TABLE {table} ADD COLUMN {name} {sql_type}"
+
+
+def align_select_exprs(
+    table_fields: list[tuple[str, str]], staged_cols: list[str]
+) -> list[str]:
+    """selectExpr list that aligns a staged batch to the FULL table
+    schema: table columns the batch lacks become typed NULL casts, in
+    table-column order.
+
+    Why this matters (LWW parity with ParquetSnapshotSink): after
+    additive evolution, a newer winning event that lacks an evolved
+    column (e.g. ``model`` promoted from ``_extras`` by an earlier
+    batch) must REPLACE the loser's value with NULL — the snapshot
+    sink's LWW keeps whole payloads, so the evolved column reads NULL
+    there. A MERGE whose UPDATE SET lists only the staged columns
+    would instead leave the loser's stale value in place, and the two
+    'parity' sinks would diverge on the same event stream. Aligning
+    the staged frame first lets :func:`merge_upsert_sql` be built from
+    the table's columns, so UPDATE SET overwrites every non-key
+    column."""
+    staged = set(staged_cols)
+    return [
+        name if name in staged else f"CAST(NULL AS {sql_type}) AS {name}"
+        for name, sql_type in table_fields
+    ]
 
 
 def merge_upsert_sql(
@@ -150,7 +203,12 @@ def merge_upsert_sql(
       see module docstring), never ``DELETE``d;
     - the INSERT lists columns explicitly: after evolution the table
       may carry columns an old replayed batch doesn't have — those
-      default to NULL, while ``INSERT *`` would fail on the mismatch.
+      default to NULL, while ``INSERT *`` would fail on the mismatch;
+    - ``staged_cols`` must be the TABLE's full column list with the
+      staged view aligned to it (:func:`align_select_exprs`), so
+      UPDATE SET overwrites every non-key column — a winning event
+      that lacks an evolved column writes NULL, matching the snapshot
+      sink's whole-payload LWW.
     """
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     s_ord = ", ".join(f"s.{c}" for c in order_cols)
@@ -173,12 +231,12 @@ def purge_sql(table: str, key_eq: dict) -> list[str]:
     twin): DELETE the matching rows (real row removal, not an engine
     tombstone — the sink's own soft-delete rows for the key go too),
     then expire every prior snapshot and orphan files so no retained
-    Iceberg file still carries the data. String values are quoted;
-    the caller passes trusted key values (same contract as the other
-    builders)."""
+    Iceberg file still carries the data. String values are quoted and
+    quote-escaped; the caller passes trusted key names (same contract
+    as the other builders)."""
     conds = []
     for k, v in key_eq.items():
-        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        lit = sql_str_lit(v) if isinstance(v, str) else str(v)
         conds.append(f"{k} = {lit}")
     where = " AND ".join(conds)
     catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
@@ -315,11 +373,21 @@ class IcebergSink:
         if self._applied(batch_id):
             return {"batch_id": batch_id, "skipped": True}
         self._evolve(reduced)
-        view = f"_staged_{batch_id.replace('-', '_')}"
-        reduced.createOrReplaceTempView(view)
+        # Align to the evolved table's full schema (missing columns →
+        # typed NULLs) so the MERGE overwrites every non-key column —
+        # LWW parity with ParquetSnapshotSink's whole-payload replace.
+        table_fields = [
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.table(self.table).schema.fields
+        ]
+        aligned = reduced.selectExpr(
+            *align_select_exprs(table_fields, reduced.columns)
+        )
+        view = staged_view_name(batch_id)
+        aligned.createOrReplaceTempView(view)
         self.spark.sql(
             merge_upsert_sql(
-                self.table, view, self.keys, self.order_cols, reduced.columns
+                self.table, view, self.keys, self.order_cols, aligned.columns
             )
         )
         self.spark.sql(log_batch_sql(self.table, batch_id))

@@ -230,6 +230,39 @@ def test_root_typed_multi_hybrid(spark):
     assert [(r.id, r.doc) for r in out2] == [(1, "1"), (1, "2")]
 
 
+def test_root_typed_multi_whole_doc_root(spark):
+    # '/' re-roots at the whole document — must short-circuit (the
+    # detector has no segments; round-2 code raised TypeError on
+    # filter(~None)), and behaves exactly like root_typed.
+    from embulk_util_json_spark.operators.flatten import root_typed_multi
+
+    df = spark.createDataFrame(
+        [(1, '{"v":1}'), (2, "not json")], "id long, doc string"
+    )
+    out = root_typed_multi(df, "doc", "/").orderBy("id").collect()
+    assert [(r.id, r.doc) for r in out] == [(1, '{"v":1}')]
+
+
+def test_root_typed_multi_escaped_duplicate_key(spark):
+    # a duplicate key written with JSON escapes ("m" == "m")
+    # bypasses the literal textual counter; the escaped-key detector
+    # must route the row to the decoded-match parity engine so BOTH
+    # matches are emitted — 'never drops a match'.
+    from embulk_util_json_spark.operators.flatten import root_typed_multi
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"\\u006d":{"v":1},"m":{"v":2}}'),  # disguised dup
+            (2, '{"m":{"v":3}}'),                    # plain fast path
+        ],
+        "id long, doc string",
+    )
+    out = root_typed_multi(df, "doc", "/m").orderBy("id", "doc").collect()
+    assert [(r.id, r.doc) for r in out] == [
+        (1, '{"v":1}'), (1, '{"v":2}'), (2, '{"v":3}'),
+    ]
+
+
 def test_capture_typed_parity_fallback_literals(spark):
     # option-driven fallback (NaN/Infinity literals force the parity
     # engine): the typed unwrap must pass non-numeric literals through

@@ -177,6 +177,68 @@ def test_purge_sql_golden():
     )
 
 
+def test_batch_id_literals_escaped():
+    # batch ids legally contain '.', '@', ':' (replay_segments /
+    # route_tables id formats) and could carry a quote; the log SQL
+    # must escape, not break.
+    from embulk_util_json_spark.sinks.iceberg import sql_str_lit
+
+    evil = "seg-a'b.parquet-1@2:t"
+    assert sql_str_lit(evil) == "'seg-a''b.parquet-1@2:t'"
+    write = log_batch_sql(TABLE, evil)
+    read = applied_check_sql(TABLE, evil)
+    assert "'seg-a''b.parquet-1@2:t'" in write
+    assert "'seg-a''b.parquet-1@2:t'" in read
+
+
+def test_staged_view_name_sanitized_and_unique():
+    from embulk_util_json_spark.sinks.iceberg import staged_view_name
+
+    import re as _re
+
+    for bid in ("seg-f.parquet-0@17", "b:route", "plain", "a'quote"):
+        name = staged_view_name(bid)
+        assert _re.fullmatch(r"[A-Za-z0-9_]+", name), name
+    # ids that sanitize to the same base must still get distinct views
+    assert staged_view_name("b.1") != staged_view_name("b:1")
+    # deterministic across calls (replay resolves the same view name)
+    assert staged_view_name("b.1") == staged_view_name("b.1")
+
+
+def test_staged_view_name_is_valid_temp_view(spark):
+    from embulk_util_json_spark.sinks.iceberg import staged_view_name
+
+    name = staged_view_name("seg-f.parquet-0@17:transcripts")
+    spark.range(1).createOrReplaceTempView(name)  # must not raise
+    assert spark.table(name).count() == 1
+    spark.catalog.dropTempView(name)
+
+
+def test_align_select_exprs_full_table_overwrite():
+    # LWW parity with ParquetSnapshotSink: a staged batch lacking an
+    # evolved column must write NULL over the loser's value, so the
+    # staged view is aligned to the FULL table schema and the MERGE's
+    # UPDATE SET covers every non-key column.
+    from embulk_util_json_spark.sinks.iceberg import align_select_exprs
+
+    table_fields = [
+        ("conv_id", "string"), ("turn_idx", "int"), ("text", "string"),
+        ("model", "string"), ("ts", "timestamp"), ("seq", "bigint"),
+        ("op", "string"),
+    ]
+    staged = ["conv_id", "turn_idx", "text", "ts", "seq", "op"]
+    exprs = align_select_exprs(table_fields, staged)
+    assert exprs == [
+        "conv_id", "turn_idx", "text",
+        "CAST(NULL AS string) AS model", "ts", "seq", "op",
+    ]
+    # the MERGE built from the aligned (table) columns assigns the
+    # evolved column too — stale values can't survive a newer winner
+    cols = [n for n, _ in table_fields]
+    sql = merge_upsert_sql(TABLE, "s1", KEYS, ORDER, cols)
+    assert "t.model = s.model" in sql.split("UPDATE SET")[1].split("WHEN NOT")[0]
+
+
 def test_changelog_sql_golden():
     from embulk_util_json_spark.sinks.iceberg import changelog_sql
 

@@ -123,6 +123,29 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 3) not in pairs
 
 
+def test_release_caches_frees_tracked_persists(docs, spark):
+    # the shared-shingle intermediates register with the module cache
+    # tracker; release_caches() must unpersist them all so long-lived
+    # sessions don't accumulate storage blocks across repeated calls.
+    from embulk_util_json_spark.pipeline import dedup as dedup_mod
+
+    dedup_mod.release_caches()  # clean slate (other tests may cache)
+    minhash_lsh_pairs(
+        docs, "text", "doc_id", verify_threshold=0.5, max_df_frac=0.9
+    ).collect()
+    # grams + inner df-cap shingles + outer verify shingles registered
+    assert len(dedup_mod._LIVE_CACHES) >= 2
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    freed = dedup_mod.release_caches()
+    assert freed >= 2 and not dedup_mod._LIVE_CACHES
+    # the tracked frames really left the storage layer (relative check:
+    # unrelated localCheckpoint RDDs from other tests may still live)
+    assert jsc.getPersistentRDDs().size() < before
+    # idempotent
+    assert dedup_mod.release_caches() == 0
+
+
 def test_simhash_hamming(docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
     assert sh[0] == sh[1] == sh[4]

@@ -44,6 +44,56 @@ def test_assemble_conversations(spark):
     assert out["c2"].document == "user: lone turn\ntool: result"
 
 
+def test_assemble_null_turn_parity_with_oracle(spark):
+    # PINNED NULL semantics: a NULL role/text renders as '' and the
+    # line still appears — identically in the engine (coalesce inside
+    # concat; concat_ws would silently SKIP the null arg) and the
+    # DuckDB twin (coalesce inside ||; bare || would null the line and
+    # string_agg would DROP it). Also covers merge_consecutive_roles'
+    # string_agg twin.
+    from embulk_util_json_spark.pipeline.transcripts import (
+        assemble_conversations_sql,
+        merge_consecutive_roles,
+        merge_consecutive_roles_sql,
+    )
+
+    rows = [
+        ("c1", 0, "user", "hello", None),
+        ("c1", 1, "assistant", None, None),     # NULL text
+        ("c1", 2, None, "orphan line", None),   # NULL role
+        ("c1", 3, "assistant", "bye", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = assemble_conversations(df).first()
+    assert got.document == "user: hello\nassistant: \n: orphan line\nassistant: bye"
+    assert got.n_turns == 4
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(conv_id VARCHAR, turn_idx INT, role VARCHAR, "
+        "text VARCHAR, tool VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    ora = con.execute(assemble_conversations_sql("SELECT * FROM t")).fetchone()
+    assert (ora[0], ora[1], ora[2]) == ("c1", got.document, 4)
+
+    # merge path: run of two 'assistant' turns where one text is NULL
+    merged = {
+        r.turn_idx: r for r in merge_consecutive_roles(df).collect()
+    }
+    ora_m = {
+        r[1]: r
+        for r in con.execute(
+            merge_consecutive_roles_sql("SELECT * FROM t")
+        ).fetchall()
+    }
+    assert set(merged) == set(ora_m)
+    for ti, row in merged.items():
+        assert ora_m[ti][3] == row.text, (ti, ora_m[ti][3], row.text)
+
+
 def test_conversation_stats(spark):
     out = {r.conv_id: r for r in conversation_stats(_turns(spark)).collect()}
     c1, c2 = out["c1"], out["c2"]
