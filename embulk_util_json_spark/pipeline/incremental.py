@@ -91,21 +91,30 @@ class IncrementalDeduper:
         )
 
     def _owners(self, shaped: DataFrame) -> DataFrame:
-        """(fingerprint, owner_id) ownership view of the store. A
-        store with no buckets yet (fresh, or only empty increments)
+        """(fingerprint, owner_id) ownership view of the store,
+        RESTRICTED to the increment's fingerprints: ``probe_keys``
+        prunes the read to the bucket chains the increment hashes into
+        and semi-joins the fingerprint set before the LWW merge — the
+        probe scans O(increment's buckets), not O(history), which is
+        what keeps per-batch cost flat as the store grows to 100 TB.
+        A store with no buckets yet (fresh, or only empty increments)
         has no ownership rows — built as an empty same-schema frame,
         because the sink's generic empty-read placeholder carries the
         transcript schema, not this sink's keys."""
         m = self.store.current_manifest()
         if not m or not m["buckets"]:
             return shaped.select("fingerprint", "owner_id").limit(0)
-        return self.store.read().select("fingerprint", "owner_id")
+        return self.store.read(
+            probe_keys=shaped.select("fingerprint")
+        ).select("fingerprint", "owner_id")
 
     def is_dup_against_history(
         self, df: DataFrame, text_col: str, id_col: str
     ) -> DataFrame:
         """Read-only probe: flag rows whose fingerprint is already
-        owned (by anyone). No state change."""
+        owned (by anyone). No state change. Key-pruned like
+        :meth:`_owners`: only the probed fingerprints' bucket chains
+        are opened."""
         fps = df.select(
             F.col(id_col),
             F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
@@ -113,9 +122,9 @@ class IncrementalDeduper:
         m = self.store.current_manifest()
         if not m or not m["buckets"]:
             return df.withColumn("is_dup", F.lit(False))
-        owners = self.store.read().select(
-            "fingerprint", F.lit(True).alias("_seen")
-        )
+        owners = self.store.read(
+            probe_keys=fps.select("fingerprint")
+        ).select("fingerprint", F.lit(True).alias("_seen"))
         flagged = fps.join(owners, "fingerprint", "left").select(
             id_col, F.coalesce(F.col("_seen"), F.lit(False)).alias("is_dup")
         )

@@ -505,6 +505,8 @@ class ParquetSnapshotSink:
         include_meta: bool = False,
         at_version: int | None = None,
         key_eq: dict | None = None,
+        probe_keys: DataFrame | None = None,
+        broadcast_probe: bool = True,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -521,6 +523,19 @@ class ParquetSnapshotSink:
         (files are sorted within buckets by the keys) prune further.
         Filtering before the LWW merge is exact: LWW reduces per key,
         and every row of a key carries the same key values.
+
+        ``probe_keys`` — a DataFrame carrying a ``bucket_by`` column of
+        key values to restrict the read to (the SET analogue of
+        ``key_eq``: a batch probing many keys at once, e.g. the
+        incremental deduper's ownership check). Two-level pruning:
+        only bucket chains the probe set hashes into are opened (the
+        probe's distinct-bucket list is metadata-sized — ≤ num_buckets
+        ints collected driver-side), then a semi-join on the key runs
+        BEFORE the LWW merge (exact, same argument as ``key_eq``), so
+        the merge reduces only probed keys instead of the whole chain.
+        ``broadcast_probe`` hints the semi-join's build side — right
+        for increment ≪ store (the probe case); pass False to let AQE
+        choose when the probe set is itself huge.
         """
         manifest = (
             self.manifest_at(at_version) if at_version else self.current_manifest()
@@ -535,6 +550,28 @@ class ParquetSnapshotSink:
                 return self.spark.createDataFrame([], EMPTY_SCHEMA)
             df = self._read_bucket_paths(chain)
             depth = len(chain)
+        elif probe_keys is not None:
+            probe = probe_keys.select(self.bucket_by).filter(
+                F.col(self.bucket_by).isNotNull()
+            ).distinct()
+            hit = sorted(
+                int(r.b)
+                for r in probe.select(
+                    self._bucket_expr(F.col(self.bucket_by)).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            chains = {b: self._paths_of(manifest, str(b)) for b in hit}
+            paths = [p for c in chains.values() for p in c]
+            if not paths:
+                return self.spark.createDataFrame([], EMPTY_SCHEMA)
+            df = self._read_bucket_paths(paths).join(
+                F.broadcast(probe) if broadcast_probe else probe,
+                self.bucket_by,
+                "left_semi",
+            )
+            depth = max(len(c) for c in chains.values())
         else:
             df = self._read_bucket_paths(self._all_paths(manifest))
             depth = self._chain_depth(manifest)

@@ -342,6 +342,45 @@ def test_point_lookup_prunes_to_one_bucket(spark, events_parquet, tmp_path):
     assert len(opened[-1]) < len(sink._all_paths(sink.current_manifest()))
 
 
+def test_probe_keys_prunes_to_hit_buckets(spark, events_parquet, tmp_path):
+    """read(probe_keys=...) — the SET analogue of key_eq: opens only
+    the probed keys' bucket chains and returns exactly the full-read
+    rows for those keys (the incremental-dedup ownership-probe shape)."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=8, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+
+    full = sink.read().collect()
+    # two distinct conv_ids that land in different buckets
+    convs = sorted({r.conv_id for r in full})
+    k1 = convs[0]
+    k2 = next(c for c in convs if sink.bucket_of(c) != sink.bucket_of(k1))
+    want = sorted(tuple(r) for r in full if r.conv_id in {k1, k2})
+
+    probe = spark.createDataFrame([(k1,), (k2,), (None,)], "conv_id string")
+    opened: list[list[str]] = []
+    orig = sink._read_bucket_paths
+
+    def spy(rel_paths):
+        opened.append(list(rel_paths))
+        return orig(rel_paths)
+
+    sink._read_bucket_paths = spy
+    got = sorted(tuple(r) for r in sink.read(probe_keys=probe).collect())
+    sink._read_bucket_paths = orig
+
+    assert got == want
+    hit = {f"_bucket={sink.bucket_of(k)}" for k in (k1, k2)}
+    assert opened and all(
+        any(p.endswith(h) for h in hit) for paths in opened for p in paths
+    )
+    assert len(opened[-1]) < len(sink._all_paths(sink.current_manifest()))
+    # probing only missing keys -> empty frame, no full scan
+    missing = spark.createDataFrame([("no-such-conv",)], "conv_id string")
+    assert sink.read(probe_keys=missing).count() == 0
+
+
 def test_point_lookup_missing_key_and_deleted_key(spark, events_parquet, tmp_path):
     sink = ParquetSnapshotSink(
         spark, str(tmp_path / "t"), num_buckets=8, mode="mor"
