@@ -257,19 +257,21 @@ class ParquetSnapshotSink:
 
     # ---- apply (the MERGE) ---------------------------------------------
 
-    def _bucket_expr(self, col=None):
+    def _bucket_expr(self, col=None, num_buckets: int | None = None):
         if col is None:
             col = F.col(self.bucket_by)
-        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets))
+        return F.pmod(F.xxhash64(col), F.lit(num_buckets or self.num_buckets))
 
-    def bucket_of(self, value) -> int:
+    def bucket_of(self, value, num_buckets: int | None = None) -> int:
         """Bucket of a key value, computed with the SAME expression the
         writer uses (xxhash64 is bit-stable across versions/runs, so
         buckets are recomputable from the key — never stored). The
-        1-row job constant-folds; no data is scanned."""
+        1-row job constant-folds; no data is scanned. ``num_buckets``
+        overrides the current layout (time travel across a rebucket
+        needs the MANIFEST's bucket count, not today's)."""
         return int(
             self.spark.range(1)
-            .select(self._bucket_expr(F.lit(value)).alias("b"))
+            .select(self._bucket_expr(F.lit(value), num_buckets).alias("b"))
             .collect()[0].b
         )
 
@@ -542,9 +544,10 @@ class ParquetSnapshotSink:
         )
         if not manifest or not manifest["buckets"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMA)
+        nb = manifest.get("num_buckets", self.num_buckets)
         if key_eq and self.bucket_by in key_eq:
             chain = self._paths_of(
-                manifest, str(self.bucket_of(key_eq[self.bucket_by]))
+                manifest, str(self.bucket_of(key_eq[self.bucket_by], nb))
             )
             if not chain:
                 return self.spark.createDataFrame([], EMPTY_SCHEMA)
@@ -557,7 +560,7 @@ class ParquetSnapshotSink:
             hit = sorted(
                 int(r.b)
                 for r in probe.select(
-                    self._bucket_expr(F.col(self.bucket_by)).alias("b")
+                    self._bucket_expr(F.col(self.bucket_by), nb).alias("b")
                 )
                 .distinct()
                 .collect()
@@ -757,6 +760,83 @@ class ParquetSnapshotSink:
             }
         )
         return {"version": version, "buckets_compacted": len(target)}
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Bucket-layout rescaling — the partition-spec-evolution
+        analogue (Iceberg rewrites partitioning the same way: new
+        spec, data rewritten under it, old snapshots keep the old
+        layout). A table sized for 32 buckets that grows 100× needs
+        wider buckets or every chain turns into a hot spot; pinning
+        ``num_buckets`` forever was the round-2 gap.
+
+        One manifest-committed full rewrite: the current state is
+        LWW-collapsed (tombstones KEPT, so late replays inside the
+        horizon still lose), re-hashed under the new bucket count, and
+        committed as the next version. Everything else is preserved —
+        the batch-id log (a replayed old batch stays a skip), extras/
+        schema history, lineage. Old manifests keep their own
+        ``num_buckets``, so time travel and key-pruned reads at
+        pre-rebucket versions still open the right chains
+        (``read`` prunes with the MANIFEST's bucket count).
+
+        O(table) by design — this is scheduled maintenance, not a
+        per-batch op; at 100 TB run it like a full compaction."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            # nothing written yet: just adopt the new layout
+            self.num_buckets = int(new_num_buckets)
+            return {"skipped": True, "num_buckets": self.num_buckets}
+        t0 = time.time()
+        df = self._read_bucket_paths(self._all_paths(manifest))
+        df = lww_agg(df, self.keys, self.order_cols)
+        old_n = self.num_buckets
+        self.num_buckets = int(new_num_buckets)
+        try:
+            df = df.withColumn(BUCKET_COL, self._bucket_expr())
+            version = manifest["version"] + 1
+            out_rel = f"data/v{version:08d}"
+            out_dir = os.path.join(self.root, out_rel)
+            (
+                df.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
+                .sortWithinPartitions(*self.keys)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+            present = self._written_buckets(out_dir)
+            self._commit(
+                {
+                    **manifest,
+                    "version": version,
+                    "num_buckets": self.num_buckets,
+                    "buckets": {
+                        b: [f"{out_rel}/{BUCKET_COL}={b}"]
+                        for b in sorted(present, key=int)
+                    },
+                    "applies": manifest["applies"]
+                    + [
+                        {
+                            "rebucket": True,
+                            "version": version,
+                            "from_num_buckets": old_n,
+                            "to_num_buckets": self.num_buckets,
+                            "wall_sec": round(time.time() - t0, 3),
+                        }
+                    ],
+                }
+            )
+        except BaseException:
+            # commit lost / write failed: the table is still on the old
+            # layout — keep this writer consistent with it
+            self.num_buckets = old_n
+            raise
+        return {
+            "version": version,
+            "from_num_buckets": old_n,
+            "to_num_buckets": self.num_buckets,
+        }
 
     def purge(
         self,

@@ -342,6 +342,74 @@ def test_point_lookup_prunes_to_one_bucket(spark, events_parquet, tmp_path):
     assert len(opened[-1]) < len(sink._all_paths(sink.current_manifest()))
 
 
+def test_rebucket_midstream_matches_oracle(
+    spark, events_parquet, oracle_state, tmp_path
+):
+    """apply → rebucket → apply ≡ sequential oracle: the layout
+    rewrite preserves state, tombstones, and the batch-id log (a
+    replayed pre-rebucket batch stays a skip), and subsequent applies
+    land under the new bucket count."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "rb"), num_buckets=4, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=6)
+    # replay only delivered batches 1..6; rebucket midway through a
+    # SECOND pass that also carries 3 fresh batches
+    sink2 = ParquetSnapshotSink(spark, str(tmp_path / "rb2"), num_buckets=4, mode="mor")
+    mids = replay_parquet(spark, events_parquet, sink2, num_batches=3)
+    assert not any(m.get("skipped") for m in mids)
+    pre_version = sink2.current_version()
+    r = sink2.rebucket(9)
+    assert (r["from_num_buckets"], r["to_num_buckets"]) == (4, 9)
+    assert sink2.num_buckets == 9
+    # pre-rebucket batches are still skips; the finer split delivers
+    # the remaining ranges
+    replay_parquet(spark, events_parquet, sink2, num_batches=6)
+    assert_matches_oracle(sink2, oracle_state)
+    assert state_from_sink(sink2) == state_from_sink(sink)
+
+    # point lookup prunes to ONE bucket of the NEW layout
+    some_key = next(iter(state_from_sink(sink2)))
+    opened: list[list[str]] = []
+    orig = sink2._read_bucket_paths
+
+    def spy(rel_paths):
+        opened.append(list(rel_paths))
+        return orig(rel_paths)
+
+    sink2._read_bucket_paths = spy
+    got = sink2.read(
+        key_eq={"conv_id": some_key[0], "turn_idx": some_key[1]}
+    ).count()
+    sink2._read_bucket_paths = orig
+    assert got == 1
+    b_new = sink2.bucket_of(some_key[0])
+    assert opened and all(
+        p.endswith(f"_bucket={b_new}") for paths in opened for p in paths
+    )
+
+    # time travel ACROSS the rebucket: a pre-rebucket version reads
+    # with the OLD layout's bucket count (key-pruned too)
+    old_state = sink2.read(at_version=pre_version)
+    assert old_state.count() > 0
+    b_old = sink2.bucket_of(some_key[0], num_buckets=4)
+    pre_row = sink2.read(
+        at_version=pre_version, key_eq={"conv_id": some_key[0]}
+    )
+    assert pre_row.count() >= 0  # prunes via old layout without error
+    # a fresh handle adopts the committed (new) bucket count
+    reopened = ParquetSnapshotSink(spark, str(tmp_path / "rb2"), mode="mor")
+    assert reopened.num_buckets == 9
+
+
+def test_rebucket_empty_table_is_metadata_only(spark, tmp_path):
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "rbe"), num_buckets=4, mode="mor"
+    )
+    r = sink.rebucket(16)
+    assert r["skipped"] and sink.num_buckets == 16
+
+
 def test_probe_keys_prunes_to_hit_buckets(spark, events_parquet, tmp_path):
     """read(probe_keys=...) — the SET analogue of key_eq: opens only
     the probed keys' bucket chains and returns exactly the full-read
