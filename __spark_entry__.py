@@ -1232,6 +1232,69 @@ def _q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query probes its two nearest cells
+    — the recall knob turned one notch (candidates ∝ nprobe)."""
+    from embulk_util_json_spark.pipeline.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        n_centroids=8, centroid_mod=61, k=5, query_mod=50, nprobe=2,
+    )
+
+
+def _q_sim_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with flip-one-bit multi-probe: P+1 buckets per query
+    instead of 1, no index growth — the LSH recall knob."""
+    from embulk_util_json_spark.pipeline.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        dim=64, planes=8, k=5, query_mod=50, multiprobe=1,
+    )
+
+
+def _q_sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-recall@5 of every ANN variant against the exact top-k —
+    the knob-tuning table: multiprobe must beat plain LSH, nprobe=2
+    must beat nprobe=1 (asserted in pytest; values graded here)."""
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+        recall_summary,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, "embedding", "vec_id", k=5, query_mod=50)
+    variants = {
+        "ivf_np1": ivf_ann_topk(
+            emb, "embedding", "vec_id",
+            n_centroids=8, centroid_mod=61, k=5, query_mod=50, nprobe=1,
+        ),
+        "ivf_np2": ivf_ann_topk(
+            emb, "embedding", "vec_id",
+            n_centroids=8, centroid_mod=61, k=5, query_mod=50, nprobe=2,
+        ),
+        "lsh_p8": lsh_ann_topk(
+            emb, "embedding", "vec_id", dim=64, planes=8, k=5, query_mod=50
+        ),
+        "lsh_p8_mp1": lsh_ann_topk(
+            emb, "embedding", "vec_id",
+            dim=64, planes=8, k=5, query_mod=50, multiprobe=1,
+        ),
+    }
+    out = None
+    for name, ann in variants.items():
+        row = recall_summary(ann, exact, k=5).select(
+            F.lit(name).alias("variant"), "n_exact", "n_hits", "recall"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the LSH ANN against the exact brute-force top-k —
     the tuning loop for the ANN knobs (raise planes until recall
@@ -1278,6 +1341,10 @@ def _pipeline_oracles() -> dict[str, str]:
         similarity,
         text,
         transcripts,
+    )
+
+    _EXACT_TOPK_SQL = similarity.cosine_topk_sql(
+        "embeddings", "embedding", "vec_id", k=5, query_mod=50
     )
 
     return {
@@ -1340,6 +1407,49 @@ def _pipeline_oracles() -> dict[str, str]:
         "sim_ivf_ann_topk": similarity.ivf_ann_topk_sql(
             "embeddings", "embedding", "vec_id",
             n_centroids=8, centroid_mod=61, k=5, query_mod=50,
+        ),
+        "sim_ivf_ann_nprobe2": similarity.ivf_ann_topk_sql(
+            "embeddings", "embedding", "vec_id",
+            n_centroids=8, centroid_mod=61, k=5, query_mod=50, nprobe=2,
+        ),
+        "sim_lsh_ann_multiprobe": similarity.lsh_ann_topk_sql(
+            "embeddings", "embedding", "vec_id",
+            dim=64, planes=8, k=5, query_mod=50, multiprobe=1,
+        ),
+        "sim_ann_recall_curve": " UNION ALL ".join(
+            f"SELECT '{name}' AS variant, * FROM ({similarity.recall_summary_sql(ann_sql, _EXACT_TOPK_SQL, k=5)})"
+            for name, ann_sql in [
+                (
+                    "ivf_np1",
+                    similarity.ivf_ann_topk_sql(
+                        "embeddings", "embedding", "vec_id",
+                        n_centroids=8, centroid_mod=61, k=5, query_mod=50,
+                        nprobe=1,
+                    ),
+                ),
+                (
+                    "ivf_np2",
+                    similarity.ivf_ann_topk_sql(
+                        "embeddings", "embedding", "vec_id",
+                        n_centroids=8, centroid_mod=61, k=5, query_mod=50,
+                        nprobe=2,
+                    ),
+                ),
+                (
+                    "lsh_p8",
+                    similarity.lsh_ann_topk_sql(
+                        "embeddings", "embedding", "vec_id",
+                        dim=64, planes=8, k=5, query_mod=50,
+                    ),
+                ),
+                (
+                    "lsh_p8_mp1",
+                    similarity.lsh_ann_topk_sql(
+                        "embeddings", "embedding", "vec_id",
+                        dim=64, planes=8, k=5, query_mod=50, multiprobe=1,
+                    ),
+                ),
+            ]
         ),
         "sim_ann_recall": similarity.ann_recall_sql(
             similarity.lsh_ann_topk_sql(
@@ -1426,6 +1536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_topk_arrow": _q_sim_cosine_topk_arrow,
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
+        "sim_lsh_ann_multiprobe": _q_sim_lsh_ann_multiprobe,
+        "sim_ivf_ann_nprobe2": _q_sim_ivf_ann_nprobe2,
+        "sim_ann_recall_curve": _q_sim_ann_recall_curve,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_neardup_pairs_exact": _q_sim_neardup_exact,
         "sim_neardup_recall": _q_sim_neardup_recall,

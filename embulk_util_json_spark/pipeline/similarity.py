@@ -303,12 +303,26 @@ def lsh_ann_topk(
     planes: int = 8,
     k: int = 5,
     query_mod: int = 50,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (signature equality), ranked by exact quantized cosine.
     Bucket join shuffles on the signature — 2^P uniform buckets; at
     100 TB, P grows with corpus size to hold bucket width constant.
-    Output (query_id, neighbor_id, rank, cosine) — rank within bucket."""
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (flip each of the P bits) —
+    the standard multi-probe LSH recall knob: P+1 buckets per query
+    instead of 1, recovering neighbors that one borderline hyperplane
+    pushed across a bucket boundary, WITHOUT growing the index or
+    re-hashing the corpus. A corpus row has exactly one signature and
+    the probe signatures are distinct, so no (query, neighbor) pair
+    repeats. Tune with :func:`ann_recall`.
+
+    Output (query_id, neighbor_id, rank, cosine) — rank within the
+    probed buckets."""
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1 (flip-one-bit probing)")
     qn = quantized(df, vec_col, id_col).withColumn(
         "sig", lsh_signature(F.col("qvec"), dim, planes)
     )
@@ -318,6 +332,15 @@ def lsh_ann_topk(
         F.col("qnorm").alias("q_qnorm"),
         F.col("sig").alias("q_sig"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("q_sig"),
+            *[
+                F.col("q_sig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(planes)
+            ],
+        )
+        queries = queries.withColumn("q_sig", F.explode(probes))
     corpus = _spread(
         qn.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm", "sig")
     )
@@ -425,6 +448,18 @@ def ivf_assign(
     part that matters for the index structure, is identical). Each
     vector is assigned to its nearest centroid by quantized cosine
     (ties → lowest centroid id). Returns (id, qvec, qnorm, cell)."""
+    return _ivf_ranked(df, vec_col, id_col, n_centroids, centroid_mod).filter(
+        F.col("_rn") == 1
+    ).select(id_col, "qvec", "qnorm", F.col("cent_id").alias("cell"))
+
+
+def _ivf_ranked(
+    df: DataFrame, vec_col: str, id_col: str, n_centroids: int, centroid_mod: int
+) -> DataFrame:
+    """(id, qvec, qnorm, cent_id, _rn): every vector scored against
+    every centroid (broadcast — centroids are tiny) and rank-numbered
+    by (cosine desc, cent_id asc). ``_rn == 1`` is the storage cell;
+    ``_rn <= nprobe`` is a query's probe set."""
     qn = quantized(df, vec_col, id_col)
     cents = (
         qn.filter((F.col(id_col) % centroid_mod) == 0)
@@ -440,10 +475,8 @@ def ivf_assign(
         "c_cos", _cosine(_dot(F.col("qvec"), F.col("c_qvec")), F.col("qnorm"), F.col("c_qnorm"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "qvec", "qnorm", F.col("cent_id").alias("cell"))
+    return scored.withColumn("_rn", F.row_number().over(w)).select(
+        id_col, "qvec", "qnorm", "cent_id", "_rn"
     )
 
 
@@ -455,21 +488,29 @@ def ivf_ann_topk(
     centroid_mod: int = 250,
     k: int = 5,
     query_mod: int = 50,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to the query's
-    cell (nprobe=1), ranked by exact quantized cosine. The cell join
-    shuffles on the centroid id — at 100 TB, n_centroids grows with
-    the corpus (√N rule) to hold cell width constant, and nprobe
-    trades recall for cost."""
-    assigned = ivf_assign(df, vec_col, id_col, n_centroids, centroid_mod)
-    queries = assigned.filter((F.col(id_col) % query_mod) == 0).select(
+    ``nprobe`` nearest cells, ranked by exact quantized cosine. The
+    cell join shuffles on the centroid id — at 100 TB, n_centroids
+    grows with the corpus (√N rule) to hold cell width constant, and
+    ``nprobe`` trades recall for a proportional candidate-set cost
+    (each probed cell is one more bucket of candidates; a corpus row
+    lives in exactly one cell, so no (query, neighbor) pair repeats).
+    Tune with :func:`ann_recall`: raise nprobe until recall clears
+    target."""
+    ranked = _ivf_ranked(df, vec_col, id_col, n_centroids, centroid_mod)
+    queries = ranked.filter(
+        ((F.col(id_col) % query_mod) == 0) & (F.col("_rn") <= nprobe)
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_qvec"),
         F.col("qnorm").alias("q_qnorm"),
-        F.col("cell").alias("q_cell"),
+        F.col("cent_id").alias("q_cell"),
     )
-    corpus = assigned.select(
-        F.col(id_col).alias("neighbor_id"), "qvec", "qnorm", "cell"
+    corpus = ranked.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "qvec", "qnorm",
+        F.col("cent_id").alias("cell"),
     )
     scored = corpus.join(
         F.broadcast(queries),
@@ -530,6 +571,37 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def recall_summary(ann: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
+    """ONE-row micro-recall of an ANN result vs the exact top-k:
+    (n_exact, n_hits, recall = Σhits/Σexact). Integer sums + one IEEE
+    divide — deterministic across engines (a mean of per-query
+    recalls would depend on float summation order)."""
+    per_q = ann_recall(ann, exact, k)
+    return per_q.agg(
+        F.sum("n_exact").cast("int").alias("n_exact"),
+        F.sum("n_hits").cast("int").alias("n_hits"),
+    ).select(
+        "n_exact",
+        "n_hits",
+        F.round(
+            F.col("n_hits")
+            / F.when(F.col("n_exact") > 0, F.col("n_exact").cast("double")),
+            6,
+        ).alias("recall"),
+    )
+
+
+def recall_summary_sql(ann_sql: str, exact_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`recall_summary`."""
+    return f"""
+        SELECT CAST(SUM(n_exact) AS INTEGER) AS n_exact,
+               CAST(SUM(n_hits) AS INTEGER) AS n_hits,
+               ROUND(SUM(n_hits) / (CASE WHEN SUM(n_exact) > 0
+                     THEN CAST(SUM(n_exact) AS DOUBLE) END), 6) AS recall
+        FROM ({ann_recall_sql(ann_sql, exact_sql, k)})
+    """
 
 
 def ann_recall_sql(ann_sql: str, exact_sql: str, k: int = 5) -> str:
@@ -690,6 +762,7 @@ def ivf_ann_topk_sql(
     centroid_mod: int = 250,
     k: int = 5,
     query_mod: int = 50,
+    nprobe: int = 1,
 ) -> str:
     cdot = _SQL_DOT.format(a="qn.qvec", b="c.qvec")
     dot = _SQL_DOT.format(a="cc.qvec", b="qq.qvec")
@@ -700,23 +773,28 @@ def ivf_ann_topk_sql(
             WHERE {id_col} % {centroid_mod} = 0
             ORDER BY cent_id LIMIT {n_centroids}
         ),
+        cellranked AS (
+            SELECT qn.{id_col}, qn.qvec, qn.qnorm, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qn.{id_col}
+                       ORDER BY ROUND({cdot} / SQRT(CAST(qn.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)), 6) DESC,
+                                c.cent_id ASC
+                   ) AS rn
+            FROM qn CROSS JOIN cents c
+        ),
         assigned AS (
-            SELECT {id_col}, qvec, qnorm, cent_id AS cell FROM (
-                SELECT qn.*, c.cent_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY qn.{id_col}
-                           ORDER BY ROUND({cdot} / SQRT(CAST(qn.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)), 6) DESC,
-                                    c.cent_id ASC
-                       ) AS rn
-                FROM qn CROSS JOIN cents c
-            ) WHERE rn = 1
+            SELECT {id_col}, qvec, qnorm, cent_id AS cell
+            FROM cellranked WHERE rn = 1
+        ),
+        probes AS (
+            SELECT {id_col}, qvec, qnorm, cent_id AS cell
+            FROM cellranked WHERE rn <= {nprobe} AND {id_col} % {query_mod} = 0
         ),
         scored AS (
             SELECT qq.{id_col} AS query_id, cc.{id_col} AS neighbor_id,
                    ROUND({dot} / SQRT(CAST(cc.qnorm AS DOUBLE) * CAST(qq.qnorm AS DOUBLE)), 6) AS cosine
-            FROM assigned qq JOIN assigned cc
+            FROM probes qq JOIN assigned cc
               ON cc.cell = qq.cell AND cc.{id_col} <> qq.{id_col}
-            WHERE qq.{id_col} % {query_mod} = 0
         ),
         ranked AS (
             SELECT *, ROW_NUMBER() OVER (
@@ -736,12 +814,29 @@ def lsh_ann_topk_sql(
     planes: int = 8,
     k: int = 5,
     query_mod: int = 50,
+    multiprobe: int = 0,
 ) -> str:
     comp = (
         "CAST(('0x' || substr(md5('plane:' || CAST(p AS VARCHAR) || ':' "
         "|| CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000"
     )
     dot = _SQL_DOT.format(a="c.qvec", b="q.qvec")
+    if multiprobe:
+        probe_sigs = f"""
+        probe_sigs AS (
+            SELECT {id_col}, sig AS probe_sig FROM sigs
+            UNION ALL
+            SELECT {id_col}, xor(sig, CAST(1 AS BIGINT) << p) AS probe_sig
+            FROM sigs CROSS JOIN UNNEST(range({planes})) AS tp(p)
+        ),"""
+        probe_join = f"""
+            FROM qn q
+            JOIN probe_sigs ps ON ps.{id_col} = q.{id_col}
+            JOIN qs c ON c.sig = ps.probe_sig AND c.{id_col} <> q.{id_col}"""
+    else:
+        probe_sigs = ""
+        probe_join = f"""
+            FROM qs q JOIN qs c ON c.sig = q.sig AND c.{id_col} <> q.{id_col}"""
     return f"""
         WITH qn AS ({_sql_qn(table, vec_col, id_col)}),
         plane AS (
@@ -757,11 +852,11 @@ def lsh_ann_topk_sql(
                    CAST(SUM(CASE WHEN pd > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
             FROM dots GROUP BY {id_col}
         ),
-        qs AS (SELECT qn.*, sigs.sig FROM qn JOIN sigs USING ({id_col})),
+        qs AS (SELECT qn.*, sigs.sig FROM qn JOIN sigs USING ({id_col})),{probe_sigs}
         scored AS (
             SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
                    ROUND({dot} / SQRT(CAST(c.qnorm AS DOUBLE) * CAST(q.qnorm AS DOUBLE)), 6) AS cosine
-            FROM qs q JOIN qs c ON c.sig = q.sig AND c.{id_col} <> q.{id_col}
+            {probe_join}
             WHERE q.{id_col} % {query_mod} = 0
         ),
         ranked AS (

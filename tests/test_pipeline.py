@@ -328,6 +328,65 @@ def test_ann_recall(spark):
     assert (out[50].n_exact, out[50].n_hits, out[50].recall) == (2, 0, 0.0)
 
 
+def test_ann_knobs_strictly_raise_recall(spark, sf_smoke_dir):
+    # the recall knobs must actually buy recall on real data:
+    # nprobe=2 > nprobe=1 (IVF), multiprobe=1 > plain (LSH), and
+    # precision stays exact (results are verified cosines either way)
+    import __spark_entry__ as entry
+
+    curve = {
+        r.variant: r for r in entry._q_sim_ann_recall_curve(
+            spark, sf_smoke_dir
+        ).collect()
+    }
+    assert curve["ivf_np2"].n_hits > curve["ivf_np1"].n_hits
+    assert curve["lsh_p8_mp1"].n_hits > curve["lsh_p8"].n_hits
+    # recall is hits/exact over the same exact denominator
+    assert curve["ivf_np2"].recall > curve["ivf_np1"].recall
+    assert curve["lsh_p8_mp1"].recall > curve["lsh_p8"].recall
+
+
+def test_ivf_nprobe_superset_and_lsh_multiprobe_superset(vecs):
+    # probing MORE cells/buckets can only add candidates: the nprobe=1
+    # (resp. plain-LSH) result's (query, neighbor) hits survive, with
+    # identical cosines (same exact verify)
+    from embulk_util_json_spark.pipeline.similarity import (
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    one = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ivf_ann_topk(
+            vecs, "embedding", "vec_id",
+            n_centroids=2, centroid_mod=2, k=5, query_mod=50, nprobe=1,
+        ).collect()
+    }
+    two = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ivf_ann_topk(
+            vecs, "embedding", "vec_id",
+            n_centroids=2, centroid_mod=2, k=5, query_mod=50, nprobe=2,
+        ).collect()
+    }
+    assert set(one) <= set(two) and all(two[p] == c for p, c in one.items())
+
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(
+            vecs, "embedding", "vec_id", dim=4, planes=6, k=5, query_mod=50
+        ).collect()
+    }
+    mp = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(
+            vecs, "embedding", "vec_id",
+            dim=4, planes=6, k=5, query_mod=50, multiprobe=1,
+        ).collect()
+    }
+    assert plain <= mp
+
+
 def test_incremental_dedup_probe_is_bucket_pruned(spark, tmp_path):
     # the ownership probe must scan O(increment's buckets), not the
     # whole fingerprint store: a one-document probe opens at most one
