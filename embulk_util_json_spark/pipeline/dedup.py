@@ -658,33 +658,99 @@ def benchmark_contamination_sql(
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters(
-    df: DataFrame,
-    pairs: DataFrame,
-    id_col: str,
-    max_iters: int = 20,
-) -> DataFrame:
-    """Connected components over a near-duplicate pair graph: every
-    document gets ``cluster_id`` = the minimum doc id reachable through
-    pair edges (the canonical "keep one per cluster" dedup step).
+def cc_alternating_star(
+    pairs: DataFrame, max_iters: int = 20
+) -> tuple[DataFrame, int]:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    the edge set itself is rewritten each round until it is a forest
+    of stars whose centers are the component minima. Converges in
+    O(log² n) rounds vs min-label propagation's O(diameter) — on
+    chainy components (transcript near-dup chains: A≈B≈C≈…) the
+    round count, and with it the shuffle count, collapses.
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup clusters are tiny — a handful
-    of rounds). Each round is ONE shuffle (groupBy min); the loop is
-    driver-side with an early-exit convergence check, which is how
-    iterative graph algorithms run on Spark (GraphX/GraphFrames do the
-    same under the hood).
+    Returns ``(star, rounds)``: ``star`` is (node, root) for every
+    non-root node of a component (roots/isolated nodes are absent —
+    they label themselves), ``rounds`` is the number of
+    large+small-star rounds executed.
+
+    Iteration hygiene: each round's edge set is ``localCheckpoint``ed
+    (materialize + lineage truncation — without it round k replays
+    rounds 1..k-1 and the plan grows without bound); convergence is
+    an EXACT check (count equality + empty set difference), both jobs
+    over star-sized frames."""
+    e = (
+        pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = e.count()
+    rounds = 0
+    converged = n_prev == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        rounds += 1
+        # large-star: each node u connects its LARGER neighbors to
+        # m(u) = min(Γ(u) ∪ {u}); output is canonical (big, small)
+        # because b > a ≥ m.
+        nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = nbrs.groupBy("a").agg(F.min("b").alias("mb")).select(
+            "a", F.least(F.col("mb"), F.col("a")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (big → small) edges: each node u re-points
+        # its smaller neighbors (and itself) at its minimum neighbor.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        if n_new == n_prev and small.subtract(e).limit(1).count() == 0:
+            converged = True
+        e = small
+        n_prev = n_new
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"cc_alternating_star: did not converge in {max_iters} "
+            "rounds; labels may be incomplete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return e, rounds
+
+
+def cc_min_label(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+) -> tuple[DataFrame, int]:
+    """Legacy min-label propagation (kept as the O(diameter)
+    reference; ``cc_alternating_star`` is the default). Each round,
+    every node takes the min of its own and its neighbors' labels.
+    Returns ``(labels(node, label), rounds)``.
 
     Iteration hygiene (the 100×-scale essentials): ``edges`` — whose
     lineage contains the expensive LSH/verify pair job — is persisted
-    and materialized ONCE before the loop, and every round's labels are
-    ``localCheckpoint``ed, which both caches the round's result and
-    truncates lineage. Without the truncation, round k's convergence
-    count recomputes rounds 1..k-1 (O(iters²) total work) and the
-    Catalyst plan itself grows without bound. Old rounds' blocks are
-    released by the ContextCleaner once unreferenced.
-    """
+    and materialized ONCE before the loop, and every round's labels
+    are ``localCheckpoint``ed (cache + lineage truncation; without it
+    round k recomputes rounds 1..k-1)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -698,14 +764,13 @@ def dup_clusters(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_labels = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        # eager localCheckpoint: materializes this round AND truncates
-        # lineage, so the convergence count below and the next round
-        # both read cached blocks instead of replaying the chain.
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
@@ -734,6 +799,42 @@ def dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    return labels, rounds
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int = 20,
+    algorithm: str = "alternating_star",
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    document gets ``cluster_id`` = the minimum doc id reachable through
+    pair edges (the canonical "keep one per cluster" dedup step).
+
+    ``algorithm``: ``"alternating_star"`` (default — O(log² n)
+    rounds, see :func:`cc_alternating_star`) or ``"min_label"``
+    (O(diameter) reference, :func:`cc_min_label`). Identical labels
+    either way; the pair job inside ``pairs``' lineage runs once in
+    both (materialized before iterating)."""
+    if algorithm == "alternating_star":
+        star, _rounds = cc_alternating_star(pairs, max_iters)
+        return (
+            df.select(F.col(id_col).alias("node"))
+            .join(
+                star.select(F.col("u").alias("node"), F.col("v").alias("label")),
+                "node",
+                "left",
+            )
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+            )
+        )
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    labels, _rounds = cc_min_label(df, pairs, id_col, max_iters)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -288,6 +288,54 @@ def test_decode_image_is_stubbed(spark):
         decode_image(media)
 
 
+def test_cc_alternating_star_fewer_rounds_on_chains(spark):
+    # a 16-node path (worst case for min-label: O(diameter) rounds)
+    # must converge in far fewer alternating-star rounds with
+    # IDENTICAL labels (everything reaches min id 0)
+    from embulk_util_json_spark.pipeline.dedup import (
+        cc_alternating_star,
+        cc_min_label,
+        dup_clusters,
+    )
+
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    _, star_rounds = cc_alternating_star(path)
+    _, label_rounds = cc_min_label(nodes, path, "doc_id")
+    assert star_rounds < label_rounds  # O(log^2) vs O(diameter)
+
+    alt = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(nodes, path, "doc_id").collect()
+    }
+    legacy = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(
+            nodes, path, "doc_id", algorithm="min_label"
+        ).collect()
+    }
+    assert alt == legacy == {i: 0 for i in range(n)}
+
+
+def test_cc_alternating_star_multi_component_and_isolated(spark):
+    from embulk_util_json_spark.pipeline.dedup import dup_clusters
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 9, 42)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (8, 7), (9, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 42: 42}
+
+
 def test_dup_clusters(spark):
     from embulk_util_json_spark.pipeline.dedup import dup_clusters
 
