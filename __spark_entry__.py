@@ -582,7 +582,10 @@ def _q_cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe struct compare, map-side-combined status counts."""
     from embulk_util_json_spark.operators.diff import table_diff_summary
 
-    final = _final_state(spark, sf_dir)
+    # the replay subtree feeds BOTH diff sides (left + perturbed +
+    # injected): localCheckpoint evaluates it once and truncates the
+    # lineage, instead of replaying the parse+LWW once per branch
+    final = _final_state(spark, sf_dir).localCheckpoint()
     perturbed = final.filter(F.col("turn_idx") < 24).withColumn(
         "text",
         F.when(

@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..sources.events import (
     BASE_DATA_FIELDS,
@@ -115,22 +115,33 @@ def route_tables(
     a crash mid-routing resumes exactly where it stopped: committed
     tables skip, uncommitted re-apply.
 
-    Rows with an unknown or missing ``table`` are counted (one
-    aggregate on the cached batch) and left unapplied — the router's
-    quarantine contract mirrors the parser's malformed-row taxonomy.
+    Rows with an unknown or missing ``table`` are counted via an
+    ``observe()`` on the shared parse — the metric is collected while
+    the FIRST table-apply builds the cached batch, so routing costs
+    ZERO extra jobs (same pattern the sink uses for malformed rows).
+    Unrouted rows are left unapplied — the router's quarantine
+    contract mirrors the parser's malformed-row taxonomy. Only on the
+    rare all-tables-skipped replay (no apply ran a job, so the
+    observation never fired) does the count run as its own job.
     """
     if not sinks:
         raise ValueError("route_tables requires at least one sink")
-    changes = parse_change_events_single_pass(events, with_table=True)
+    unrouted_cond = F.col(TABLE_COL).isNull() | ~F.col(TABLE_COL).isin(*sinks)
+    obs = Observation()
+    changes = parse_change_events_single_pass(events, with_table=True).observe(
+        obs,
+        F.coalesce(F.sum(unrouted_cond.cast("long")), F.lit(0)).alias("unrouted"),
+    )
     changes = changes.persist()
     try:
         results: dict[str, dict] = {}
         for name, sink in sinks.items():
             sub = changes.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
             results[name] = sink.apply(sub, f"{batch_id}:{name}")
-        unrouted = changes.filter(
-            F.col(TABLE_COL).isNull() | ~F.col(TABLE_COL).isin(*sinks)
-        ).count()
+        if all(r.get("skipped") for r in results.values()):
+            unrouted = changes.filter(unrouted_cond).count()
+        else:
+            unrouted = int(obs.get["unrouted"])
         return {"tables": results, "unrouted_rows": unrouted}
     finally:
         changes.unpersist()
