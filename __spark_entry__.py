@@ -124,6 +124,60 @@ _ORACLE_CDC_FINAL = f"""
 """
 
 
+def _wire_format_final_state(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared body for the wire-format adapter queries: re-wrap the
+    derived native change stream into a connector wire format
+    (Debezium / Maxwell), parse it back through the adapter, and
+    replay to the final transcripts state. Proves the round-trip
+    invariant adapter ∘ rewrap ≡ native parse end-to-end — the same
+    LWW/tombstone plan as ``cdc_apply_final_state``, so any divergence
+    is the adapter's."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources import debezium as dbz
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    if fmt == "debezium":
+        changes = dbz.parse_debezium_events(dbz.to_debezium_json(events))
+    else:
+        changes = dbz.parse_maxwell_events(dbz.to_maxwell_json(events))
+    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_cdc_debezium_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope ingest (op c/u/d/r, before/after row images,
+    source.ts_us event time): wire-format adapter → LWW replay.
+    Microsecond-lossless, so the oracle is the native CDC oracle."""
+    return _wire_format_final_state(spark, sf_dir, "debezium")
+
+
+def _q_cdc_maxwell_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-envelope ingest (type insert/update/delete, full row in
+    ``data``, epoch-second ``ts``): wire-format adapter → LWW replay.
+    The wire format is second-granular, so the oracle truncates ts to
+    seconds and lets ties fall to seq — same rule the engine applies."""
+    return _wire_format_final_state(spark, sf_dir, "maxwell")
+
+
+_ORACLE_CDC_FINAL_SEC = f"""
+    WITH changes AS (
+        SELECT seq, op, date_trunc('second', ts) AS ts,
+               conv_id, turn_idx, role, text, tool
+        FROM ({_ORACLE_CDC_EVENTS})
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_lww_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins winner per user over the raw events table
     (aggregation-based LWW with map-side partial combine)."""
@@ -1492,6 +1546,8 @@ def _pipeline_oracles() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_final_state": _q_cdc_apply_final_state,
+        "cdc_debezium_final_state": _q_cdc_debezium_final_state,
+        "cdc_maxwell_final_state": _q_cdc_maxwell_final_state,
         "lww_latest_event_per_user": _q_lww_latest_event_per_user,
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
@@ -1555,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
+        "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
+        "cdc_maxwell_final_state": _ORACLE_CDC_FINAL_SEC,
         "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,
