@@ -1273,10 +1273,13 @@ def _q_sim_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    exact = neardup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+    # pair_recall consumes `exact` twice (hit semi-join + denominator
+    # count) and `found` once: checkpoint both so the O(n²) baseline
+    # and the LSH pipeline each run exactly once
+    exact = neardup_pairs(emb, "embedding", "vec_id", threshold=0.35).localCheckpoint()
     found = neardup_pairs_lsh(
         emb, "embedding", "vec_id", threshold=0.35, dim=64, bits=8, bands=16
-    )
+    ).localCheckpoint()
     return pair_recall(found, exact)
 
 
@@ -1325,7 +1328,9 @@ def _q_sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb, "embedding", "vec_id", k=5, query_mod=50)
+    # the exact top-k feeds ALL four variant joins: checkpoint it so
+    # the brute-force score-reduce runs once, not once per variant
+    exact = cosine_topk(emb, "embedding", "vec_id", k=5, query_mod=50).localCheckpoint()
     variants = {
         "ivf_np1": ivf_ann_topk(
             emb, "embedding", "vec_id",

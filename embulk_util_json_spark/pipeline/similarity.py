@@ -214,8 +214,15 @@ def neardup_pairs_lsh(
     (band, bsig) keys; verify joins candidates (≪ n²) back to the
     quantized vectors. Random collisions per band are ~n²/2^bits —
     size ``bits`` to the corpus like LSH-ANN sizes ``planes``."""
+    from .dedup import _persist_tracked
+
     qn = quantized(df, vec_col, id_col)
-    sigs = banded_sig_rows(_spread(qn), id_col, dim, bits, bands)
+    # Both branches of the bucket self-join consume the signature
+    # frame, and an Arrow (MapInPandas) stage is opaque to Catalyst's
+    # exchange reuse — unpersisted, the matmul pass runs once per
+    # branch. Persist eagerly (tracked; release_caches() reclaims),
+    # same discipline as the shared shingle frames in dedup.py.
+    sigs = _persist_tracked(banded_sig_rows(_spread(qn), id_col, dim, bits, bands))
     cand = (
         sigs.select(F.col(id_col).alias("id_a"), "band", "bsig")
         .join(

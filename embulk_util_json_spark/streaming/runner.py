@@ -42,6 +42,7 @@ def apply_events_batch(
     batch_id: str,
     evolve: bool = True,
     quarantine_dir: str | None = None,
+    parse_fn=None,
 ) -> dict:
     """Parse one micro-batch of raw events and MERGE into the sink.
 
@@ -59,8 +60,17 @@ def apply_events_batch(
     counted by the sink's observe() (the reference's row-skippable
     DataException taxonomy → quarantine metric), and are excluded by
     ``read()``'s null-key guard.
+
+    ``parse_fn`` (raw events → canonical change rows) swaps the
+    envelope format per feed — e.g. ``sources.debezium.
+    parse_debezium_events`` / ``parse_maxwell_events`` — while the
+    exactly-once / evolution / quarantine machinery stays identical;
+    every adapter emits the same canonical schema so the sink cannot
+    tell formats apart.
     """
-    if evolve:
+    if parse_fn is not None:
+        changes = parse_fn(events)
+    elif evolve:
         changes = parse_change_events_single_pass(events)
     else:
         changes = parse_change_events(events)
@@ -70,30 +80,41 @@ def apply_events_batch(
         and not result.get("skipped")
         and result.get("malformed_rows")
     ):
-        _quarantine_malformed(events, batch_id, quarantine_dir)
+        _quarantine_malformed(events, batch_id, quarantine_dir, parse_fn)
         result["quarantined_to"] = quarantine_dir
     return result
 
 
 def _quarantine_malformed(
-    events: DataFrame, batch_id: str, quarantine_dir: str
+    events: DataFrame, batch_id: str, quarantine_dir: str, parse_fn=None
 ) -> None:
     """Dead-letter the RAW rows whose envelope failed the permissive
     parse (the reference's row-skippable JsonParseException taxonomy,
     JsonParseException.java:24-43 — policy 'quarantine' for the CDC
     path). Runs ONLY when the apply's observe() counted malformed rows,
     so clean batches (the overwhelming case) never pay the extra scan.
-    Per-batch overwrite keeps replays idempotent."""
-    parsed = events.select(
-        "*",
-        F.from_json(
-            F.col("event_json"),
-            "op string, data struct<conv_id:string>",
-        ).alias("_e"),
-    )
-    bad = parsed.filter(
-        F.col("_e.op").isNull() | F.col("_e.data.conv_id").isNull()
-    ).drop("_e")
+    Per-batch overwrite keeps replays idempotent.
+
+    With a wire-format ``parse_fn`` the bad rows are identified by
+    re-running the adapter (canonical rows are 1:1 with input by
+    ``seq``) and semi-joining the RAW rows — the dead letter always
+    carries the original wire bytes, whatever the format."""
+    if parse_fn is not None:
+        bad_seq = parse_fn(events).filter(
+            F.col("op").isNull() | F.col("conv_id").isNull()
+        ).select("seq")
+        bad = events.join(bad_seq, "seq", "left_semi")
+    else:
+        parsed = events.select(
+            "*",
+            F.from_json(
+                F.col("event_json"),
+                "op string, data struct<conv_id:string>",
+            ).alias("_e"),
+        )
+        bad = parsed.filter(
+            F.col("_e.op").isNull() | F.col("_e.data.conv_id").isNull()
+        ).drop("_e")
     safe = "".join(c if c.isalnum() or c in "-." else "_" for c in batch_id)
     bad.write.mode("overwrite").parquet(os.path.join(quarantine_dir, safe))
 
@@ -239,6 +260,7 @@ def replay_parquet(
     num_batches: int = 1,
     evolve: bool = True,
     min_seq: int | None = None,
+    parse_fn=None,
 ) -> list[dict]:
     """Batch replay: split the event log into ``num_batches`` seq-range
     micro-batches (deterministic batch ids → resumable: already-applied
@@ -263,7 +285,9 @@ def replay_parquet(
             break
         batch = events.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
         out.append(
-            apply_events_batch(batch, sink, f"seq-{lo}-{hi}", evolve=evolve)
+            apply_events_batch(
+                batch, sink, f"seq-{lo}-{hi}", evolve=evolve, parse_fn=parse_fn
+            )
         )
     return out
 
@@ -275,6 +299,7 @@ def replay_segments(
     num_batches: int = 1,
     evolve: bool = True,
     min_seq: int | None = None,
+    parse_fn=None,
 ) -> list[dict]:
     """Batch replay over a directory of seq-contiguous binlog segment
     files: each micro-batch reads EXACTLY its group of segment files
@@ -309,7 +334,11 @@ def replay_segments(
         if min_seq is not None:
             batch = batch.filter(F.col("seq") >= min_seq)
             batch_id += f"@{min_seq}"
-        out.append(apply_events_batch(batch, sink, batch_id, evolve=evolve))
+        out.append(
+            apply_events_batch(
+                batch, sink, batch_id, evolve=evolve, parse_fn=parse_fn
+            )
+        )
     return out
 
 
@@ -355,6 +384,7 @@ def stream_directory(
     fmt: str = "parquet",
     evolve: bool = True,
     max_files_per_trigger: int | None = None,
+    parse_fn=None,
 ):
     """Structured Streaming tail of a growing directory of event files.
 
@@ -374,7 +404,13 @@ def stream_directory(
     stream_id = checkpoint_dir.rstrip("/").rsplit("/", 1)[-1]
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_events_batch(batch_df, sink, f"{stream_id}-epoch-{epoch_id}", evolve=evolve)
+        apply_events_batch(
+            batch_df,
+            sink,
+            f"{stream_id}-epoch-{epoch_id}",
+            evolve=evolve,
+            parse_fn=parse_fn,
+        )
 
     return _start(stream, handle, checkpoint_dir)
 
