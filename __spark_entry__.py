@@ -377,6 +377,40 @@ def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transcript_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (derived-table maintenance): the
+    change stream applies to the base transcripts sink in 2 seq-range
+    micro-batches, and after each apply the assembled-conversations
+    view refreshes ONLY the touched conv_ids (probe_keys-pruned source
+    read → MERGE into a conv_id-keyed view sink). The oracle is a full
+    reassembly of the CDC final state — the incremental maintenance
+    must converge to it exactly. (At toy scale the wall time is almost
+    entirely the 4 fixed micro-batch apply costs; the per-batch work
+    itself is O(touched), which is the property that matters at 10^10
+    events.)"""
+    import tempfile
+
+    from embulk_util_json_spark.pipeline.views import IncrementalConversationView
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events_single_pass
+
+    work = tempfile.mkdtemp(prefix="incr_view_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "base"), num_buckets=8)
+    view = IncrementalConversationView(
+        spark, sink, os.path.join(work, "view"), num_buckets=8
+    )
+    b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    step = (int(b.hi) - int(b.lo)) // 2 + 1
+    for i in range(2):
+        lo = int(b.lo) + i * step
+        batch = events.filter((F.col("seq") >= lo) & (F.col("seq") < lo + step))
+        changes = parse_change_events_single_pass(batch)
+        sink.apply(changes, f"b{i}")
+        view.refresh(changes, f"b{i}:view")
+    return view.read().select("conv_id", "document", "n_turns")
+
+
 def _q_transcript_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline: CDC replay final state → one document per
     conversation (turns sorted by turn_idx, 'role: text' lines) — the
@@ -1416,6 +1450,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "transcript_assemble": transcripts.assemble_conversations_sql(
             _ORACLE_CDC_FINAL
         ),
+        "transcript_view_incremental": transcripts.assemble_conversations_sql(
+            _ORACLE_CDC_FINAL
+        ),
         "transcript_stats": transcripts.conversation_stats_sql(_ORACLE_CDC_FINAL),
         "transcript_role_violations": transcripts.role_alternation_violations_sql(
             _ORACLE_CDC_FINAL
@@ -1563,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_root_multimatch": _q_capture_root_multimatch,
         "variant_extract": _q_variant_extract,
         "transcript_assemble": _q_transcript_assemble,
+        "transcript_view_incremental": _q_transcript_view_incremental,
         "transcript_stats": _q_transcript_stats,
         "transcript_role_violations": _q_transcript_role_violations,
         "transcript_merge_roles": _q_transcript_merge_roles,

@@ -1,0 +1,115 @@
+"""Incremental materialized conversation view (derived-table
+maintenance): per-batch refresh of only the touched conv_ids must
+converge to a full reassembly of the base table, including full
+conversation deletion, and redelivered refreshes must be no-ops."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.pipeline.transcripts import assemble_conversations
+from embulk_util_json_spark.pipeline.views import IncrementalConversationView
+from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+from embulk_util_json_spark.sources.events import parse_change_events_single_pass
+
+
+def _env(seq, op, conv, turn, text, ts="2024-03-01 10:00:00"):
+    return (
+        seq,
+        json.dumps(
+            {
+                "op": op,
+                "ts": ts,
+                "data": {
+                    "conv_id": conv,
+                    "turn_idx": turn,
+                    "role": "user",
+                    "text": text,
+                    "tool": None,
+                },
+            }
+        ),
+    )
+
+
+BATCH1 = [
+    _env(1, "insert", "cA", 0, "a0"),
+    _env(2, "insert", "cA", 1, "a1"),
+    _env(3, "insert", "cB", 0, "b0"),
+    _env(4, "insert", "cC", 0, "c0"),
+]
+BATCH2 = [
+    _env(5, "update", "cA", 1, "a1v2", ts="2024-03-01 11:00:00"),
+    _env(6, "delete", "cC", 0, "c0", ts="2024-03-01 11:00:00"),
+    _env(7, "insert", "cD", 0, "d0"),
+]
+
+
+def _setup(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "base"), num_buckets=2)
+    view = IncrementalConversationView(spark, sink, str(tmp_path / "view"), num_buckets=2)
+    return sink, view
+
+
+def _apply_batches(spark, sink, view, batches):
+    for i, rows in enumerate(batches):
+        ev = spark.createDataFrame(rows, "seq long, event_json string")
+        changes = parse_change_events_single_pass(ev)
+        sink.apply(changes, f"b{i}")
+        view.refresh(changes, f"b{i}:view")
+
+
+def _view_state(view):
+    return {
+        r.conv_id: (r.document, r.n_turns) for r in view.read().collect()
+    }
+
+
+def test_view_converges_to_full_reassembly(spark, tmp_path):
+    sink, view = _setup(spark, tmp_path)
+    _apply_batches(spark, sink, view, [BATCH1, BATCH2])
+    got = _view_state(view)
+    oracle = {
+        r.conv_id: (r.document, r.n_turns)
+        for r in assemble_conversations(sink.read()).collect()
+    }
+    assert got == oracle
+    assert got["cA"] == ("user: a0\nuser: a1v2", 2)
+    # cC's only turn was deleted → tombstoned OUT of the view
+    assert "cC" not in got
+    assert got["cD"] == ("user: d0", 1)
+
+
+def test_view_refresh_redelivery_is_noop(spark, tmp_path):
+    sink, view = _setup(spark, tmp_path)
+    _apply_batches(spark, sink, view, [BATCH1, BATCH2])
+    before = _view_state(view)
+    # redeliver batch 1's refresh under its committed batch_id: the
+    # view's batch log must skip it (no stale overwrite of cA/cC)
+    ev = spark.createDataFrame(BATCH1, "seq long, event_json string")
+    changes = parse_change_events_single_pass(ev)
+    res = view.refresh(changes, "b0:view")
+    assert res.get("skipped")
+    assert _view_state(view) == before
+
+
+def test_late_refresh_converges(spark, tmp_path):
+    """A refresh that runs AFTER more source batches were applied
+    (crash between apply and refresh, recovery applied the tail
+    first) reads newer source state — the view still converges."""
+    sink, view = _setup(spark, tmp_path)
+    ev1 = spark.createDataFrame(BATCH1, "seq long, event_json string")
+    ch1 = parse_change_events_single_pass(ev1)
+    ev2 = spark.createDataFrame(BATCH2, "seq long, event_json string")
+    ch2 = parse_change_events_single_pass(ev2)
+    sink.apply(ch1, "b0")
+    sink.apply(ch2, "b1")  # crash window: b0's refresh never ran
+    view.refresh(ch1, "b0:view")  # late — sees b1's source state
+    view.refresh(ch2, "b1:view")
+    oracle = {
+        r.conv_id: (r.document, r.n_turns)
+        for r in assemble_conversations(sink.read()).collect()
+    }
+    assert _view_state(view) == oracle
