@@ -138,6 +138,10 @@ def _wire_format_final_state(spark: SparkSession, sf_dir: str, fmt: str) -> Data
     events = _events_as_cdc_json(spark, sf_dir)
     if fmt == "debezium":
         changes = dbz.parse_debezium_events(dbz.to_debezium_json(events))
+    elif fmt == "canal":
+        from embulk_util_json_spark.sources import canal
+
+        changes = canal.parse_canal_events(canal.to_canal_json(events))
     else:
         changes = dbz.parse_maxwell_events(dbz.to_maxwell_json(events))
     final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
@@ -159,6 +163,33 @@ def _q_cdc_maxwell_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     The wire format is second-granular, so the oracle truncates ts to
     seconds and lets ties fall to seq — same rule the engine applies."""
     return _wire_format_final_state(spark, sf_dir, "maxwell")
+
+
+def _q_cdc_canal_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal flat-message ingest (row-BATCHED envelopes: one envelope
+    per run of consecutive same-op/same-ms events, 1→N posexplode in
+    the adapter, derived per-row seq preserving delivery order):
+    wire-format adapter → LWW replay. Canal's ``es`` is epoch millis,
+    so the oracle truncates ts to milliseconds — the wire format's
+    honest precision — and lets ties fall to seq."""
+    return _wire_format_final_state(spark, sf_dir, "canal")
+
+
+_ORACLE_CDC_FINAL_MS = f"""
+    WITH changes AS (
+        SELECT seq, op, date_trunc('milliseconds', ts) AS ts,
+               conv_id, turn_idx, role, text, tool
+        FROM ({_ORACLE_CDC_EVENTS})
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 _ORACLE_CDC_FINAL_SEC = f"""
@@ -1590,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_final_state": _q_cdc_apply_final_state,
         "cdc_debezium_final_state": _q_cdc_debezium_final_state,
         "cdc_maxwell_final_state": _q_cdc_maxwell_final_state,
+        "cdc_canal_final_state": _q_cdc_canal_final_state,
         "lww_latest_event_per_user": _q_lww_latest_event_per_user,
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
@@ -1656,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
         "cdc_maxwell_final_state": _ORACLE_CDC_FINAL_SEC,
+        "cdc_canal_final_state": _ORACLE_CDC_FINAL_MS,
         "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,

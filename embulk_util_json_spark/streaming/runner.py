@@ -96,13 +96,19 @@ def _quarantine_malformed(
     Per-batch overwrite keeps replays idempotent.
 
     With a wire-format ``parse_fn`` the bad rows are identified by
-    re-running the adapter (canonical rows are 1:1 with input by
-    ``seq``) and semi-joining the RAW rows — the dead letter always
-    carries the original wire bytes, whatever the format."""
+    re-running the adapter and semi-joining the RAW rows — the dead
+    letter always carries the original wire bytes, whatever the
+    format. 1:1 adapters key the semi-join on ``seq`` directly; a
+    row-batching adapter (Canal's 1→N expansion) exposes
+    ``to_raw_seq`` mapping its derived row seqs back to envelope
+    seqs."""
     if parse_fn is not None:
-        bad_seq = parse_fn(events).filter(
-            F.col("op").isNull() | F.col("conv_id").isNull()
-        ).select("seq")
+        to_raw = getattr(parse_fn, "to_raw_seq", lambda c: c)
+        bad_seq = (
+            parse_fn(events)
+            .filter(F.col("op").isNull() | F.col("conv_id").isNull())
+            .select(to_raw(F.col("seq")).alias("seq"))
+        )
         bad = events.join(bad_seq, "seq", "left_semi")
     else:
         parsed = events.select(
