@@ -408,6 +408,32 @@ def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew advisor, hot-key view: top-20 hottest conversations in the
+    change stream with exact count, share, and the per-key salt factor
+    a 32-partition apply stage needs (``ceil(cnt·32/total)`` in pure
+    integer arithmetic). ONE hash agg over conv_id (map-side combine),
+    total via a reused-exchange 1-row agg, top-k via TakeOrdered —
+    nothing rescans the events."""
+    from embulk_util_json_spark.pipeline.skew import key_histogram
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    return key_histogram(changes, ["conv_id"], top_k=20, parallelism=32)
+
+
+def _q_cdc_skew_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew advisor, stream-shape view: rows / keys / max-vs-avg key
+    load / hot ratio in one aggregation pass — the per-batch health
+    metric that decides whether the salted apply path is worth its
+    extra shuffle stage."""
+    from embulk_util_json_spark.pipeline.skew import skew_summary
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    return skew_summary(changes, ["conv_id", "turn_idx"])
+
+
 def _q_transcript_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized view (derived-table maintenance): the
     change stream applies to the base transcripts sink in 2 seq-range
@@ -1622,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_final_state": _q_cdc_debezium_final_state,
         "cdc_maxwell_final_state": _q_cdc_maxwell_final_state,
         "cdc_canal_final_state": _q_cdc_canal_final_state,
+        "cdc_hot_keys": _q_cdc_hot_keys,
+        "cdc_skew_summary": _q_cdc_skew_summary,
         "lww_latest_event_per_user": _q_lww_latest_event_per_user,
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
@@ -1684,11 +1712,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from embulk_util_json_spark.pipeline import skew
+
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
         "cdc_maxwell_final_state": _ORACLE_CDC_FINAL_SEC,
         "cdc_canal_final_state": _ORACLE_CDC_FINAL_MS,
+        "cdc_hot_keys": skew.key_histogram_sql(_ORACLE_CDC_EVENTS, ["conv_id"], top_k=20, parallelism=32),
+        "cdc_skew_summary": skew.skew_summary_sql(_ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"]),
         "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,
