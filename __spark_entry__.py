@@ -434,6 +434,58 @@ def _q_cdc_skew_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_summary(changes, ["conv_id", "turn_idx"])
 
 
+def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed (the "CDC out" twin of apply): replay
+    the stream in 2 seq-range micro-batches, then read the NET
+    row-level changes between the version after batch 1 and the final
+    version via the manifest log — O(changes written in between), not
+    a snapshot diff. The oracle recomputes the same net-change set
+    relationally: final winners that beat (or are new to) the
+    batch-1-only state, tombstones included."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = tempfile.mkdtemp(prefix="change_feed_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    cut = int(b.lo) + (int(b.hi) - int(b.lo)) // 2 + 1
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "tbl"), num_buckets=8)
+    sink.apply(parse_change_events(events.filter(F.col("seq") < cut)), "b0")
+    v1 = sink.current_version()
+    sink.apply(parse_change_events(events.filter(F.col("seq") >= cut)), "b1")
+    return sink.read_changes(from_version=v1).select(
+        "conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "seq"
+    )
+
+
+_ORACLE_CHANGE_FEED = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    b AS (
+        SELECT MIN(seq) + (MAX(seq) - MIN(seq)) // 2 + 1 AS cut FROM changes
+    ),
+    s1 AS (
+        SELECT * FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+            FROM changes c, b WHERE c.seq < b.cut
+        ) WHERE rn = 1
+    ),
+    f AS (
+        SELECT * FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+            FROM changes c
+        ) WHERE rn = 1
+    )
+    SELECT f.conv_id, f.turn_idx, f.op, f.role, f.text, f.tool, f.ts, f.seq
+    FROM f LEFT JOIN s1
+      ON f.conv_id = s1.conv_id AND f.turn_idx = s1.turn_idx
+    WHERE s1.conv_id IS NULL OR (f.ts, f.seq) > (s1.ts, s1.seq)
+"""
+
+
 def _q_transcript_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized view (derived-table maintenance): the
     change stream applies to the base transcripts sink in 2 seq-range
@@ -1650,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_canal_final_state": _q_cdc_canal_final_state,
         "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_skew_summary": _q_cdc_skew_summary,
+        "cdc_change_feed": _q_cdc_change_feed,
         "lww_latest_event_per_user": _q_lww_latest_event_per_user,
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
@@ -1721,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_canal_final_state": _ORACLE_CDC_FINAL_MS,
         "cdc_hot_keys": skew.key_histogram_sql(_ORACLE_CDC_EVENTS, ["conv_id"], top_k=20, parallelism=32),
         "cdc_skew_summary": skew.skew_summary_sql(_ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"]),
+        "cdc_change_feed": _ORACLE_CHANGE_FEED,
         "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,

@@ -391,6 +391,7 @@ def stream_directory(
     evolve: bool = True,
     max_files_per_trigger: int | None = None,
     parse_fn=None,
+    view=None,
 ):
     """Structured Streaming tail of a growing directory of event files.
 
@@ -398,6 +399,16 @@ def stream_directory(
     ``q.processAllAvailable()`` / ``q.stop()`` (tests) or ``q.awaitTermination()``
     (production). Batch ids are the streaming epoch ids; the sink's
     commit log makes redelivery after checkpoint restore a no-op.
+
+    ``view`` (an ``IncrementalConversationView`` or anything with
+    ``refresh(touched, batch_id)``) is maintained after every base
+    apply: each epoch refreshes only the conversations the batch
+    touched. The refresh runs UNCONDITIONALLY — even when the base
+    apply was a redelivered no-op — because a crash can land between
+    the base commit and the view commit; the view's own batch log
+    makes double refreshes no-ops, and a late refresh (base already
+    ahead) reads newer source state that a later refresh of the same
+    keys confirms (convergence argument: ``pipeline/views.py``).
     """
     reader = spark.readStream.schema(EVENTS_SCHEMA).format(fmt)
     if max_files_per_trigger:
@@ -410,13 +421,18 @@ def stream_directory(
     stream_id = checkpoint_dir.rstrip("/").rsplit("/", 1)[-1]
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_id = f"{stream_id}-epoch-{epoch_id}"
         apply_events_batch(
-            batch_df,
-            sink,
-            f"{stream_id}-epoch-{epoch_id}",
-            evolve=evolve,
-            parse_fn=parse_fn,
+            batch_df, sink, batch_id, evolve=evolve, parse_fn=parse_fn
         )
+        if view is not None:
+            if parse_fn is not None:
+                touched = parse_fn(batch_df)
+            elif evolve:
+                touched = parse_change_events_single_pass(batch_df)
+            else:
+                touched = parse_change_events(batch_df)
+            view.refresh(touched, f"{batch_id}:view")
 
     return _start(stream, handle, checkpoint_dir)
 

@@ -95,6 +95,38 @@ def test_view_refresh_redelivery_is_noop(spark, tmp_path):
     assert _view_state(view) == before
 
 
+def test_stream_directory_maintains_view(spark, tmp_path):
+    """Streaming tail with a view attached: every epoch refreshes the
+    touched conversations; after a checkpoint restart (new file lands,
+    stream resumes) the view still equals a full reassembly."""
+    import pyarrow.parquet as pq
+
+    from embulk_util_json_spark.sources.generator import generate_events
+    from embulk_util_json_spark.streaming.runner import stream_directory
+
+    table = generate_events(4000, n_convs=25, n_turns=20)
+    events_dir = tmp_path / "stream_in"
+    events_dir.mkdir()
+    pq.write_table(table.slice(0, 2000), str(events_dir / "part-0.parquet"))
+
+    sink, view = _setup(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_directory(spark, str(events_dir), sink, ckpt, view=view)
+    q.awaitTermination()
+    assert view.view.applied_batch_ids()  # view committed its epochs
+
+    pq.write_table(table.slice(2000), str(events_dir / "part-1.parquet"))
+    q2 = stream_directory(spark, str(events_dir), sink, ckpt, view=view)
+    q2.awaitTermination()
+
+    got = _view_state(view)
+    oracle = {
+        r.conv_id: (r.document, r.n_turns)
+        for r in assemble_conversations(sink.read()).collect()
+    }
+    assert got == oracle and len(got) > 0
+
+
 def test_late_refresh_converges(spark, tmp_path):
     """A refresh that runs AFTER more source batches were applied
     (crash between apply and refresh, recovery applied the tail
