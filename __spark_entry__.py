@@ -434,6 +434,32 @@ def _q_cdc_skew_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_summary(changes, ["conv_id", "turn_idx"])
 
 
+def _q_cdc_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark advisor: measure the change stream's event-time
+    disorder (lateness vs the delivery-order running max of ts) with
+    the two-pass DISTRIBUTED prefix scan — range-partitioned per-range
+    maxima + driver prefix fold + parallel within-range windows — and
+    report the watermark that would have dropped nothing. The oracle
+    is the naive single-window formulation; hash equality proves the
+    distributed scan exact.
+
+    The driver's events table is perfectly time-ordered, so the query
+    injects deterministic disorder first — each event's ts is pulled
+    back by ``(seq % 97)`` minutes (a delivery-delay model) on BOTH
+    the Spark and the oracle side — making the measured lateness
+    non-trivial."""
+    from embulk_util_json_spark.pipeline.disorder import disorder_summary
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir)).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros("ts") - (F.col("seq") % 97) * F.lit(60_000_000)
+        ),
+    )
+    return disorder_summary(changes, ts_col="ts", seq_col="seq", n_ranges=64)
+
+
 def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental change feed (the "CDC out" twin of apply): replay
     the stream in 2 seq-range micro-batches, then read the NET
@@ -1703,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_skew_summary": _q_cdc_skew_summary,
         "cdc_change_feed": _q_cdc_change_feed,
+        "cdc_disorder_stats": _q_cdc_disorder_stats,
         "lww_latest_event_per_user": _q_lww_latest_event_per_user,
         "capture_pointers_parity": _q_capture_pointers_parity,
         "capture_typed_members": _q_capture_typed_members,
@@ -1765,7 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from embulk_util_json_spark.pipeline import skew
+    from embulk_util_json_spark.pipeline import disorder, skew
 
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
@@ -1775,6 +1802,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hot_keys": skew.key_histogram_sql(_ORACLE_CDC_EVENTS, ["conv_id"], top_k=20, parallelism=32),
         "cdc_skew_summary": skew.skew_summary_sql(_ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"]),
         "cdc_change_feed": _ORACLE_CHANGE_FEED,
+        "cdc_disorder_stats": disorder.disorder_summary_sql(
+            f"SELECT seq, ts - (seq % 97) * INTERVAL 1 MINUTE AS ts "
+            f"FROM ({_ORACLE_CDC_EVENTS})"
+        ),
         "lww_latest_event_per_user": _ORACLE_LWW_LATEST,
         "capture_pointers_parity": _ORACLE_CAPTURE_PARITY,
         "capture_typed_members": _ORACLE_CAPTURE_TYPED,

@@ -1,0 +1,128 @@
+"""Event-time disorder measurement → watermark planning.
+
+Structured Streaming's windowed aggregations (``streaming/windowed``)
+take a watermark delay as INPUT; pick it too small and late events are
+dropped, too large and state lingers. This operator MEASURES the
+stream's actual out-of-orderness so the knob is derived from data:
+
+    lateness(e) = max(ts of all events delivered before e) − ts(e)
+
+i.e. how far behind the event-time high-water-mark each event arrives
+(delivery order = ``seq``, the binlog position). The summary row
+reports the count/fraction of late events, the max and mean lateness,
+and ``watermark_sec = ceil(max lateness)`` — the smallest whole-second
+watermark that would have dropped nothing.
+
+Scale shape: the running max over delivery order is a PREFIX SCAN —
+the naive formulation (a window over ``ORDER BY seq`` with no
+partition) collapses to a single task at 10^10 events. This
+implementation is the classic two-pass distributed scan (same trick
+as ``pipeline/packing.pack_sequences``):
+
+1. bucket events into R contiguous seq ranges (driver reads the 1-row
+   seq bounds; range id is a pure function of seq, so no sampling
+   nondeterminism);
+2. per-range max(ts) — R tiny rows to the driver → EXCLUSIVE prefix
+   max per range, re-broadcast as a literal lookup (CASE chain over
+   R entries);
+3. within each range (parallel window, partitioned by range id):
+   running max(ts); the global running max is
+   greatest(within-range running max, prefix of the range).
+
+Exact for any R; every stage is parallel except the R-row driver
+fold. The DuckDB oracle is the naive single-window formulation —
+the graded query proves the distributed scan equals it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _running_max_ts(
+    df: DataFrame, ts_col: str, seq_col: str, n_ranges: int
+) -> DataFrame:
+    """df + ``_run`` = max(ts) over all rows with seq' <= seq."""
+    bounds = df.agg(
+        F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        return df.withColumn("_run", F.col(ts_col))
+    width = (int(bounds.hi) - int(bounds.lo)) // n_ranges + 1
+    rid = ((F.col(seq_col) - F.lit(int(bounds.lo))) / F.lit(width)).cast("long")
+    df = df.withColumn("_rid", rid)
+    # pass 1: per-range max → driver fold to exclusive prefix maxima
+    per_range = {
+        r._rid: r.m
+        for r in df.groupBy("_rid").agg(F.max(ts_col).alias("m")).collect()
+    }
+    prefix, best = {}, None
+    for r in sorted(per_range):
+        prefix[r] = best
+        best = per_range[r] if best is None or per_range[r] > best else best
+    pre = F.lit(None).cast("timestamp")
+    for r, p in prefix.items():
+        if p is not None:
+            pre = F.when(F.col("_rid") == r, F.lit(p)).otherwise(pre)
+    # pass 2: parallel within-range running max, offset by the prefix
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.max(ts_col).over(w)
+    return df.withColumn("_run", F.greatest(within, F.coalesce(pre, within))).drop(
+        "_rid"
+    )
+
+
+def disorder_summary(
+    df: DataFrame,
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """One row: event-time disorder of a change stream (NULL-ts rows
+    excluded) and the watermark that would have dropped nothing."""
+    c = df.select(seq_col, ts_col).filter(F.col(ts_col).isNotNull())
+    r = _running_max_ts(c, ts_col, seq_col, n_ranges)
+    late_us = F.unix_micros(F.col("_run")) - F.unix_micros(F.col(ts_col))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late_us > 0, 1).otherwise(0)).alias("n_late"),
+        (
+            F.sum(F.when(late_us > 0, 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("frac_late"),
+        (F.max(late_us) / F.lit(1e6)).alias("max_lateness_sec"),
+        (F.sum(late_us) / F.count(F.lit(1)) / F.lit(1e6)).alias(
+            "mean_lateness_sec"
+        ),
+        F.ceil(F.max(late_us) / F.lit(1e6)).alias("watermark_sec"),
+    )
+
+
+def disorder_summary_sql(changes_sql: str, ts_col: str = "ts",
+                         seq_col: str = "seq") -> str:
+    """DuckDB oracle twin: the naive single-window prefix scan."""
+    return f"""
+        WITH c AS (
+            SELECT {seq_col} AS seq, {ts_col} AS ts
+            FROM ({changes_sql}) WHERE {ts_col} IS NOT NULL
+        ),
+        r AS (
+            SELECT ts, MAX(ts) OVER (
+                ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS run
+            FROM c
+        ),
+        l AS (SELECT date_diff('microsecond', ts, run) AS late_us FROM r)
+        SELECT COUNT(*) AS n_events,
+               SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS frac_late,
+               MAX(late_us) / 1e6 AS max_lateness_sec,
+               CAST(SUM(late_us) AS DOUBLE) / COUNT(*) / 1e6
+                   AS mean_lateness_sec,
+               CAST(CEIL(MAX(late_us) / 1e6) AS BIGINT) AS watermark_sec
+        FROM l
+    """
