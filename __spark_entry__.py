@@ -62,6 +62,15 @@ def _events_as_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scratch(prefix: str) -> str:
+    """Sink-building queries write their scratch tables to tmpfs when
+    available (same rationale as bench.py's work_base: a single
+    local[·] JVM shares ONE host disk; on a real cluster every
+    executor brings its own)."""
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Full engine path at sf0.001: synthesize a deterministic change
     stream (seed 42), replay it in 4 micro-batches through the
@@ -70,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from embulk_util_json_spark.sources.generator import ensure_events_segments
     from embulk_util_json_spark.streaming.runner import replay_segments
 
-    work = tempfile.mkdtemp(prefix="spark_graft_entry_")
+    work = _scratch("spark_graft_entry_")
     events_dir = ensure_events_segments(
         os.path.join(work, "events"),
         n_events=20_000, segments=8, n_convs=50, n_turns=40,
@@ -471,7 +480,7 @@ def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
     from embulk_util_json_spark.sources.events import parse_change_events
 
-    work = tempfile.mkdtemp(prefix="change_feed_")
+    work = _scratch("change_feed_")
     events = _events_as_cdc_json(spark, sf_dir)
     b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     cut = int(b.lo) + (int(b.hi) - int(b.lo)) // 2 + 1
@@ -523,17 +532,15 @@ def _q_transcript_view_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     entirely the 4 fixed micro-batch apply costs; the per-batch work
     itself is O(touched), which is the property that matters at 10^10
     events.)"""
-    import tempfile
-
     from embulk_util_json_spark.pipeline.views import IncrementalConversationView
     from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
     from embulk_util_json_spark.sources.events import parse_change_events_single_pass
 
-    work = tempfile.mkdtemp(prefix="incr_view_")
+    work = _scratch("incr_view_")
     events = _events_as_cdc_json(spark, sf_dir)
-    sink = ParquetSnapshotSink(spark, os.path.join(work, "base"), num_buckets=8)
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "base"), num_buckets=4)
     view = IncrementalConversationView(
-        spark, sink, os.path.join(work, "view"), num_buckets=8
+        spark, sink, os.path.join(work, "view"), num_buckets=4
     )
     b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     step = (int(b.hi) - int(b.lo)) // 2 + 1
@@ -688,15 +695,13 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint is still owned by them (first batch wins, min id
     within a batch). State lives in a fingerprint-keyed MOR sink in a
     scratch dir; results are deterministic for fixed batches."""
-    import tempfile
-
     from embulk_util_json_spark.pipeline.incremental import (
         IncrementalDeduper,
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     d = IncrementalDeduper(
-        spark, tempfile.mkdtemp(prefix="incr_dedup_"), num_buckets=8
+        spark, _scratch("incr_dedup_"), num_buckets=8
     )
     d.dedupe_batch(docs.filter(F.col("doc_id") < 250), "text", "doc_id", 1)
     survivors = d.dedupe_batch(docs, "text", "doc_id", 2)

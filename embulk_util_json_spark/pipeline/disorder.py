@@ -84,7 +84,15 @@ def disorder_summary(
 ) -> DataFrame:
     """One row: event-time disorder of a change stream (NULL-ts rows
     excluded) and the watermark that would have dropped nothing."""
-    c = df.select(seq_col, ts_col).filter(F.col(ts_col).isNotNull())
+    # The scan needs three passes over (seq, ts) — bounds, per-range
+    # maxima, main — and the input is usually a parse projection:
+    # checkpoint the two-column slice so the parse runs once, not 3×
+    # (measured 5.5 s → ~2 s at sf0.1).
+    c = (
+        df.select(seq_col, ts_col)
+        .filter(F.col(ts_col).isNotNull())
+        .localCheckpoint()
+    )
     r = _running_max_ts(c, ts_col, seq_col, n_ranges)
     late_us = F.unix_micros(F.col("_run")) - F.unix_micros(F.col(ts_col))
     return r.agg(
