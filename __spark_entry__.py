@@ -547,7 +547,9 @@ def _q_transcript_view_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     for i in range(2):
         lo = int(b.lo) + i * step
         batch = events.filter((F.col("seq") >= lo) & (F.col("seq") < lo + step))
-        changes = parse_change_events_single_pass(batch)
+        # apply and refresh both consume the parse: checkpoint so the
+        # envelope JSON is parsed once per micro-batch
+        changes = parse_change_events_single_pass(batch).localCheckpoint()
         sink.apply(changes, f"b{i}")
         view.refresh(changes, f"b{i}:view")
     return view.read().select("conv_id", "document", "n_turns")
