@@ -417,6 +417,81 @@ def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATCH_MARKER = "__unchanged__"
+
+
+def _q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch-style) CDC merge: update events do not
+    restate every column — a deterministic rewrite marks ``tool`` as
+    unchanged on every update, ``text`` on every third event, ``role``
+    on every second (the Debezium TOAST-placeholder shape). Column-
+    level LWW (``lww_patch``) resolves each column to its value in the
+    latest event that actually carried it — one hash aggregate, same
+    shuffle shape as the row-level path."""
+    from embulk_util_json_spark.operators.lww import lww_patch
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    patched = changes.select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+    final = lww_patch(
+        patched,
+        ["conv_id", "turn_idx"],
+        ["ts", "seq"],
+        patch_cols=["role", "text", "tool"],
+        unchanged_marker=_PATCH_MARKER,
+        absent_if=F.col("op") == "delete",
+    )
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_ORACLE_CDC_PATCH_FINAL = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    patched AS (
+        SELECT seq, op, ts, conv_id, turn_idx,
+            CASE WHEN op = 'update' AND seq % 2 = 0
+                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
+            CASE WHEN op = 'update' AND seq % 3 = 0
+                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
+            CASE WHEN op = 'update'
+                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool
+        FROM changes
+    ),
+    resolved AS (
+        SELECT conv_id, turn_idx,
+            (last_value(CASE WHEN role IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': role}} END IGNORE NULLS) OVER w).v AS role,
+            (last_value(CASE WHEN text IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': text}} END IGNORE NULLS) OVER w).v AS text,
+            (last_value(CASE WHEN tool IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': tool}} END IGNORE NULLS) OVER w).v AS tool,
+            last_value(op) OVER w AS op,
+            last_value(ts) OVER w AS ts,
+            ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+        FROM patched
+        WINDOW w AS (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM resolved WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew advisor, hot-key view: top-20 hottest conversations in the
     change stream with exact count, share, and the per-key salt factor
@@ -1733,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_final_state": _q_cdc_debezium_final_state,
         "cdc_maxwell_final_state": _q_cdc_maxwell_final_state,
         "cdc_canal_final_state": _q_cdc_canal_final_state,
+        "cdc_patch_final_state": _q_cdc_patch_final_state,
         "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_skew_summary": _q_cdc_skew_summary,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1826,6 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": _ORACLE_CDC_EVOLUTION,
         "cdc_apply_window": _ORACLE_CDC_FINAL,
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
+        "cdc_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
         "quality_topk_unique": _quality_topk_unique_sql(),
         "events_sessionize": _ORACLE_SESSIONIZE,
         "events_sessionize_native": _ORACLE_SESSIONIZE,

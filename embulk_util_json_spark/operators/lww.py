@@ -57,6 +57,64 @@ def lww_window(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFra
     )
 
 
+def lww_patch(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    patch_cols: list[str],
+    unchanged_marker: str | None = None,
+    absent_if: Column | None = None,
+) -> DataFrame:
+    """Column-level LWW for partial-update change streams.
+
+    Real CDC feeds carry updates that do NOT restate every column:
+    Debezium emits a placeholder for unchanged Postgres TOAST columns
+    ("__debezium_unavailable_value"), and wide-row sources routinely
+    ship patch-style updates with only the touched fields. Row-level
+    LWW (``lww_agg``) would overwrite the untouched columns with the
+    placeholder / NULL; the correct merge carries the previous value
+    forward. ``lww_patch`` resolves each column INDEPENDENTLY: the
+    final value of a patch column is its value in the latest event (by
+    ``order_cols``) where it was *present*; non-patch payload columns
+    (op, event time, ...) come from the latest event overall.
+
+    "Present" means: not equal to ``unchanged_marker`` when a marker
+    is given (explicit NULL then still means "set to NULL" — the
+    Debezium contract), else simply non-NULL (sparse patch rows).
+    ``absent_if`` additionally marks whole rows as carrying no column
+    payload — pass ``F.col("op") == "delete"`` so a tombstone's NULLs
+    don't read as explicit writes. A column never present for a key
+    resolves to NULL. Carry-forward then looks *through* tombstones —
+    per-column LWW over the full history; the row-level ``op`` of the
+    overall winner still decides whether the key survives, exactly as
+    in the row-level path.
+
+    Scale shape: ONE hash aggregate — per column
+    ``max(when(present, struct(order..., value)))``; ``when`` yields
+    NULL for absent slots and ``max`` skips NULLs, and the (ts, seq)
+    total order makes the trailing value field inert in the struct
+    comparison. Column-wise max over a total order is associative and
+    commutative, so map-side partial combine applies and the salted
+    two-stage split stays exact (same argument as ``lww_salted``)."""
+    payload = [c for c in df.columns if c not in keys]
+    order_fields = [F.col(o).alias(f"_o{i}") for i, o in enumerate(order_cols)]
+    aggs = []
+    for c in payload:
+        if c in patch_cols:
+            col = F.col(c)
+            if unchanged_marker is not None:
+                present = col.isNull() | (col != F.lit(unchanged_marker))
+            else:
+                present = col.isNotNull()
+            if absent_if is not None:
+                present = present & ~absent_if
+            slot = F.when(present, F.struct(*order_fields, col.alias("_v")))
+        else:
+            slot = F.struct(*order_fields, F.col(c).alias("_v"))
+        aggs.append(F.max(slot).getField("_v").alias(c))
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def lww_salted(
     df: DataFrame,
     keys: list[str],

@@ -1,0 +1,108 @@
+"""Column-level LWW for partial-update change streams (lww_patch):
+carry-forward of unchanged columns, the marker vs explicit-NULL
+distinction, look-through-delete semantics, and reduction to plain
+row-level LWW on dense inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.operators.lww import lww_agg, lww_patch
+
+KEYS = ["conv_id", "turn_idx"]
+ORDER = ["ts", "seq"]
+M = "__unchanged__"
+
+COLS = ["conv_id", "turn_idx", "ts", "seq", "op", "role", "text", "tool"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def _final(df):
+    rows = df.select("conv_id", "turn_idx", "op", "role", "text", "tool").collect()
+    return {(r.conv_id, r.turn_idx): (r.op, r.role, r.text, r.tool) for r in rows}
+
+
+def test_patch_carries_unchanged_columns_forward(spark):
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "hello", "search"),
+        # update restates text only; role/tool marked unchanged
+        ("c1", 0, 2, 2, "update", M, "hello v2", M),
+        # later update touches tool only
+        ("c1", 0, 3, 3, "update", M, M, "browser"),
+    ]
+    got = _final(
+        lww_patch(_df(spark, rows), KEYS, ORDER, ["role", "text", "tool"], M)
+    )
+    assert got == {("c1", 0): ("update", "user", "hello v2", "browser")}
+
+
+def test_patch_explicit_null_sets_null_under_marker(spark):
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "hello", "search"),
+        # explicit NULL tool = SET NULL (not "unchanged") when a marker
+        # is in play — the Debezium contract
+        ("c1", 0, 2, 2, "update", M, M, None),
+    ]
+    got = _final(
+        lww_patch(_df(spark, rows), KEYS, ORDER, ["role", "text", "tool"], M)
+    )
+    assert got == {("c1", 0): ("update", "user", "hello", None)}
+
+
+def test_patch_null_means_unchanged_without_marker(spark):
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "hello", "search"),
+        ("c1", 0, 2, 2, "update", None, "hello v2", None),
+    ]
+    got = _final(
+        lww_patch(_df(spark, rows), KEYS, ORDER, ["role", "text", "tool"], None)
+    )
+    assert got == {("c1", 0): ("update", "user", "hello v2", "search")}
+
+
+def test_patch_never_present_column_is_null(spark):
+    # key whose whole history is patch updates: never-carried column
+    # resolves NULL (no insert to carry from)
+    rows = [("c2", 1, 1, 1, "update", "user", M, "search")]
+    got = _final(
+        lww_patch(_df(spark, rows), KEYS, ORDER, ["role", "text", "tool"], M)
+    )
+    assert got == {("c2", 1): ("update", "user", None, "search")}
+
+
+def test_patch_looks_through_delete_and_op_is_overall_winner(spark):
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "hello", "search"),
+        ("c1", 0, 2, 2, "delete", None, None, None),
+        # resurrect with a patch update: text carries from before the
+        # tombstone (column-level LWW over the full history)
+        ("c1", 0, 3, 3, "update", "user", M, "browser"),
+    ]
+    tomb = F.col("op") == "delete"
+    out = lww_patch(
+        _df(spark, rows), KEYS, ORDER, ["role", "text", "tool"], M,
+        absent_if=tomb,
+    )
+    got = _final(out.filter(F.col("op") != "delete"))
+    assert got == {("c1", 0): ("update", "user", "hello", "browser")}
+    # and when the tombstone IS the latest event, the key filters out
+    out2 = lww_patch(
+        _df(spark, rows[:2]), KEYS, ORDER, ["role", "text", "tool"], M,
+        absent_if=tomb,
+    )
+    assert _final(out2.filter(F.col("op") != "delete")) == {}
+
+
+def test_patch_on_dense_input_equals_row_level_lww(spark):
+    rows = [
+        ("c%d" % (i % 5), i % 3, i % 7, i, "update", "r%d" % (i % 4),
+         "t%d" % i, "tool%d" % (i % 2))
+        for i in range(200)
+    ]
+    df = _df(spark, rows)
+    patch = _final(lww_patch(df, KEYS, ORDER, ["role", "text", "tool"], None))
+    row = _final(lww_agg(df, KEYS, ORDER))
+    assert patch == row
