@@ -417,6 +417,41 @@ def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_dlq_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ repair & replay, end to end: a deterministically corrupted
+    change stream (every 97th event's envelope prefixed with junk)
+    replays with a dead-letter dir, then ``replay_quarantine`` with a
+    prefix-stripping fixer drains the queue back into the sink —
+    final table state must equal the clean replay (the plain CDC
+    oracle), proving the repair loop loses and duplicates nothing."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import (
+        apply_events_batch,
+        replay_quarantine,
+    )
+
+    work = _scratch("dlq_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    corrupt = events.withColumn(
+        "event_json",
+        F.when(
+            F.col("seq") % 97 == 0,
+            F.concat(F.lit("CORRUPT "), F.col("event_json")),
+        ).otherwise(F.col("event_json")),
+    )
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    qdir = os.path.join(work, "dead")
+    apply_events_batch(corrupt, sink, "b0", quarantine_dir=qdir)
+
+    def fix(raw: DataFrame) -> DataFrame:
+        return raw.withColumn(
+            "event_json", F.regexp_replace("event_json", "^CORRUPT ", "")
+        )
+
+    replay_quarantine(spark, qdir, sink, repair_fn=fix)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 _PATCH_MARKER = "__unchanged__"
 
 
@@ -1809,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maxwell_final_state": _q_cdc_maxwell_final_state,
         "cdc_canal_final_state": _q_cdc_canal_final_state,
         "cdc_patch_final_state": _q_cdc_patch_final_state,
+        "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_skew_summary": _q_cdc_skew_summary,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1903,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_window": _ORACLE_CDC_FINAL,
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
         "cdc_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
+        "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "quality_topk_unique": _quality_topk_unique_sql(),
         "events_sessionize": _ORACLE_SESSIONIZE,
         "events_sessionize_native": _ORACLE_SESSIONIZE,

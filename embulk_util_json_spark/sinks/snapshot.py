@@ -219,6 +219,42 @@ class ParquetSnapshotSink:
             "events_per_sec double",
         )
 
+    def table_health(self, compact_threshold: int = 8) -> DataFrame:
+        """Per-bucket maintenance health as a queryable DataFrame: one
+        row per bucket with the current delta-chain length, live file
+        count, cumulative rows landed (sum over the apply history —
+        compaction rewrites files but not history), the bucket's share
+        of all landed rows (the layout-skew indicator: a share far
+        above ``1/num_buckets`` means hot keys hash together — see
+        ``rebucket``), and whether the chain exceeds
+        ``compact_threshold`` (feed ``only_buckets`` of ``compact``
+        with the flagged rows to schedule maintenance incrementally).
+        Driver-side manifest JSON only — no table scan, O(buckets)."""
+        m = self.current_manifest() or self._empty_manifest()
+        landed: dict[int, int] = {}
+        for a in m.get("applies", []):
+            for b, n in (a.get("rows_per_bucket") or {}).items():
+                landed[int(b)] = landed.get(int(b), 0) + int(n)
+        total = sum(landed.values())
+        rows = []
+        for b in range(int(m.get("num_buckets", self.num_buckets))):
+            chain = len(self._paths_of(m, str(b)))
+            n = landed.get(b, 0)
+            rows.append(
+                (
+                    b,
+                    chain,
+                    n,
+                    round(n / total, 6) if total else 0.0,
+                    chain > compact_threshold,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, chain_files int, rows_landed long, "
+            "landed_share double, compact_recommended boolean",
+        )
+
     def _empty_manifest(self) -> dict:
         return {
             "version": 0,

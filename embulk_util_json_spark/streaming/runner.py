@@ -125,6 +125,81 @@ def _quarantine_malformed(
     bad.write.mode("overwrite").parquet(os.path.join(quarantine_dir, safe))
 
 
+def replay_quarantine(
+    spark: SparkSession,
+    quarantine_dir: str,
+    sink: ParquetSnapshotSink,
+    repair_fn=None,
+    parse_fn=None,
+) -> dict:
+    """Drain the dead-letter directory back into the sink (DLQ repair
+    & replay — the operational closer of the quarantine loop: fix the
+    producer bug, ship a ``repair_fn``, re-run until the DLQ is empty).
+
+    Per dead-letter batch dir: ``repair_fn`` (raw rows → raw rows,
+    seq-preserving) gets a chance to fix the wire bytes; rows that now
+    pass the permissive parse re-apply under batch id
+    ``repair:<dir>`` (sink-idempotent — a crash/rerun cannot
+    double-apply); rows that still fail are rewritten — in their
+    ORIGINAL wire form, so a better fixer can try later — to a
+    generational sibling dir ``<dir>.r1``, and the drained dir is
+    removed. The write/apply/delete order makes every crash window
+    safe: the original dir survives until the residual is durably
+    written and the repair batch is committed, and every recomputation
+    is deterministic, so a rerun overwrites the same residual and the
+    sink skips the committed batch. Dirs created during a pass are not
+    reprocessed by it (the listing is snapshotted at entry).
+
+    Wire-format feeds pass the same ``parse_fn`` (and optional
+    ``to_raw_seq``) as the original ingest — the still-bad test and
+    the dead letter stay in raw envelope space, whatever the format.
+    """
+    if not os.path.isdir(quarantine_dir):
+        return {"batches": 0, "repaired_rows": 0, "still_dead_rows": 0}
+    import shutil
+
+    names = sorted(
+        d for d in os.listdir(quarantine_dir)
+        if os.path.isdir(os.path.join(quarantine_dir, d))
+    )
+    parse = parse_fn or parse_change_events_single_pass
+    to_raw = getattr(parse, "to_raw_seq", lambda c: c)
+    repaired_rows = still_dead = 0
+    resolved, residual_dirs = [], []
+    for name in names:
+        sub = os.path.join(quarantine_dir, name)
+        raw = spark.read.parquet(sub)
+        fixed = repair_fn(raw) if repair_fn is not None else raw
+        bad_seq = (
+            parse(fixed)
+            .filter(F.col("op").isNull() | F.col("conv_id").isNull())
+            .select(to_raw(F.col("seq")).alias("seq"))
+            .localCheckpoint()
+        )
+        n_bad = bad_seq.count()
+        good_raw = fixed.join(bad_seq, "seq", "left_anti")
+        if n_bad:
+            res_dir = os.path.join(quarantine_dir, f"{name}.r1")
+            raw.join(bad_seq, "seq", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(res_dir)
+            residual_dirs.append(res_dir)
+            still_dead += n_bad
+        n_good = good_raw.count()
+        if n_good:
+            apply_events_batch(good_raw, sink, f"repair:{name}", parse_fn=parse_fn)
+            repaired_rows += n_good
+        shutil.rmtree(sub)
+        resolved.append(name)
+    return {
+        "batches": len(names),
+        "repaired_rows": repaired_rows,
+        "still_dead_rows": still_dead,
+        "resolved_dirs": resolved,
+        "residual_dirs": residual_dirs,
+    }
+
+
 def route_tables(
     events: DataFrame,
     sinks: dict[str, ParquetSnapshotSink],

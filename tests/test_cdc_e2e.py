@@ -544,3 +544,63 @@ def test_stream_rate_synthetic_source(spark, tmp_path):
     got = sorted(map(tuple, sink.read().collect()))
     want = sorted(map(tuple, ref_sink.read().collect()))
     assert got == want and len(got) > 0
+
+
+def test_replay_quarantine_repairs_and_drains(spark, tmp_path):
+    """DLQ repair & replay: a fixer that repairs some dead rows
+    re-applies them exactly-once; still-bad rows move to a
+    generational residual dir carrying the ORIGINAL wire bytes; a
+    second pass with a better fixer drains the queue fully; further
+    passes are no-ops."""
+    from embulk_util_json_spark.streaming.runner import replay_quarantine
+
+    rows = [
+        (1, '{"op":"insert","ts":"2024-01-01T00:00:01","data":{"conv_id":"c1","turn_idx":0,"role":"user","text":"ok","tool":null}}'),
+        (2, 'garbage GARBLE {"op":"insert","ts":"2024-01-01T00:00:02","data":{"conv_id":"c2","turn_idx":0,"role":"user","text":"fixed","tool":null}}'),
+        (3, '{"op":"update","ts":"2024-01-01T00:00:03","data":{"turn_idx":1}}'),
+        (4, '{"op":"insert","ts":"2024-01-01T00:00:04","data":{"conv_id":"c3","turn_idx":0,"role":"user","text":"ok2","tool":null}}'),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    qdir = str(tmp_path / "dead")
+    out = apply_events_batch(df, sink, "b0", quarantine_dir=qdir)
+    assert out["malformed_rows"] == 2
+    assert sink.read().count() == 2
+
+    def strip_garbage(raw):
+        return raw.withColumn(
+            "event_json", F.regexp_replace("event_json", "^garbage GARBLE ", "")
+        )
+
+    r1 = replay_quarantine(spark, qdir, sink, repair_fn=strip_garbage)
+    assert r1["batches"] == 1
+    assert r1["repaired_rows"] == 1 and r1["still_dead_rows"] == 1
+    assert sink.read().count() == 3  # c2 repaired in
+    assert sorted(os.listdir(qdir)) == ["b0.r1"]
+    # residual carries the ORIGINAL bytes of the still-bad row
+    dead = spark.read.parquet(qdir + "/b0.r1").collect()
+    assert [r.seq for r in dead] == [3]
+    assert dead[0].event_json == rows[2][1]
+
+    def supply_conv_id(raw):
+        fixed = '{"op":"update","ts":"2024-01-01T00:00:03","data":{"conv_id":"c1","turn_idx":1,"role":"user","text":"late","tool":null}}'
+        return raw.withColumn(
+            "event_json",
+            F.when(F.col("seq") == 3, F.lit(fixed)).otherwise(F.col("event_json")),
+        )
+
+    r2 = replay_quarantine(spark, qdir, sink, repair_fn=supply_conv_id)
+    assert r2["repaired_rows"] == 1 and r2["still_dead_rows"] == 0
+    assert os.listdir(qdir) == []
+    assert sink.read().count() == 4
+
+    # fully drained: a further pass is a no-op
+    r3 = replay_quarantine(spark, qdir, sink, repair_fn=supply_conv_id)
+    assert r3["batches"] == 0
+
+    # final state equals a clean replay of the fully-repaired stream
+    ref = ParquetSnapshotSink(spark, str(tmp_path / "ref"), num_buckets=2)
+    apply_events_batch(supply_conv_id(strip_garbage(df)), ref, "all")
+    assert sorted(map(tuple, sink.read().collect())) == sorted(
+        map(tuple, ref.read().collect())
+    )

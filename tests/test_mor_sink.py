@@ -637,3 +637,30 @@ def test_purge_where_predicate_all_buckets(spark, events_parquet, tmp_path):
 
     with _pytest.raises(ValueError, match="exactly one"):
         sink.purge()
+
+
+def test_table_health_tracks_chains_and_compaction(spark, events_parquet, tmp_path):
+    """table_health: chain lengths grow with applies (MOR), the
+    recommendation flag trips past the threshold, landed shares sum to
+    1, and compaction resets chains while history-derived counters
+    survive."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "h"), num_buckets=4, mode="mor",
+        compact_every=100,  # keep auto-compaction out of the assertion
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+    h = {r.bucket: r for r in sink.table_health(compact_threshold=2).collect()}
+    assert set(h) == {0, 1, 2, 3}
+    touched = [r for r in h.values() if r.rows_landed > 0]
+    assert touched and all(r.chain_files >= 1 for r in touched)
+    assert any(r.chain_files == 3 for r in touched)  # 3 MOR levels
+    assert abs(sum(r.landed_share for r in h.values()) - 1.0) < 1e-6
+    flagged = [r.bucket for r in h.values() if r.compact_recommended]
+    assert flagged == [r.bucket for r in h.values() if r.chain_files > 2]
+    assert flagged  # threshold 2, chains of 3 exist
+
+    sink.compact(only_buckets=[str(b) for b in flagged])
+    h2 = {r.bucket: r for r in sink.table_health(compact_threshold=2).collect()}
+    for b in flagged:
+        assert h2[b].chain_files == 1 and not h2[b].compact_recommended
+        assert h2[b].rows_landed == h[b].rows_landed  # history survives
