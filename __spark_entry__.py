@@ -417,6 +417,42 @@ def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically knock holes in the change stream (single
+    positions at every 101st seq, 50-wide chunks every 5000) — the
+    WAL-hole fixture for the continuity checks."""
+    events = _events_as_cdc_json(spark, sf_dir)
+    return events.filter(
+        ~((F.col("seq") % 101 == 0) | (F.col("seq") % 5000 < 50))
+    )
+
+
+_HOLEY_SQL = (
+    f"SELECT * FROM ({_ORACLE_CDC_EVENTS}) "
+    "WHERE NOT (seq % 101 = 0 OR seq % 5000 < 50)"
+)
+
+
+def _q_cdc_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog continuity: every maximal missing seq range of the holey
+    stream (distributed range-parallel LAG + driver boundary stitch —
+    never a single-task global window)."""
+    from embulk_util_json_spark.pipeline.disorder import seq_gaps
+
+    return seq_gaps(_holey_events(spark, sf_dir), "seq")
+
+
+def _q_cdc_seq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row continuity summary of the holey stream with duplicate
+    deliveries injected (every 997th surviving seq delivered twice):
+    span, distinct/dup counts, gap count, missing positions."""
+    from embulk_util_json_spark.pipeline.disorder import seq_continuity_summary
+
+    holey = _holey_events(spark, sf_dir)
+    withdups = holey.unionByName(holey.filter(F.col("seq") % 997 == 0))
+    return seq_continuity_summary(withdups, "seq")
+
+
 def _q_cdc_dlq_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DLQ repair & replay, end to end: a deterministically corrupted
     change stream (every 97th event's envelope prefixed with junk)
@@ -450,6 +486,24 @@ def _q_cdc_dlq_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
 
     replay_quarantine(spark, qdir, sink, repair_fn=fix)
     return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _seq_gaps_oracle() -> str:
+    from embulk_util_json_spark.pipeline.disorder import seq_gaps_sql
+
+    return seq_gaps_sql(_HOLEY_SQL, "seq")
+
+
+def _seq_summary_oracle() -> str:
+    from embulk_util_json_spark.pipeline.disorder import (
+        seq_continuity_summary_sql,
+    )
+
+    withdups = (
+        f"{_HOLEY_SQL} UNION ALL "
+        f"SELECT * FROM ({_HOLEY_SQL}) WHERE seq % 997 = 0"
+    )
+    return seq_continuity_summary_sql(withdups, "seq")
 
 
 _PATCH_MARKER = "__unchanged__"
@@ -1845,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_canal_final_state": _q_cdc_canal_final_state,
         "cdc_patch_final_state": _q_cdc_patch_final_state,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
+        "cdc_seq_gaps": _q_cdc_seq_gaps,
+        "cdc_seq_summary": _q_cdc_seq_summary,
         "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_skew_summary": _q_cdc_skew_summary,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1940,6 +1996,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
         "cdc_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
+        "cdc_seq_gaps": _seq_gaps_oracle(),
+        "cdc_seq_summary": _seq_summary_oracle(),
         "quality_topk_unique": _quality_topk_unique_sql(),
         "events_sessionize": _ORACLE_SESSIONIZE,
         "events_sessionize_native": _ORACLE_SESSIONIZE,

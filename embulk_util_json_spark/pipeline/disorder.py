@@ -109,6 +109,135 @@ def disorder_summary(
     )
 
 
+def seq_gaps(df: DataFrame, seq_col: str = "seq", n_ranges: int = 64) -> DataFrame:
+    """Binlog-position continuity check: every maximal missing seq
+    range, as (gap_start, gap_end, n_missing) — the WAL-hole detector
+    a CDC tail needs before it can claim "no events lost" (a gap means
+    a segment was dropped or a producer skipped positions).
+
+    Scale shape: neighbor comparison over a total order is the same
+    prefix-scan trap as the disorder measurement above — a bare
+    ``LAG OVER (ORDER BY seq)`` is one task at 10^10 events. Same cure:
+    contiguous fixed-width seq ranges (pure function of seq, driver
+    reads only the 1-row bounds), LAG *within* each range in parallel,
+    then the R-row per-range (min, max) summary is folded on the
+    driver to emit cross-range gaps — ranges left wholly empty by a
+    gap simply don't appear and the stitch spans them. Exact for any
+    R; duplicate seqs never fake a gap (lag ties compare equal)."""
+    c = (
+        df.select(F.col(seq_col).cast("long").alias("seq"))
+        .filter(F.col("seq").isNotNull())
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    out_schema = "gap_start long, gap_end long, n_missing long"
+    b = c.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    if b.lo is None:
+        return spark.createDataFrame([], out_schema)
+    width = (int(b.hi) - int(b.lo)) // n_ranges + 1
+    c = c.withColumn(
+        "_rid", ((F.col("seq") - F.lit(int(b.lo))) / F.lit(width)).cast("long")
+    )
+    prev = F.lag("seq").over(Window.partitionBy("_rid").orderBy("seq"))
+    interior = (
+        c.withColumn("_prev", prev)
+        .filter(F.col("seq") > F.col("_prev") + 1)
+        .select(
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col("seq") - 1).alias("gap_end"),
+        )
+    )
+    per_range = sorted(
+        c.groupBy("_rid").agg(
+            F.min("seq").alias("mn"), F.max("seq").alias("mx")
+        ).collect(),
+        key=lambda r: r._rid,
+    )
+    stitched, last = [], None
+    for r in per_range:
+        if last is not None and r.mn > last + 1:
+            stitched.append((last + 1, r.mn - 1))
+        last = max(last, r.mx) if last is not None else r.mx
+    boundary = spark.createDataFrame(
+        stitched, "gap_start long, gap_end long"
+    )
+    return (
+        interior.unionByName(boundary)
+        .withColumn("n_missing", F.col("gap_end") - F.col("gap_start") + 1)
+        .orderBy("gap_start")
+    )
+
+
+def seq_gaps_sql(changes_sql: str, seq_col: str = "seq") -> str:
+    """DuckDB oracle twin: the naive single-window LAG formulation."""
+    return f"""
+        WITH c AS (
+            SELECT DISTINCT {seq_col} AS seq FROM ({changes_sql})
+            WHERE {seq_col} IS NOT NULL
+        ),
+        l AS (SELECT seq, LAG(seq) OVER (ORDER BY seq) AS prev FROM c)
+        SELECT prev + 1 AS gap_start, seq - 1 AS gap_end,
+               seq - prev - 1 AS n_missing
+        FROM l WHERE seq > prev + 1
+    """
+
+
+def seq_continuity_summary(
+    df: DataFrame, seq_col: str = "seq", n_ranges: int = 64
+) -> DataFrame:
+    """One row: span bounds, row/distinct counts (duplicate-delivery
+    count falls out), total missing positions, and the number of
+    maximal gaps — the at-a-glance 'did the tail lose anything'
+    check. One agg over the stream + one agg over the (tiny) gaps
+    frame; joined on a constant (both sides are 1 row)."""
+    c = (
+        df.select(F.col(seq_col).cast("long").alias("seq"))
+        .filter(F.col("seq").isNotNull())
+        .localCheckpoint()
+    )
+    base = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("seq")).alias("n_distinct"),
+        F.min("seq").alias("lo"),
+        F.max("seq").alias("hi"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("seq"))).alias("n_dup_rows"),
+    )
+    gaps = seq_gaps(c, "seq", n_ranges).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce(F.sum("n_missing"), F.lit(0)).alias("n_missing"),
+    )
+    return base.crossJoin(gaps).select(
+        "n_rows", "n_distinct", "lo", "hi", "n_dup_rows", "n_gaps", "n_missing"
+    )
+
+
+def seq_continuity_summary_sql(changes_sql: str, seq_col: str = "seq") -> str:
+    """DuckDB oracle twin of :func:`seq_continuity_summary`."""
+    return f"""
+        WITH src AS (
+            SELECT {seq_col} AS seq FROM ({changes_sql})
+            WHERE {seq_col} IS NOT NULL
+        ),
+        base AS (
+            SELECT COUNT(*) AS n_rows, COUNT(DISTINCT seq) AS n_distinct,
+                   MIN(seq) AS lo, MAX(seq) AS hi,
+                   COUNT(*) - COUNT(DISTINCT seq) AS n_dup_rows
+            FROM src
+        ),
+        l AS (
+            SELECT seq, LAG(seq) OVER (ORDER BY seq) AS prev
+            FROM (SELECT DISTINCT seq FROM src)
+        ),
+        g AS (
+            SELECT COUNT(*) AS n_gaps,
+                   COALESCE(SUM(seq - prev - 1), 0) AS n_missing
+            FROM l WHERE seq > prev + 1
+        )
+        SELECT n_rows, n_distinct, lo, hi, n_dup_rows, n_gaps, n_missing
+        FROM base, g
+    """
+
+
 def disorder_summary_sql(changes_sql: str, ts_col: str = "ts",
                          seq_col: str = "seq") -> str:
     """DuckDB oracle twin: the naive single-window prefix scan."""

@@ -78,3 +78,48 @@ def test_no_global_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "windowspecdefinition(_rid" in plan
+
+
+# ---- binlog continuity (seq_gaps / seq_continuity_summary) ----------
+
+
+def _gaps(spark, seqs, n_ranges):
+    from embulk_util_json_spark.pipeline.disorder import seq_gaps
+
+    df = spark.createDataFrame([(s,) for s in seqs], "seq long")
+    return [
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in seq_gaps(df, "seq", n_ranges=n_ranges).collect()
+    ]
+
+
+@pytest.mark.parametrize("n_ranges", [1, 3, 64])
+def test_seq_gaps_exact_for_any_range_count(spark, n_ranges):
+    # holes: single (4), multi (7-9), and one spanning many ranges
+    # (20-99) — the spanning hole empties whole ranges and must come
+    # out as ONE stitched gap, not per-range fragments
+    seqs = [1, 2, 3, 5, 6, 10, 11, 100, 101]
+    want = [(4, 4, 1), (7, 9, 3), (12, 99, 88)]
+    assert _gaps(spark, seqs, n_ranges) == want
+
+
+def test_seq_gaps_duplicates_never_fake_gaps(spark):
+    assert _gaps(spark, [1, 1, 2, 2, 2, 3], 4) == []
+    assert _gaps(spark, [1, 1, 3, 3], 4) == [(2, 2, 1)]
+
+
+def test_seq_gaps_empty_and_single(spark):
+    assert _gaps(spark, [], 8) == []
+    assert _gaps(spark, [42], 8) == []
+
+
+def test_seq_continuity_summary_counts(spark):
+    from embulk_util_json_spark.pipeline.disorder import seq_continuity_summary
+
+    df = spark.createDataFrame(
+        [(s,) for s in [1, 1, 2, 5, 6, 6, 6, 9]], "seq long"
+    )
+    r = seq_continuity_summary(df, "seq", n_ranges=4).collect()[0]
+    assert (r.n_rows, r.n_distinct, r.lo, r.hi) == (8, 5, 1, 9)
+    assert r.n_dup_rows == 3  # one extra 1, two extra 6s
+    assert (r.n_gaps, r.n_missing) == (2, 4)  # gaps 3-4 and 7-8
