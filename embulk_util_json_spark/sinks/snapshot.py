@@ -874,6 +874,81 @@ class ParquetSnapshotSink:
             "to_num_buckets": self.num_buckets,
         }
 
+    def rewrite(self, transform, where=None) -> dict:
+        """Retroactive payload transform at rest — the backfill /
+        redaction-rewrite maintenance op (ship a PII redactor months
+        after ingest and apply it to everything already stored, while
+        the stream keeps running).
+
+        One manifest-committed rewrite, same protocol as ``rebucket``:
+        current state LWW-collapsed (tombstones KEPT — late replays
+        inside the horizon still lose), ``transform`` applied, rows
+        re-hashed and committed as the next version. The batch-id log
+        survives, so a replayed pre-rewrite batch is still a skip; an
+        event NEWER than a stored row's (ts, seq) still beats the
+        transformed row, exactly as it would have beaten the original.
+
+        ``transform`` is DataFrame → DataFrame over full table rows
+        (meta included) and must preserve the column set and the key /
+        order / op columns — payload columns only (the bucket column is
+        recomputed from the key, and a changed column set raises).
+        ``where`` scopes the transform: matching rows are transformed,
+        the rest pass through byte-identical.
+
+        Time travel is immutable by design: ``read(at_version=old)``
+        still sees pre-rewrite payloads — for compliance, follow with
+        ``vacuum`` to expire the old versions (or use ``purge`` for
+        key-level physical removal)."""
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return {"skipped": True}
+        t0 = time.time()
+        df = self._read_bucket_paths(self._all_paths(manifest))
+        df = lww_agg(df, self.keys, self.order_cols)
+        if where is not None:
+            changed = transform(df.filter(where))
+            kept = df.filter(~F.coalesce(where, F.lit(False)))
+            out = kept.unionByName(changed)
+        else:
+            out = transform(df)
+        if set(out.columns) != set(df.columns):
+            raise ValueError(
+                "rewrite transform must preserve the column set; got "
+                f"{sorted(set(out.columns) ^ set(df.columns))} changed"
+            )
+        version = manifest["version"] + 1
+        out_rel = f"data/v{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+        (
+            out.withColumn(BUCKET_COL, self._bucket_expr())
+            .repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        present = self._written_buckets(out_dir)
+        self._commit(
+            {
+                **manifest,
+                "version": version,
+                "buckets": {
+                    b: [f"{out_rel}/{BUCKET_COL}={b}"]
+                    for b in sorted(present, key=int)
+                },
+                "applies": manifest["applies"]
+                + [
+                    {
+                        "rewrite": True,
+                        "version": version,
+                        "scoped": where is not None,
+                        "wall_sec": round(time.time() - t0, 3),
+                    }
+                ],
+            }
+        )
+        return {"version": version, "rewritten": True}
+
     def purge(
         self,
         key_eq: dict | None = None,

@@ -664,3 +664,83 @@ def test_table_health_tracks_chains_and_compaction(spark, events_parquet, tmp_pa
     for b in flagged:
         assert h2[b].chain_files == 1 and not h2[b].compact_recommended
         assert h2[b].rows_landed == h[b].rows_landed  # history survives
+
+
+def test_rewrite_transforms_at_rest_preserving_semantics(
+    spark, events_parquet, oracle_state, tmp_path
+):
+    """rewrite(): payload transform over everything already stored —
+    row count and keys unchanged, values = transform(oracle values),
+    batch log survives (replayed batch still skips), and LWW order is
+    intact (a NEWER event beats the rewritten row; an OLDER one
+    loses)."""
+    import json
+
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "rw"), num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+
+    def redact(df):
+        return df.withColumn("text", F.concat(F.lit("X"), F.col("text")))
+
+    r = sink.rewrite(redact)
+    assert r.get("rewritten")
+    got = state_from_sink(sink)
+    want = {
+        k: (v["role"], "X" + v["text"], v["tool"], v["ts"].replace("Z", ""))
+        for k, v in oracle_state.items()
+    }
+    assert got == want
+
+    # exactly-once survives the rewrite: replaying an applied batch skips
+    ev = spark.read.parquet(events_parquet)
+    out = replay_parquet(spark, events_parquet, sink, num_batches=3)
+    assert all(o.get("skipped") for o in out)
+    assert state_from_sink(sink) == want
+
+    # LWW order intact: a newer event for an existing key replaces the
+    # rewritten row with its (untransformed) payload; an older one loses
+    k, v = sorted(got)[0], got[sorted(got)[0]]
+    newer = spark.createDataFrame(
+        [(10**9, json.dumps({
+            "op": "update", "ts": "2031-01-01T00:00:00",
+            "data": {"conv_id": k[0], "turn_idx": k[1], "role": "user",
+                     "text": "fresh", "tool": None},
+        }))],
+        "seq long, event_json string",
+    )
+    older = spark.createDataFrame(
+        [(0, json.dumps({
+            "op": "update", "ts": "1999-01-01T00:00:00",
+            "data": {"conv_id": k[0], "turn_idx": k[1], "role": "user",
+                     "text": "stale", "tool": None},
+        }))],
+        "seq long, event_json string",
+    )
+    apply_events_batch(newer, sink, "late-new")
+    apply_events_batch(older, sink, "late-old")
+    texts = {r.text for r in sink.read().filter(
+        (F.col("conv_id") == k[0]) & (F.col("turn_idx") == k[1])
+    ).collect()}
+    assert texts == {"fresh"}
+
+
+def test_rewrite_scoped_where_touches_only_matches(
+    spark, events_parquet, oracle_state, tmp_path
+):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "rws"), num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, sink, num_batches=2)
+    convs = sorted({k[0] for k in state_from_sink(sink)})
+    target = convs[0]
+
+    def redact(df):
+        return df.withColumn("text", F.lit("[GONE]"))
+
+    sink.rewrite(redact, where=F.col("conv_id") == target)
+    rows = sink.read().collect()
+    assert all(
+        (r.text == "[GONE]") == (r.conv_id == target) for r in rows
+    )
+
+    # schema contract enforced
+    with pytest.raises(ValueError):
+        sink.rewrite(lambda df: df.drop("text"))
