@@ -21,6 +21,11 @@ import sys
 import time
 
 N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+# N and 4N parallelism levels (north rule allows any N; default 4->16).
+# On a co-tenant-loaded host a smaller footprint (2->8) fits the idle
+# capacity and measures the engine, not the neighbors.
+N_LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+N_HIGH = 4 * N_LOW
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -62,28 +67,30 @@ def bench(cpus: int) -> dict:
 
 
 def main() -> None:
-    cal_pre = {w: calibrate(w) for w in (4, 16)}
-    b4 = bench(4)
-    b16 = bench(16)
-    cal_post = {w: calibrate(w) for w in (4, 16)}
+    cal_pre = {w: calibrate(w) for w in (N_LOW, N_HIGH)}
+    b4 = bench(N_LOW)
+    b16 = bench(N_HIGH)
+    cal_post = {w: calibrate(w) for w in (N_LOW, N_HIGH)}
 
     raw = b16["events_per_sec"] / (4 * b4["events_per_sec"])
     cal_eff = min(
-        cal_pre[4] / cal_pre[16] / 4.0, cal_post[4] / cal_post[16] / 4.0
+        cal_pre[N_LOW] / cal_pre[N_HIGH] / 4.0,
+        cal_post[N_LOW] / cal_post[N_HIGH] / 4.0,
     )
     best_cal = max(
-        cal_pre[4] / cal_pre[16] / 4.0, cal_post[4] / cal_post[16] / 4.0
+        cal_pre[N_LOW] / cal_pre[N_HIGH] / 4.0,
+        cal_post[N_LOW] / cal_post[N_HIGH] / 4.0,
     )
     print(
         json.dumps(
             {
                 "n_events": N_EVENTS,
-                "local4": b4,
-                "local16": b16,
-                "raw_efficiency_4_to_16": round(raw, 3),
+                f"local{N_LOW}": b4,
+                f"local{N_HIGH}": b16,
+                "raw_efficiency_N_to_4N": round(raw, 3),
                 "host_cal_sec_pre": cal_pre,
                 "host_cal_sec_post": cal_post,
-                "host_ceiling_4_to_16": [round(cal_eff, 3), round(best_cal, 3)],
+                "host_ceiling_N_to_4N": [round(cal_eff, 3), round(best_cal, 3)],
                 "normalized_efficiency": round(raw / best_cal, 3)
                 if best_cal
                 else None,
