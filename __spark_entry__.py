@@ -728,6 +728,18 @@ def _q_transcript_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversations(_final_state(spark, sf_dir))
 
 
+def _q_transcript_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation over the replayed table: keep each
+    conversation's latest turns fitting a 120-token budget (BPE-ish
+    token counts, reverse cumulative sum — oldest turns drop first)."""
+    from embulk_util_json_spark.pipeline.transcripts import truncate_to_budget
+
+    out = truncate_to_budget(_final_state(spark, sf_dir), budget=120)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "n_tokens", "cum_tokens"
+    )
+
+
 def _q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation structure metrics over the replayed table
     (turn count, role count, tool-call count, chars, contiguity)."""
@@ -1760,6 +1772,9 @@ def _pipeline_oracles() -> dict[str, str]:
             _ORACLE_CDC_FINAL
         ),
         "transcript_stats": transcripts.conversation_stats_sql(_ORACLE_CDC_FINAL),
+        "transcript_truncate_budget": transcripts.truncate_to_budget_sql(
+            _ORACLE_CDC_FINAL, budget=120
+        ),
         "transcript_role_violations": transcripts.role_alternation_violations_sql(
             _ORACLE_CDC_FINAL
         ),
@@ -1917,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_assemble": _q_transcript_assemble,
         "transcript_view_incremental": _q_transcript_view_incremental,
         "transcript_stats": _q_transcript_stats,
+        "transcript_truncate_budget": _q_transcript_truncate_budget,
         "transcript_role_violations": _q_transcript_role_violations,
         "transcript_merge_roles": _q_transcript_merge_roles,
         "dq_summary": _q_dq_summary,

@@ -187,6 +187,76 @@ def merge_consecutive_roles(
 # ---------------------------------------------------------------------------
 
 
+def truncate_to_budget(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window truncation: keep each conversation's LATEST
+    turns whose cumulative token count fits ``budget`` — the standard
+    chat-training preprocessing step (recent context matters most;
+    oldest turns drop first).
+
+    Token counts use the same BPE-ish pre-tokenizer regex as
+    ``text.token_stats``; a NULL text counts 0 (``coalesce`` — Spark's
+    ``size(NULL)`` is -1, which would corrupt the running sum). The
+    cumulative sum runs from the LAST turn backwards (window ordered
+    ``turn_idx DESC``), and a turn survives iff the running total
+    *including itself* is within budget — so a final turn that alone
+    exceeds the budget empties the conversation rather than
+    overflowing it (pinned on both engines).
+
+    Scale shape: ONE conv_id shuffle; the per-group sort is bounded by
+    turn count, never corpus size — same as every transcript op here.
+
+    Output: input columns + ``n_tokens`` (per turn, int) and
+    ``cum_tokens`` (running total from the end, long)."""
+    from .text import TOKEN_RE
+
+    nt = F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_RE), 0
+        )
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", nt)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+    )
+
+
+def truncate_to_budget_sql(table_sql: str, budget: int) -> str:
+    """DuckDB oracle twin of :func:`truncate_to_budget` (output
+    narrowed to the graded columns)."""
+    from .text import TOKEN_RE
+
+    return f"""
+        SELECT conv_id, turn_idx, role, text, n_tokens, cum_tokens
+        FROM (
+            SELECT conv_id, turn_idx, role, text, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM (
+                SELECT conv_id, turn_idx, role, text,
+                       CAST(len(regexp_extract_all(
+                           COALESCE(text, ''), '{TOKEN_RE}')) AS INTEGER)
+                           AS n_tokens
+                FROM ({table_sql})
+            )
+        )
+        WHERE cum_tokens <= {int(budget)}
+    """
+
+
 def assemble_conversations_sql(table_sql: str) -> str:
     """``table_sql``: a query producing (conv_id, turn_idx, role, text)."""
     return f"""

@@ -193,3 +193,62 @@ def test_merge_consecutive_roles(spark):
         ("c2", 0, "user", "lone turn", 1, 3),
         ("c2", 1, "tool", "result", 1, 5),
     ]
+
+
+def test_truncate_to_budget_keeps_latest_fitting_turns(spark):
+    from embulk_util_json_spark.pipeline.transcripts import truncate_to_budget
+
+    rows = [
+        # c1: token counts per turn: t0=4, t1=4, t2=4 ("a b c d" = 4)
+        ("c1", 0, "user", "a b c d"),
+        ("c1", 1, "assistant", "e f g h"),
+        ("c1", 2, "user", "i j k l"),
+        # c2: latest turn alone exceeds any small budget
+        ("c2", 0, "user", "one two"),
+        ("c2", 1, "assistant", " ".join(["w"] * 50)),
+        # c3: NULL text counts zero tokens
+        ("c3", 0, "user", None),
+        ("c3", 1, "assistant", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    got = {
+        (r.conv_id, r.turn_idx): (r.n_tokens, r.cum_tokens)
+        for r in truncate_to_budget(df, budget=8).collect()
+    }
+    # c1: latest two turns fit (4+4=8); oldest dropped
+    # c2: the 50-token latest turn overflows alone -> conversation empty
+    # c3: both kept (0 + 2 tokens)
+    assert got == {
+        ("c1", 2): (4, 4),
+        ("c1", 1): (4, 8),
+        ("c3", 1): (2, 2),
+        ("c3", 0): (0, 2),
+    }
+
+
+def test_truncate_to_budget_matches_oracle(spark):
+    from embulk_util_json_spark.pipeline.transcripts import (
+        truncate_to_budget,
+        truncate_to_budget_sql,
+    )
+
+    rows = [
+        ("c%d" % (i % 7), i // 7, "r%d" % (i % 3),
+         " ".join("tok%d" % j for j in range(1 + i % 9)))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.n_tokens, r.cum_tokens)
+        for r in truncate_to_budget(df, budget=11).collect()
+    )
+    con = duckdb.connect()
+    con.register("turns", df.toPandas())
+    want = sorted(
+        (r[0], r[1], r[4], r[5])
+        for r in con.execute(
+            truncate_to_budget_sql("SELECT * FROM turns", budget=11)
+        ).fetchall()
+    )
+    assert got == want and got
