@@ -116,3 +116,65 @@ def test_lww_fold_is_associative_pure(events, cut):
 
     merged = _oracle(fold_state(left) + fold_state(right))
     assert merged == _oracle(rows)
+
+
+# ---- lww_patch (column-level LWW, partial updates) ------------------
+
+_M = "__unchanged__"
+
+# per-event column values: a real value, the unchanged marker, or an
+# explicit NULL write — the three presence states lww_patch must
+# distinguish
+_colval = st.sampled_from(["v1", "v2", "v3", _M, None])
+
+_patch_event = st.tuples(
+    st.sampled_from(["k0", "k1"]),
+    st.integers(0, 3),
+    st.integers(0, 30),
+    _colval,
+    _colval,
+)
+
+
+def _patch_oracle(rows):
+    """Pure fold: per key, per column, value of the max-(ts,seq) row
+    where the column was present (≠ marker); row-level winner for the
+    tombstone decision is the overall max."""
+    out = {}
+    for k, t, s, a, b in rows:
+        e = out.setdefault(k, {"ord": None, "a": None, "b": None})
+        for col, v in (("a", a), ("b", b)):
+            if v != _M:
+                prev = e.get(col + "_ord")
+                if prev is None or (t, s) > prev:
+                    e[col + "_ord"] = (t, s)
+                    e[col] = v
+        if e["ord"] is None or (t, s) > e["ord"]:
+            e["ord"] = (t, s)
+    return {k: (e["a"], e["b"]) for k, e in out.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(_patch_event, min_size=1, max_size=20, unique_by=lambda e: (e[0], e[1], e[2])),
+    seed=st.integers(0, 2**16),
+    dup_idx=st.lists(st.integers(0, 19), max_size=4),
+)
+def test_lww_patch_equals_pure_fold_any_order_with_dups(spark, events, seed, dup_idx):
+    from embulk_util_json_spark.operators.lww import lww_patch
+
+    rows = list(events)
+    rows += [rows[i % len(rows)] for i in dup_idx]  # at-least-once
+    random.Random(seed).shuffle(rows)  # arrival order must not matter
+    df = spark.createDataFrame(
+        rows, "key string, ts int, seq int, a string, b string"
+    )
+    got = {
+        r.key: (r.a, r.b)
+        for r in lww_patch(df, ["key"], ["ts", "seq"], ["a", "b"], _M).collect()
+    }
+    assert got == _patch_oracle(events)
