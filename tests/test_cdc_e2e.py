@@ -604,3 +604,58 @@ def test_replay_quarantine_repairs_and_drains(spark, tmp_path):
     assert sorted(map(tuple, sink.read().collect())) == sorted(
         map(tuple, ref.read().collect())
     )
+
+
+def test_replay_quarantine_crash_between_apply_and_cleanup(spark, tmp_path, monkeypatch):
+    """Crash window: the repair batch commits but the drained dir is
+    never removed. The rerun must not double-apply (sink-idempotent
+    batch id), must rewrite the same residual deterministically, and
+    must finish the interrupted cleanup — final state identical to an
+    uninterrupted drain."""
+    import shutil as _shutil
+
+    from embulk_util_json_spark.streaming import runner as runner_mod
+    from embulk_util_json_spark.streaming.runner import replay_quarantine
+
+    rows = [
+        (1, '{"op":"insert","ts":"2024-01-01T00:00:01","data":{"conv_id":"c1","turn_idx":0,"role":"user","text":"ok","tool":null}}'),
+        (2, 'junk {"op":"insert","ts":"2024-01-01T00:00:02","data":{"conv_id":"c2","turn_idx":0,"role":"user","text":"fixed","tool":null}}'),
+        (3, '{"op":"update","ts":"2024-01-01T00:00:03","data":{"turn_idx":1}}'),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    qdir = str(tmp_path / "dead")
+    apply_events_batch(df, sink, "b0", quarantine_dir=qdir)
+
+    def strip(raw):
+        return raw.withColumn(
+            "event_json", F.regexp_replace("event_json", "^junk ", "")
+        )
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        raise OSError("simulated crash before cleanup")
+
+    monkeypatch.setattr(runner_mod.shutil if hasattr(runner_mod, "shutil") else _shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(OSError):
+        replay_quarantine(spark, qdir, sink, repair_fn=strip)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    # batch committed, residual written, original dir still present
+    assert calls["n"] == 1
+    assert sorted(os.listdir(qdir)) == ["b0", "b0.r1"]
+    assert sink.read().count() == 2  # c2 applied exactly once
+
+    # rerun completes the drain; nothing double-applies
+    r = replay_quarantine(spark, qdir, sink, repair_fn=strip)
+    assert sink.read().count() == 2
+    assert sorted(os.listdir(qdir)) == ["b0.r1", "b0.r1.r1"] or sorted(
+        os.listdir(qdir)
+    ) == ["b0.r1.r1"]
+    # the still-bad row survives in exactly one live residual dir
+    live = sorted(os.listdir(qdir))[-1]
+    dead = spark.read.parquet(os.path.join(qdir, live)).collect()
+    assert [r2.seq for r2 in dead] == [3]
