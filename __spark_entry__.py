@@ -1644,6 +1644,19 @@ def _q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a TRAINED coarse quantizer: 2 Lloyd iterations on the
+    integer-quantized corpus (div-exact means — both engines walk
+    bit-identical centroid trajectories), then the usual cell-
+    restricted exact-cosine top-k."""
+    from embulk_util_json_spark.pipeline.similarity import ivf_kmeans_ann_topk
+
+    return ivf_kmeans_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        n_centroids=8, centroid_mod=61, iters=2, k=5, query_mod=50, nprobe=1,
+    )
+
+
 def _q_sim_ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=2: each query probes its two nearest cells
     — the recall knob turned one notch (candidates ∝ nprobe)."""
@@ -1832,6 +1845,10 @@ def _pipeline_oracles() -> dict[str, str]:
             "embeddings", "embedding", "vec_id",
             n_centroids=8, centroid_mod=61, k=5, query_mod=50, nprobe=2,
         ),
+        "sim_ivf_kmeans_topk": similarity.ivf_kmeans_ann_topk_sql(
+            "embeddings", "embedding", "vec_id",
+            n_centroids=8, centroid_mod=61, iters=2, k=5, query_mod=50,
+        ),
         "sim_lsh_ann_multiprobe": similarity.lsh_ann_topk_sql(
             "embeddings", "embedding", "vec_id",
             dim=64, planes=8, k=5, query_mod=50, multiprobe=1,
@@ -1971,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_lsh_ann_multiprobe": _q_sim_lsh_ann_multiprobe,
         "sim_ivf_ann_nprobe2": _q_sim_ivf_ann_nprobe2,
+        "sim_ivf_kmeans_topk": _q_sim_ivf_kmeans_topk,
         "sim_ann_recall_curve": _q_sim_ann_recall_curve,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_neardup_pairs_exact": _q_sim_neardup_exact,

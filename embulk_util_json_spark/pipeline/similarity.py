@@ -460,15 +460,12 @@ def ivf_assign(
     ).select(id_col, "qvec", "qnorm", F.col("cent_id").alias("cell"))
 
 
-def _ivf_ranked(
-    df: DataFrame, vec_col: str, id_col: str, n_centroids: int, centroid_mod: int
+def _initial_centroids(
+    qn: DataFrame, id_col: str, n_centroids: int, centroid_mod: int
 ) -> DataFrame:
-    """(id, qvec, qnorm, cent_id, _rn): every vector scored against
-    every centroid (broadcast — centroids are tiny) and rank-numbered
-    by (cosine desc, cent_id asc). ``_rn == 1`` is the storage cell;
-    ``_rn <= nprobe`` is a query's probe set."""
-    qn = quantized(df, vec_col, id_col)
-    cents = (
+    """Deterministic seed centroids: the first ``n_centroids`` vectors
+    (by id) among ids divisible by ``centroid_mod``."""
+    return (
         qn.filter((F.col(id_col) % centroid_mod) == 0)
         .select(
             F.col(id_col).alias("cent_id"),
@@ -478,6 +475,13 @@ def _ivf_ranked(
         .orderBy("cent_id")  # limit must be deterministic (oracle parity)
         .limit(n_centroids)
     )
+
+
+def _ranked_against(qn: DataFrame, id_col: str, cents: DataFrame) -> DataFrame:
+    """(id, qvec, qnorm, cent_id, _rn): every vector scored against
+    every centroid (broadcast — centroids are tiny) and rank-numbered
+    by (cosine desc, cent_id asc). ``_rn == 1`` is the storage cell;
+    ``_rn <= nprobe`` is a query's probe set."""
     scored = _spread(qn).join(F.broadcast(cents)).withColumn(
         "c_cos", _cosine(_dot(F.col("qvec"), F.col("c_qvec")), F.col("qnorm"), F.col("c_qnorm"))
     )
@@ -485,6 +489,85 @@ def _ivf_ranked(
     return scored.withColumn("_rn", F.row_number().over(w)).select(
         id_col, "qvec", "qnorm", "cent_id", "_rn"
     )
+
+
+def _ivf_ranked(
+    df: DataFrame, vec_col: str, id_col: str, n_centroids: int, centroid_mod: int
+) -> DataFrame:
+    qn = quantized(df, vec_col, id_col)
+    return _ranked_against(
+        qn, id_col, _initial_centroids(qn, id_col, n_centroids, centroid_mod)
+    )
+
+
+def kmeans_centroids(
+    qn: DataFrame,
+    id_col: str,
+    n_centroids: int,
+    centroid_mod: int,
+    iters: int = 2,
+) -> DataFrame:
+    """Trained coarse quantizer: Lloyd's iterations over the quantized
+    vectors — assign every vector to its nearest (cosine) centroid,
+    recompute each cell's centroid as the element-wise mean. Real IVF
+    trains its quantizer; the sampled-row centroids are only the seed.
+
+    Cross-engine determinism: components stay 64-bit integers — the
+    mean is ``div(sum, count)`` (truncation toward zero, identical to
+    DuckDB's ``//``), so both engines walk bit-identical centroid
+    trajectories; a float mean would diverge in the last ulp and flip
+    assignments. The rounding (1e-6 of vector scale) is far below any
+    meaningful centroid resolution. Cells emptied by an iteration
+    drop out (K can shrink) — deterministic on both sides.
+
+    Scale shape per iteration: one broadcast score-rank over the
+    corpus (no corpus shuffle) + one (cell, dim) hash aggregate —
+    cells × dims rows, tiny. The centroid frame is checkpointed per
+    iteration (it is re-broadcast, keeping lineage flat)."""
+    cents = _initial_centroids(qn, id_col, n_centroids, centroid_mod)
+    for _ in range(int(iters)):
+        assigned = _ranked_against(qn, id_col, cents).filter(F.col("_rn") == 1)
+        comp = assigned.select(
+            F.col("cent_id"), F.posexplode("qvec").alias("pos", "val")
+        )
+        means = comp.groupBy("cent_id", "pos").agg(
+            F.expr("div(sum(val), count(val))").alias("m")
+        )
+        cents = (
+            means.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_qvec")
+            )
+            .withColumn("c_qnorm", _dot(F.col("c_qvec"), F.col("c_qvec")))
+            .select("cent_id", "c_qvec", "c_qnorm")
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_kmeans_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 8,
+    centroid_mod: int = 61,
+    iters: int = 2,
+    k: int = 5,
+    query_mod: int = 50,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k over a TRAINED quantizer (:func:`kmeans_centroids`) —
+    the production IVF shape: train on a sample (here the corpus; at
+    100 TB a hash-sampled slice), then assign + probe exactly like the
+    seeded variant. Same candidate-restriction and ranking plan as
+    :func:`ivf_ann_topk`; only the centroids differ."""
+    qn = quantized(df, vec_col, id_col).localCheckpoint()
+    cents = kmeans_centroids(qn, id_col, n_centroids, centroid_mod, iters)
+    ranked = _ranked_against(qn, id_col, cents)
+    return _search_cells(ranked, id_col, k, query_mod, nprobe)
 
 
 def ivf_ann_topk(
@@ -507,6 +590,14 @@ def ivf_ann_topk(
     Tune with :func:`ann_recall`: raise nprobe until recall clears
     target."""
     ranked = _ivf_ranked(df, vec_col, id_col, n_centroids, centroid_mod)
+    return _search_cells(ranked, id_col, k, query_mod, nprobe)
+
+
+def _search_cells(
+    ranked: DataFrame, id_col: str, k: int, query_mod: int, nprobe: int
+) -> DataFrame:
+    """Cell-restricted exact-cosine top-k over a ranked assignment
+    frame (shared by the seeded and trained IVF variants)."""
     queries = ranked.filter(
         ((F.col(id_col) % query_mod) == 0) & (F.col("_rn") <= nprobe)
     ).select(
@@ -808,6 +899,112 @@ def ivf_ann_topk_sql(
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
             ) AS rank FROM scored
         )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def ivf_kmeans_ann_topk_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 8,
+    centroid_mod: int = 61,
+    iters: int = 2,
+    k: int = 5,
+    query_mod: int = 50,
+    nprobe: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ivf_kmeans_ann_topk` — the Lloyd
+    iterations unrolled as CTE chains; integer means via ``//``
+    (truncation toward zero, = Spark's ``div``)."""
+    cdot = _SQL_DOT.format(a="qn.qvec", b="c.qvec")
+    norm = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(qvec, v -> v * v)), (a, b) -> a + b)"
+    )
+    parts = [f"qn AS ({_sql_qn(table, vec_col, id_col)})"]
+    parts.append(
+        f"""cents0 AS (
+            SELECT {id_col} AS cent_id, qvec, qnorm FROM qn
+            WHERE {id_col} % {centroid_mod} = 0
+            ORDER BY cent_id LIMIT {n_centroids}
+        )"""
+    )
+    cur = "cents0"
+    for i in range(int(iters)):
+        a, m, nxt = f"assign{i}", f"means{i}", f"cents{i + 1}"
+        parts.append(
+            f"""{a} AS (
+            SELECT {id_col}, qvec, cent_id AS cell FROM (
+                SELECT qn.{id_col}, qn.qvec, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qn.{id_col}
+                           ORDER BY ROUND({cdot} / SQRT(CAST(qn.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)), 6) DESC,
+                                    c.cent_id ASC
+                       ) AS rn
+                FROM qn CROSS JOIN {cur} c
+            ) WHERE rn = 1
+        )"""
+        )
+        parts.append(
+            f"""{m} AS (
+            SELECT cell, pos, CAST(SUM(qvec[pos]) // COUNT(*) AS BIGINT) AS m
+            FROM {a}, UNNEST(range(1, len({a}.qvec) + 1)) AS u(pos)
+            GROUP BY cell, pos
+        )"""
+        )
+        parts.append(
+            f"""{nxt} AS (
+            SELECT cent_id, qvec, {norm} AS qnorm FROM (
+                SELECT cell AS cent_id, list(m ORDER BY pos) AS qvec
+                FROM {m} GROUP BY cell
+            )
+        )"""
+        )
+        cur = nxt
+    dot = _SQL_DOT.format(a="cc.qvec", b="qq.qvec")
+    parts.append(
+        f"""cellranked AS (
+            SELECT qn.{id_col}, qn.qvec, qn.qnorm, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qn.{id_col}
+                       ORDER BY ROUND({cdot} / SQRT(CAST(qn.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)), 6) DESC,
+                                c.cent_id ASC
+                   ) AS rn
+            FROM qn CROSS JOIN {cur} c
+        )"""
+    )
+    parts.append(
+        f"""assigned AS (
+            SELECT {id_col}, qvec, qnorm, cent_id AS cell
+            FROM cellranked WHERE rn = 1
+        )"""
+    )
+    parts.append(
+        f"""probes AS (
+            SELECT {id_col}, qvec, qnorm, cent_id AS cell
+            FROM cellranked WHERE rn <= {nprobe} AND {id_col} % {query_mod} = 0
+        )"""
+    )
+    parts.append(
+        f"""scored AS (
+            SELECT qq.{id_col} AS query_id, cc.{id_col} AS neighbor_id,
+                   ROUND({dot} / SQRT(CAST(cc.qnorm AS DOUBLE) * CAST(qq.qnorm AS DOUBLE)), 6) AS cosine
+            FROM probes qq JOIN assigned cc
+              ON cc.cell = qq.cell AND cc.{id_col} <> qq.{id_col}
+        )"""
+    )
+    parts.append(
+        """ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        )"""
+    )
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
         FROM ranked WHERE rank <= {k}
     """

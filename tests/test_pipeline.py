@@ -738,3 +738,38 @@ def test_pack_sequences_groups_pack_independently(spark):
         ).collect()
     }
     assert out == {0: "0:0", 1: "0:0", 100: "1:0", 101: "1:0"}
+
+
+def test_ivf_kmeans_trains_and_stays_deterministic(vecs):
+    """Trained-quantizer IVF: Lloyd iterations actually move the
+    centroids (iters=0 reduces to the seeded variant), repeated runs
+    are bit-identical (integer-exact means), and the result shape
+    matches the seeded search contract."""
+    from embulk_util_json_spark.pipeline.similarity import (
+        ivf_ann_topk,
+        ivf_kmeans_ann_topk,
+        kmeans_centroids,
+        quantized,
+    )
+
+    kw = dict(n_centroids=4, centroid_mod=7, k=3, query_mod=10)
+    a = sorted(map(tuple, ivf_kmeans_ann_topk(
+        vecs, "embedding", "vec_id", iters=2, **kw).collect()))
+    b = sorted(map(tuple, ivf_kmeans_ann_topk(
+        vecs, "embedding", "vec_id", iters=2, **kw).collect()))
+    assert a == b and a  # deterministic across runs
+
+    # iters=0 == seeded variant exactly
+    seeded = sorted(map(tuple, ivf_ann_topk(
+        vecs, "embedding", "vec_id", **kw).collect()))
+    z = sorted(map(tuple, ivf_kmeans_ann_topk(
+        vecs, "embedding", "vec_id", iters=0, **kw).collect()))
+    assert z == seeded
+
+    # training moves at least one centroid off its seed vector
+    qn = quantized(vecs, "embedding", "vec_id")
+    seeds = {r.cent_id: list(r.c_qvec) for r in kmeans_centroids(
+        qn, "vec_id", 4, 7, iters=0).collect()}
+    trained = {r.cent_id: list(r.c_qvec) for r in kmeans_centroids(
+        qn, "vec_id", 4, 7, iters=2).collect()}
+    assert any(trained[c] != seeds.get(c) for c in trained)
