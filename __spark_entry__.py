@@ -581,6 +581,45 @@ _ORACLE_CDC_PATCH_FINAL = f"""
 """
 
 
+def _q_cdc_patch_sink_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-mode SINK replay: the same partial-update stream as
+    ``cdc_patch_final_state``, but applied INCREMENTALLY — three
+    interleaved micro-batches (``seq % 3``, so every batch carries
+    early and late events for the same keys) through a merge-on-read
+    ``ParquetSnapshotSink(patch_cols=...)``, compacted, then read.
+
+    Must equal the one-shot full-history oracle exactly: the sink
+    stores per-column order stamps (``_po_<col>``) with each reduced
+    row, making column-level LWW a closed associative operator —
+    chain-merge of persisted levels ≡ one reduction over the raw
+    history, however the events were batched. This is the TOAST-
+    column / sparse-update ingest path at 10^10 events: write cost
+    stays O(batch) (MOR), carry-forward costs one extra struct column
+    per patch column, and the merge is still ONE hash aggregate with
+    map-side combine."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    patched = changes.select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+    work = _scratch("patch_sink_")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        patch_cols=["role", "text", "tool"], unchanged_marker=_PATCH_MARKER,
+    )
+    for i in range(3):
+        sink.apply(patched.filter(F.col("seq") % 3 == i), f"b{i}")
+    sink.compact(drop_tombstones=False)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew advisor, hot-key view: top-20 hottest conversations in the
     change stream with exact count, share, and the per-key salt factor
@@ -1930,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maxwell_final_state": _q_cdc_maxwell_final_state,
         "cdc_canal_final_state": _q_cdc_canal_final_state,
         "cdc_patch_final_state": _q_cdc_patch_final_state,
+        "cdc_patch_sink_final_state": _q_cdc_patch_sink_final_state,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_seq_gaps": _q_cdc_seq_gaps,
         "cdc_seq_summary": _q_cdc_seq_summary,
@@ -2029,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_window": _ORACLE_CDC_FINAL,
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
         "cdc_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
+        "cdc_patch_sink_final_state": _ORACLE_CDC_PATCH_FINAL,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_seq_gaps": _seq_gaps_oracle(),
         "cdc_seq_summary": _seq_summary_oracle(),

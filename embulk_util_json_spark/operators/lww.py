@@ -101,18 +101,123 @@ def lww_patch(
     aggs = []
     for c in payload:
         if c in patch_cols:
-            col = F.col(c)
-            if unchanged_marker is not None:
-                present = col.isNull() | (col != F.lit(unchanged_marker))
-            else:
-                present = col.isNotNull()
-            if absent_if is not None:
-                present = present & ~absent_if
-            slot = F.when(present, F.struct(*order_fields, col.alias("_v")))
+            present = patch_present(F.col(c), unchanged_marker, absent_if)
+            slot = F.when(present, F.struct(*order_fields, F.col(c).alias("_v")))
         else:
             slot = F.struct(*order_fields, F.col(c).alias("_v"))
         aggs.append(F.max(slot).getField("_v").alias(c))
     return df.groupBy(*keys).agg(*aggs)
+
+
+PATCH_ORD_PREFIX = "_po_"
+"""Hidden per-patch-column order-stamp columns (``_po_<col>``): a
+struct of the order-column values of the latest event that *carried*
+the column, or NULL if no event for the key has carried it yet. These
+stamps are what make the patch reduction a monoid that can be stored:
+a reduced row re-enters a later reduction as if it were one event per
+column, each at its own recorded position."""
+
+
+def patch_present(
+    col: Column,
+    unchanged_marker: str | None = None,
+    absent_if: Column | None = None,
+) -> Column:
+    """The "this row carries this column" predicate shared by
+    ``lww_patch`` and ``patch_stamp`` (semantics documented on
+    ``lww_patch``)."""
+    if unchanged_marker is not None:
+        present = col.isNull() | (col != F.lit(unchanged_marker))
+    else:
+        present = col.isNotNull()
+    if absent_if is not None:
+        present = present & ~absent_if
+    return present
+
+
+def patch_stamp(
+    df: DataFrame,
+    order_cols: list[str],
+    patch_cols: list[str],
+    unchanged_marker: str | None = None,
+    absent_if: Column | None = None,
+) -> DataFrame:
+    """Stamp raw change rows for the storable patch reduction: add
+    ``_po_<col>`` = struct(order cols) where the column is present
+    (``patch_present``), NULL where it is not — and normalize absent
+    values to NULL so the unchanged-marker never reaches storage.
+    ``patch_stamp`` + ``lww_patch_stamped`` ≡ ``lww_patch`` on raw
+    events (pinned by test), but the stamped form survives being
+    written out and re-reduced, which is what the patch-mode sink
+    needs. Pure projection — no shuffle, stays in codegen."""
+    names = list(df.columns)
+    sel = [F.col(c) for c in names]
+    for c in patch_cols:
+        present = patch_present(F.col(c), unchanged_marker, absent_if)
+        sel[names.index(c)] = F.when(present, F.col(c)).alias(c)
+        sel.append(
+            F.when(
+                present, F.struct(*[F.col(o).alias(o) for o in order_cols])
+            ).alias(PATCH_ORD_PREFIX + c)
+        )
+    return df.select(*sel)
+
+
+def lww_patch_stamped(
+    df: DataFrame, keys: list[str], order_cols: list[str], patch_cols: list[str]
+) -> DataFrame:
+    """Reduce stamped rows (``patch_stamp`` output, or rows this
+    function already reduced): per patch column, max over
+    (stamp, value) among rows whose stamp is non-NULL; every other
+    payload column (op, event time, order cols, non-patch fields)
+    comes from the row-level winner by the row's OWN order columns.
+    Output carries the winning ``_po_<col>`` stamps, so the result is
+    closed under the operation.
+
+    Associative + commutative by the same argument as ``lww_patch``:
+    each column is an independent max over a total order, and the
+    stamps carried through storage mean a pre-reduced level re-enters
+    a later merge at exactly the positions its values were written at
+    — merge-at-read of stored levels ≡ one reduction over the raw
+    history (the MOR chain-merge requirement). ONE hash aggregate with
+    map-side partial combine."""
+    ord_meta = {PATCH_ORD_PREFIX + c for c in patch_cols}
+    payload = [
+        c for c in df.columns
+        if c not in keys and c not in patch_cols and c not in ord_meta
+    ]
+    aggs = [
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]), _order_struct(order_cols)
+        ).alias("_w")
+    ]
+    for c in patch_cols:
+        po = F.col(PATCH_ORD_PREFIX + c)
+        slot = F.when(
+            po.isNotNull(),
+            F.struct(
+                *[po[o].alias(f"_o{i}") for i, o in enumerate(order_cols)],
+                F.col(c).alias("_v"),
+            ),
+        )
+        aggs.append(F.max(slot).alias(f"_s_{c}"))
+    out = df.groupBy(*keys).agg(*aggs)
+    sel = [*keys, *[F.col("_w")[c].alias(c) for c in payload]]
+    for c in patch_cols:
+        s = F.col(f"_s_{c}")
+        sel.append(s.getField("_v").alias(c))
+        sel.append(
+            F.when(
+                s.isNotNull(),
+                F.struct(
+                    *[
+                        s.getField(f"_o{i}").alias(o)
+                        for i, o in enumerate(order_cols)
+                    ]
+                ),
+            ).alias(PATCH_ORD_PREFIX + c)
+        )
+    return out.select(*sel)
 
 
 def lww_salted(

@@ -47,7 +47,12 @@ import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
-from ..operators.lww import lww_agg
+from ..operators.lww import (
+    PATCH_ORD_PREFIX,
+    lww_agg,
+    lww_patch_stamped,
+    patch_stamp,
+)
 from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 
 BUCKET_COL = "_bucket"
@@ -80,8 +85,32 @@ class ParquetSnapshotSink:
         bucket_by: str | None = None,
         mode: str = "mow",
         compact_every: int = 16,
+        patch_cols: list[str] | None = None,
+        unchanged_marker: str | None = None,
     ) -> None:
-        """``mode``:
+        """``patch_cols`` switches the sink to PATCH MODE: change
+        events are partial updates that do not restate every column
+        (Debezium's unavailable-value placeholder for Postgres TOAST
+        columns; sparse wide-row patches). The merge is then COLUMN-
+        level LWW (``operators.lww.lww_patch`` semantics — presence =
+        not ``unchanged_marker`` if given, else non-NULL; tombstone
+        rows carry no column payload; carry-forward looks through
+        tombstones; the row-level winner's ``op`` decides survival).
+
+        What makes this storable and incremental: rows are stamped at
+        apply with per-column order structs (``_po_<col>``, see
+        ``patch_stamp``), and every reduction — batch pre-reduce, MOW
+        merge, MOR chain-merge at read, compaction — is the same
+        closed operator ``lww_patch_stamped``. A reduced row re-enters
+        a later merge at exactly the positions its column values were
+        written, so out-of-order batches and replay stay exact: N
+        incremental applies ≡ one reduction over the raw history
+        (pinned bit-exact against ``lww_patch`` full-history replay in
+        tests). Patch config is recorded in the manifest on first
+        commit and re-adopted by later writers/readers — a reader
+        merging a patch-mode chain with row-level LWW would be wrong.
+
+        ``mode``:
 
         - ``"mow"`` (merge-on-write, Iceberg copy-on-write MERGE):
           each apply rewrites the affected buckets fully merged. Reads
@@ -108,6 +137,15 @@ class ParquetSnapshotSink:
         os.makedirs(self._manifest_dir, exist_ok=True)
         current = self.current_manifest()
         self.num_buckets = current["num_buckets"] if current else num_buckets
+        # Patch config is table state, not caller state: once the
+        # first manifest commits it, later writers/readers adopt it
+        # (merging a patch chain row-level would corrupt the table).
+        if current is not None and "patch_cols" in current:
+            self.patch_cols = list(current["patch_cols"]) or None
+            self.unchanged_marker = current.get("unchanged_marker")
+        else:
+            self.patch_cols = list(patch_cols) if patch_cols else None
+            self.unchanged_marker = unchanged_marker
 
     # ---- manifest log -------------------------------------------------
 
@@ -264,6 +302,8 @@ class ParquetSnapshotSink:
             "schema_fields": [],
             "extra_fields": [],
             "applies": [],
+            "patch_cols": self.patch_cols or [],
+            "unchanged_marker": self.unchanged_marker,
         }
 
     def _read_bucket_paths(self, rel_paths: list[str]) -> DataFrame:
@@ -271,6 +311,42 @@ class ParquetSnapshotSink:
             self.spark.read.option("mergeSchema", "true")
             .parquet(*[os.path.join(self.root, p) for p in rel_paths])
         )
+
+    def _stamp(self, df: DataFrame) -> DataFrame:
+        """Patch mode: stamp raw change rows with per-column order
+        structs (no-op row-level). Pure projection — applied once per
+        batch before any reduction, so stored rows are always in the
+        closed stamped form."""
+        if not self.patch_cols:
+            return df
+        if all(PATCH_ORD_PREFIX + c in df.columns for c in self.patch_cols):
+            # already in stamped form (a patch-mode change feed, or a
+            # replayed stored level) — re-stamping would overwrite the
+            # carried per-column positions with the row's own order
+            return df
+        return patch_stamp(
+            df,
+            self.order_cols,
+            self.patch_cols,
+            self.unchanged_marker,
+            absent_if=F.col("op") == "delete",
+        )
+
+    def _reduce(self, df: DataFrame, keys: list[str]) -> DataFrame:
+        """THE merge operator for this table: row-level LWW, or the
+        closed column-level patch reduction when in patch mode. Every
+        reduction in the sink (apply, chain-merge at read, compact,
+        rebucket, rewrite, purge) goes through here — correctness of
+        MOR / replay rests on all of them being the same associative
+        operator."""
+        if self.patch_cols:
+            return lww_patch_stamped(df, keys, self.order_cols, self.patch_cols)
+        return lww_agg(df, keys, self.order_cols)
+
+    def _drop_patch_meta(self, df: DataFrame) -> DataFrame:
+        if not self.patch_cols:
+            return df
+        return df.drop(*[PATCH_ORD_PREFIX + c for c in self.patch_cols])
 
     @staticmethod
     def _paths_of(manifest: dict, bucket: str) -> list[str]:
@@ -366,6 +442,7 @@ class ParquetSnapshotSink:
         staged = changes.withColumn(BUCKET_COL, self._bucket_expr()).observe(
             obs, *metrics_exprs
         )
+        staged = self._stamp(staged)
         if self.mode == "mor":
             return self._apply_mor(staged, batch_id, manifest, obs, t0)
         return self._apply_mow(staged, batch_id, manifest, obs, t0)
@@ -417,6 +494,8 @@ class ParquetSnapshotSink:
                 "schema_fields": schema_fields,
                 "extra_fields": sorted(extra_fields),
                 "applies": (manifest["applies"] + [metrics])[-1000:],
+                "patch_cols": self.patch_cols or [],
+                "unchanged_marker": self.unchanged_marker,
             }
         )
         return metrics
@@ -454,7 +533,7 @@ class ParquetSnapshotSink:
                 BUCKET_COL, self._bucket_expr()
             )
             merged = staged.unionByName(old, allowMissingColumns=True)
-        merged = lww_agg(merged, self.keys + [BUCKET_COL], self.order_cols)
+        merged = self._reduce(merged, self.keys + [BUCKET_COL])
 
         n_affected = len(affected)
         (
@@ -500,7 +579,7 @@ class ParquetSnapshotSink:
         out_rel = f"data/v{version:08d}"
         out_dir = os.path.join(self.root, out_rel)
 
-        delta = lww_agg(staged, self.keys + [BUCKET_COL], self.order_cols)
+        delta = self._reduce(staged, self.keys + [BUCKET_COL])
         (
             delta.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
             .sortWithinPartitions(*self.keys)
@@ -621,11 +700,11 @@ class ParquetSnapshotSink:
         for k, v in (key_eq or {}).items():
             df = df.filter(F.col(k) == F.lit(v))
         if depth > 1:
-            df = lww_agg(df, self.keys, self.order_cols)
+            df = self._reduce(df, self.keys)
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")
         if not include_meta:
-            df = df.drop(*META_COLS)
+            df = self._drop_patch_meta(df.drop(*META_COLS))
         # Materialize manifest-declared evolved fields out of the
         # extras map (metadata-only schema evolution; old rows NULL).
         if EXTRAS_COL in df.columns:
@@ -683,6 +762,8 @@ class ParquetSnapshotSink:
         cand = self._read_bucket_paths(new_paths).filter(
             F.col(self.keys[0]).isNotNull()
         )
+        if self.patch_cols:
+            return self._read_changes_patch(cand, from_manifest, to_manifest, new_paths)
         cand = lww_agg(cand, self.keys, self.order_cols)
 
         if from_manifest:
@@ -725,6 +806,76 @@ class ParquetSnapshotSink:
             out = out.drop(EXTRAS_COL)
         return out
 
+    def _read_changes_patch(
+        self,
+        cand: DataFrame,
+        from_manifest: dict | None,
+        to_manifest: dict,
+        new_paths: list[str],
+    ) -> DataFrame:
+        """Patch-mode change feed. The row-level order comparison of
+        ``read_changes`` is wrong here: a new column-level winner can
+        change the resolved row without beating the row-level winner
+        (and a row-level late loser can change nothing). So instead:
+        merge the candidate levels WITH the bucket-pruned ``from``
+        state and emit keys whose resolved row differs (null-safe
+        struct compare over the visible columns — keys only in the old
+        state merge to themselves and drop out). Output rows carry
+        their ``_po_<col>`` stamps, so the feed is itself a valid
+        stamped level: applying it to a downstream patch-mode mirror
+        reproduces this table's state exactly."""
+        old_state = None
+        if from_manifest:
+            new_buckets = {p.split(f"{BUCKET_COL}=")[-1] for p in new_paths}
+            old_paths = [
+                p
+                for b in from_manifest["buckets"]
+                if b in new_buckets
+                for p in self._paths_of(from_manifest, b)
+            ]
+            if old_paths:
+                old_state = self._reduce(
+                    self._read_bucket_paths(old_paths).filter(
+                        F.col(self.keys[0]).isNotNull()
+                    ),
+                    self.keys,
+                )
+        if old_state is None:
+            out = self._reduce(cand, self.keys)
+        else:
+            merged = self._reduce(
+                cand.unionByName(old_state, allowMissingColumns=True), self.keys
+            )
+            vis = [
+                c
+                for c in merged.columns
+                if not c.startswith(PATCH_ORD_PREFIX)
+                and c not in self.keys
+                and c != BUCKET_COL
+            ]
+            row_of = lambda: F.struct(*[F.col(c).alias(c) for c in vis])  # noqa: E731
+            # align the old state to merged's (possibly evolved)
+            # schema: missing columns appear as typed NULLs
+            old_aligned = old_state.unionByName(
+                merged.limit(0), allowMissingColumns=True
+            )
+            old_cmp = old_aligned.select(*self.keys, row_of().alias("_old_row"))
+            out = (
+                merged.join(old_cmp, self.keys, "left")
+                .filter(
+                    F.col("_old_row").isNull()
+                    | ~row_of().eqNullSafe(F.col("_old_row"))
+                )
+                .drop("_old_row")
+            )
+        out = out.drop(BUCKET_COL)
+        if EXTRAS_COL in out.columns:
+            for name in to_manifest.get("extra_fields", []):
+                if name not in out.columns:
+                    out = out.withColumn(name, F.col(EXTRAS_COL)[name])
+            out = out.drop(EXTRAS_COL)
+        return out
+
     def compact(
         self,
         drop_tombstones: bool = True,
@@ -741,7 +892,14 @@ class ParquetSnapshotSink:
         late/redelivered events inside the replay horizon still lose
         LWW against them, reclaim the rest. ``only_buckets`` compacts
         a subset (auto-compaction of deep chains) and leaves the rest
-        untouched."""
+        untouched.
+
+        Patch mode strengthens the ``drop_tombstones`` precondition: a
+        tombstone row still carries the key's per-column history
+        (carry-forward looks through deletes), so dropping it also
+        forgets those column values — safe only if a deleted key is
+        ever revived by a full restatement (insert), never by a
+        partial patch. The MOR auto-compaction keeps tombstones."""
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True}
@@ -751,7 +909,7 @@ class ParquetSnapshotSink:
         )
         paths = [p for b in target for p in self._paths_of(manifest, b)]
         df = self._read_bucket_paths(paths)
-        df = lww_agg(df, self.keys, self.order_cols)
+        df = self._reduce(df, self.keys)
         if drop_tombstones:
             is_del = F.col("op") == "delete"
             if tombstone_watermark is not None:
@@ -826,7 +984,7 @@ class ParquetSnapshotSink:
             return {"skipped": True, "num_buckets": self.num_buckets}
         t0 = time.time()
         df = self._read_bucket_paths(self._all_paths(manifest))
-        df = lww_agg(df, self.keys, self.order_cols)
+        df = self._reduce(df, self.keys)
         old_n = self.num_buckets
         self.num_buckets = int(new_num_buckets)
         try:
@@ -904,7 +1062,7 @@ class ParquetSnapshotSink:
             return {"skipped": True}
         t0 = time.time()
         df = self._read_bucket_paths(self._all_paths(manifest))
-        df = lww_agg(df, self.keys, self.order_cols)
+        df = self._reduce(df, self.keys)
         if where is not None:
             changed = transform(df.filter(where))
             kept = df.filter(~F.coalesce(where, F.lit(False)))
@@ -1004,7 +1162,7 @@ class ParquetSnapshotSink:
         kept = df.filter(~F.coalesce(pred, F.lit(False)))
         # collapse to one level per bucket (tombstones preserved), so
         # the rewritten chain stays read-correct at depth 1
-        kept = lww_agg(kept, self.keys, self.order_cols).withColumn(
+        kept = self._reduce(kept, self.keys).withColumn(
             BUCKET_COL, self._bucket_expr()
         )
         version = manifest["version"] + 1
