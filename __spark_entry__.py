@@ -581,6 +581,40 @@ _ORACLE_CDC_PATCH_FINAL = f"""
 """
 
 
+def _q_cdc_patch_final_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage patch merge (``lww_patch_salted``): the
+    hot-conversation skew split applied to the COLUMN-level LWW path.
+    Stage 1 reduces (key, salt) shards with the stamped reduction —
+    shard winners keep per-column order stamps — stage 2 merges ≤ 32
+    shard winners per key; exact because per-column max over the
+    (ts, seq) total order is associative + commutative. Same oracle
+    as ``cdc_patch_final_state``: the split must be invisible."""
+    from embulk_util_json_spark.operators.lww import lww_patch_salted
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    patched = changes.select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+    final = lww_patch_salted(
+        patched,
+        ["conv_id", "turn_idx"],
+        ["ts", "seq"],
+        patch_cols=["role", "text", "tool"],
+        unchanged_marker=_PATCH_MARKER,
+        absent_if=F.col("op") == "delete",
+        salt_buckets=32,
+    )
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def _q_cdc_patch_sink_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Patch-mode SINK replay: the same partial-update stream as
     ``cdc_patch_final_state``, but applied INCREMENTALLY — three
@@ -1970,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_canal_final_state": _q_cdc_canal_final_state,
         "cdc_patch_final_state": _q_cdc_patch_final_state,
         "cdc_patch_sink_final_state": _q_cdc_patch_sink_final_state,
+        "cdc_patch_final_salted": _q_cdc_patch_final_salted,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_seq_gaps": _q_cdc_seq_gaps,
         "cdc_seq_summary": _q_cdc_seq_summary,
@@ -2070,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_salted": _ORACLE_CDC_FINAL,
         "cdc_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
         "cdc_patch_sink_final_state": _ORACLE_CDC_PATCH_FINAL,
+        "cdc_patch_final_salted": _ORACLE_CDC_PATCH_FINAL,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_seq_gaps": _seq_gaps_oracle(),
         "cdc_seq_summary": _seq_summary_oracle(),

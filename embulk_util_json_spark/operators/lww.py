@@ -220,6 +220,39 @@ def lww_patch_stamped(
     return out.select(*sel)
 
 
+def lww_patch_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    patch_cols: list[str],
+    unchanged_marker: str | None = None,
+    absent_if: Column | None = None,
+    salt_buckets: int = 32,
+    salt_source: str = "seq",
+) -> DataFrame:
+    """Two-stage salted variant of ``lww_patch`` for pathologically
+    hot keys on partial-update streams: stage 1 reduces each
+    (key, salt) shard with the STAMPED reduction (closed — shard
+    winners keep their per-column positions), stage 2 merges the
+    ≤ ``salt_buckets`` shard winners per key. Exact by the same
+    argument as ``lww_salted``: per-column max over a total order is
+    associative + commutative, and the ``_po_`` stamps mean a shard
+    winner re-enters stage 2 at the positions its values were written
+    (the lww_patch_stamped associativity, reused as a skew split
+    instead of a storage split). Result matches ``lww_patch``
+    bit-for-bit (pinned by test)."""
+    stamped = patch_stamp(df, order_cols, patch_cols, unchanged_marker, absent_if)
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)).alias("_salt")
+    stage1 = lww_patch_stamped(
+        stamped.withColumn("_salt", salt),
+        keys + ["_salt"],
+        order_cols,
+        patch_cols,
+    ).drop("_salt")
+    out = lww_patch_stamped(stage1, keys, order_cols, patch_cols)
+    return out.drop(*[PATCH_ORD_PREFIX + c for c in patch_cols])
+
+
 def lww_salted(
     df: DataFrame,
     keys: list[str],

@@ -106,3 +106,35 @@ def test_patch_on_dense_input_equals_row_level_lww(spark):
     patch = _final(lww_patch(df, KEYS, ORDER, ["role", "text", "tool"], None))
     row = _final(lww_agg(df, KEYS, ORDER))
     assert patch == row
+
+
+def test_patch_salted_equals_lww_patch(spark):
+    """The salted two-stage split of the patch reduction is exact:
+    shard winners keep their per-column stamps, so stage-2 merge
+    re-enters them at the positions their values were written."""
+    from embulk_util_json_spark.operators.lww import lww_patch_salted
+
+    rows = []
+    for i in range(1, 301):
+        # one pathologically hot key plus a normal tail
+        conv, turn = ("hot", 0) if i % 3 else ("c%d" % (i % 7), i % 4)
+        r = i % 10
+        if r == 0:
+            rows.append((conv, turn, i // 3, i, "delete", None, None, None))
+        elif r == 1:
+            rows.append((conv, turn, i // 3, i, "insert",
+                         "r%d" % (i % 3), "t%d" % i, "tool%d" % (i % 4)))
+        else:
+            rows.append((conv, turn, i // 3, i, "update",
+                         M if i % 2 else "r%d" % (i % 3),
+                         M if i % 5 else "t%d v2" % i,
+                         None if i % 11 == 0 else M))
+    df = _df(spark, rows)
+    tomb = F.col("op") == "delete"
+    want = lww_patch(df, KEYS, ORDER, ["role", "text", "tool"], M, absent_if=tomb)
+    for buckets in (1, 4, 32):
+        got = lww_patch_salted(
+            df, KEYS, ORDER, ["role", "text", "tool"], M, absent_if=tomb,
+            salt_buckets=buckets,
+        )
+        assert _final(got) == _final(want), f"salt_buckets={buckets}"
