@@ -60,7 +60,12 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.lww import lww_agg
+from ..operators.lww import (
+    PATCH_ORD_PREFIX,
+    lww_agg,
+    lww_patch_stamped,
+    patch_stamp,
+)
 from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 
 
@@ -226,6 +231,90 @@ def merge_upsert_sql(
     )
 
 
+def merge_patch_sql(
+    table: str,
+    staged_view: str,
+    keys: list[str],
+    order_cols: list[str],
+    patch_cols: list[str],
+    staged_cols: list[str],
+) -> str:
+    """The COLUMN-level LWW MERGE for partial-update streams — the
+    Iceberg twin of the snapshot sink's patch mode (same stamped
+    model: the staged view is ``patch_stamp`` + ``lww_patch_stamped``
+    output, one row per key carrying ``_po_<col>`` order stamps).
+
+    - each patch column updates independently: staged value wins iff
+      its stamp is non-NULL and beats (or the target has none) the
+      target's stamp — the stamp moves WITH the value, so the stored
+      row stays in the closed stamped form and the next MERGE merges
+      against the true per-column positions;
+    - row-level columns (op, event time, order cols, non-patch
+      payload) follow the row-level (ts, seq) comparison, exactly as
+      :func:`merge_upsert_sql`;
+    - the MATCHED guard (row newer OR any column newer) keeps replays
+      and pure-late-loser batches from rewriting rows as dead no-op
+      updates — idempotence with no write amplification;
+    - tombstones upsert like any row (retention, module docstring):
+      their stamps are all NULL (``absent_if`` at stamping), so a
+      delete never clobbers carried column values — carry-forward
+      looks through it, matching ``lww_patch`` / the snapshot sink.
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    guard, sets = patch_merge_exprs(keys, order_cols, patch_cols, staged_cols)
+    set_sql = ", ".join(f"t.{c} = {e}" for c, e in sets)
+    ins_cols = ", ".join(staged_cols)
+    ins_vals = ", ".join(f"s.{c}" for c in staged_cols)
+    return (
+        f"MERGE INTO {table} t USING {staged_view} s ON {on} "
+        f"WHEN MATCHED AND ({guard}) THEN UPDATE SET {set_sql} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def patch_merge_exprs(
+    keys: list[str],
+    order_cols: list[str],
+    patch_cols: list[str],
+    staged_cols: list[str],
+) -> tuple[str, list[tuple[str, str]]]:
+    """The MATCHED guard and per-column CASE expressions of
+    :func:`merge_patch_sql`, exposed so their SEMANTICS (not just
+    their text) are testable without the Iceberg runtime: the jarless
+    test runs them in a plain Spark SQL SELECT over a full-outer join
+    of (target, staged) — which is exactly what MERGE evaluates per
+    matched pair — and pins the result bit-equal to
+    ``lww_patch_stamped`` over the combined history."""
+
+    def tup(side: str, cols: list[str]) -> str:
+        return "struct(" + ", ".join(f"{side}.{c}" for c in cols) + ")"
+
+    ord_newer = f"{tup('s', order_cols)} > {tup('t', order_cols)}"
+
+    def col_newer(c: str) -> str:
+        po = PATCH_ORD_PREFIX + c
+        s_ord = "struct(" + ", ".join(f"s.{po}.{o}" for o in order_cols) + ")"
+        t_ord = "struct(" + ", ".join(f"t.{po}.{o}" for o in order_cols) + ")"
+        return f"(s.{po} IS NOT NULL AND (t.{po} IS NULL OR {s_ord} > {t_ord}))"
+
+    po_names = {PATCH_ORD_PREFIX + c for c in patch_cols}
+    row_cols = [
+        c for c in staged_cols
+        if c not in keys and c not in patch_cols and c not in po_names
+    ]
+    sets = [
+        (c, f"CASE WHEN {ord_newer} THEN s.{c} ELSE t.{c} END")
+        for c in row_cols
+    ]
+    for c in patch_cols:
+        cn = col_newer(c)
+        po = PATCH_ORD_PREFIX + c
+        sets.append((c, f"CASE WHEN {cn} THEN s.{c} ELSE t.{c} END"))
+        sets.append((po, f"CASE WHEN {cn} THEN s.{po} ELSE t.{po} END"))
+    guard = " OR ".join([ord_newer] + [col_newer(c) for c in patch_cols])
+    return guard, sets
+
+
 def purge_sql(table: str, key_eq: dict) -> list[str]:
     """Compliance purge statements (the snapshot sink's ``purge``
     twin): DELETE the matching rows (real row removal, not an engine
@@ -300,6 +389,8 @@ class IcebergSink:
         num_buckets: int = 32,
         keys: list[str] | None = None,
         order_cols: list[str] | None = None,
+        patch_cols: list[str] | None = None,
+        unchanged_marker: str | None = None,
     ) -> None:
         if not iceberg_available(spark):
             raise NotImplementedError(
@@ -312,6 +403,11 @@ class IcebergSink:
         self.keys = keys or KEY_COLS
         self.order_cols = order_cols or ORDER_COLS
         self.num_buckets = num_buckets
+        # Patch mode (parity with ParquetSnapshotSink(patch_cols=…)):
+        # the stamped struct columns live in the Iceberg table like any
+        # field, and merge_patch_sql keeps them moving with the values.
+        self.patch_cols = list(patch_cols) if patch_cols else None
+        self.unchanged_marker = unchanged_marker
 
     # The remaining methods are executable only with the runtime jar;
     # they are exercised by integration deployments, not this sandbox.
@@ -366,9 +462,20 @@ class IcebergSink:
         tombstone rows, unseen keys insert. Idempotent per batch (see
         module docstring), skipped outright when the batch log already
         carries ``batch_id``."""
-        reduced = self._promote_extras(
-            lww_agg(changes, self.keys, self.order_cols)
-        )
+        if self.patch_cols:
+            stamped = patch_stamp(
+                changes,
+                self.order_cols,
+                self.patch_cols,
+                self.unchanged_marker,
+                absent_if=F.col("op") == "delete",
+            )
+            reduced = lww_patch_stamped(
+                stamped, self.keys, self.order_cols, self.patch_cols
+            )
+        else:
+            reduced = lww_agg(changes, self.keys, self.order_cols)
+        reduced = self._promote_extras(reduced)
         self.ensure_tables(reduced)
         if self._applied(batch_id):
             return {"batch_id": batch_id, "skipped": True}
@@ -385,16 +492,24 @@ class IcebergSink:
         )
         view = staged_view_name(batch_id)
         aligned.createOrReplaceTempView(view)
-        self.spark.sql(
-            merge_upsert_sql(
+        if self.patch_cols:
+            merge = merge_patch_sql(
+                self.table, view, self.keys, self.order_cols,
+                self.patch_cols, aligned.columns,
+            )
+        else:
+            merge = merge_upsert_sql(
                 self.table, view, self.keys, self.order_cols, aligned.columns
             )
-        )
+        self.spark.sql(merge)
         self.spark.sql(log_batch_sql(self.table, batch_id))
         return {"batch_id": batch_id}
 
     def read(self) -> DataFrame:
-        return self.spark.table(self.table).filter(F.col("op") != "delete")
+        df = self.spark.table(self.table).filter(F.col("op") != "delete")
+        if self.patch_cols:
+            df = df.drop(*[PATCH_ORD_PREFIX + c for c in self.patch_cols])
+        return df
 
     def compact(self) -> dict:
         self.spark.sql(compact_sql(self.table))

@@ -251,3 +251,94 @@ def test_changelog_sql_golden():
         "options => map('start-snapshot-id', '10', 'end-snapshot-id', '20'), "
         "changelog_view => 'changes_view')"
     )
+
+
+# ---- patch-mode MERGE ----------------------------------------------------
+
+PATCH = ["role", "text", "tool"]
+PCOLS = [
+    "conv_id", "turn_idx", "ts", "seq", "op",
+    "role", "text", "tool", "_po_role", "_po_text", "_po_tool",
+]
+
+
+def test_merge_patch_structure():
+    from embulk_util_json_spark.sinks.iceberg import merge_patch_sql
+
+    sql = merge_patch_sql(TABLE, "_staged_v", KEYS, ORDER, PATCH, PCOLS)
+    # tombstone retention: upserts only, never a DELETE branch
+    assert "WHEN MATCHED" in sql and "DELETE" not in sql
+    # every patch column and its stamp update under the SAME condition
+    for c in PATCH:
+        assert f"t.{c} = CASE WHEN (s._po_{c} IS NOT NULL" in sql
+        assert f"t._po_{c} = CASE WHEN (s._po_{c} IS NOT NULL" in sql
+    # row-level columns follow the row order comparison
+    assert (
+        "t.op = CASE WHEN struct(s.ts, s.seq) > struct(t.ts, t.seq) "
+        "THEN s.op ELSE t.op END" in sql
+    )
+    # no-op guard: row newer OR any column newer
+    assert "WHEN MATCHED AND (struct(s.ts, s.seq) > struct(t.ts, t.seq) OR" in sql
+    # evolution-safe INSERT: explicit column list incl. stamps
+    assert "INSERT (" + ", ".join(PCOLS) + ")" in sql
+
+
+def test_patch_merge_exprs_semantics(spark):
+    """Run the generated CASE expressions in plain Spark SQL over a
+    full-outer join of (target, staged) — exactly what MERGE evaluates
+    per key pair — and pin the result bit-equal to lww_patch_stamped
+    over the combined history. This is the jarless semantic proof that
+    the Iceberg patch MERGE and the snapshot sink's patch mode are the
+    same operator."""
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.operators.lww import (
+        lww_patch_stamped,
+        patch_stamp,
+    )
+    from embulk_util_json_spark.sinks.iceberg import patch_merge_exprs
+
+    M = "__unchanged__"
+    rows = []
+    for i in range(1, 161):
+        conv, turn = "c%d" % (i % 6), i % 3
+        r = i % 9
+        if r == 0:
+            rows.append((conv, turn, i // 2, i, "delete", None, None, None))
+        elif r == 1:
+            rows.append((conv, turn, i // 2, i, "insert",
+                         "r%d" % (i % 3), "t%d" % i, "tool%d" % (i % 4)))
+        else:
+            rows.append((conv, turn, i // 2, i, "update",
+                         M if i % 2 else "r%d" % (i % 3),
+                         M if i % 5 else "t%d v2" % i, M))
+    schema = ("conv_id string, turn_idx int, ts long, seq long, "
+              "op string, role string, text string, tool string")
+    stamp = lambda rs: patch_stamp(  # noqa: E731
+        spark.createDataFrame(rs, schema), ORDER, PATCH, M,
+        absent_if=F.col("op") == "delete",
+    )
+    red = lambda d: lww_patch_stamped(d, KEYS, ORDER, PATCH)  # noqa: E731
+    target = red(stamp(rows[:80]))   # prior table state
+    staged = red(stamp(rows[80:]))   # one pre-reduced batch
+    target.createOrReplaceTempView("t_state")
+    staged.createOrReplaceTempView("s_batch")
+
+    _, sets = patch_merge_exprs(KEYS, ORDER, PATCH, list(staged.columns))
+    key_sel = ", ".join(f"coalesce(t.{k}, s.{k}) AS {k}" for k in KEYS)
+    val_sel = ", ".join(
+        f"CASE WHEN {' AND '.join(f't.{k} IS NULL' for k in KEYS)} THEN s.{c} "
+        f"WHEN {' AND '.join(f's.{k} IS NULL' for k in KEYS)} THEN t.{c} "
+        f"ELSE {e} END AS {c}"
+        for c, e in sets
+    )
+    on = " AND ".join(f"t.{k} = s.{k}" for k in KEYS)
+    merged_sql = spark.sql(
+        f"SELECT {key_sel}, {val_sel} FROM t_state t "
+        f"FULL OUTER JOIN s_batch s ON {on}"
+    )
+    want = red(target.unionByName(staged))
+    cols = sorted(want.columns)
+    got_set = {tuple(r) for r in merged_sql.select(*cols).collect()}
+    want_set = {tuple(r) for r in want.select(*cols).collect()}
+    assert got_set == want_set
