@@ -1,0 +1,168 @@
+"""Patch-mode merge cost vs row-level, apples to apples.
+
+Both arms apply the SAME pre-generated change input (marker-patterned
+partial updates — row-level simply treats the marker as a value, so
+input size, skew, batch grain and shuffle volume are identical) in the
+same number of MOR micro-batches; only the reduction differs:
+
+- row:   lww_agg            (max_by of the payload struct)
+- patch: patch_stamp + lww_patch_stamped (per-column max + stamps)
+
+The delta isolates what column-level carry-forward costs at the merge:
+one extra struct column per patch column through the shuffle and the
+per-column max slots in the aggregate. Reps interleave (row, patch,
+row, patch, ...) so host-load drift hits both arms equally; best rep
+per arm is the steady-state estimate (same policy as bench.py).
+
+Usage: python tools/patch_overhead_run.py [n_events] [cpus] [reps]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+BATCHES = int(os.environ.get("BENCH_BATCHES", "4"))
+MARKER = "__unchanged__"
+PATCH = ["role", "text", "tool"]
+
+
+def work_base() -> str:
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
+def gen_input(spark, path: str) -> None:
+    """Deterministic marker-patterned change stream, written once and
+    read by every rep of both arms (generation excluded from timing).
+    Same shape as the bench generator: hot-conversation skew, dups via
+    ts ties, deletes, ~60% of update columns markered out."""
+    from pyspark.sql import functions as F
+
+    n_convs = max(200, N_EVENTS // 2000)
+    df = (
+        spark.range(1, N_EVENTS + 1, 1, CPUS * 4)
+        .withColumn("seq", F.col("id"))
+        .withColumn(
+            "conv_id",
+            F.concat(F.lit("c"), F.pmod(F.xxhash64("id"), F.lit(n_convs))),
+        )
+        .withColumn("turn_idx", F.pmod(F.col("id"), F.lit(40)).cast("int"))
+        .withColumn("ts", (F.col("id") / F.lit(3)).cast("long"))
+        .withColumn(
+            "op",
+            F.when(F.pmod(F.col("id"), F.lit(25)) == 0, F.lit("delete"))
+            .when(F.pmod(F.col("id"), F.lit(25)) < 5, F.lit("insert"))
+            .otherwise(F.lit("update")),
+        )
+    )
+    is_upd = F.col("op") == "update"
+    is_del = F.col("op") == "delete"
+    m = F.lit(MARKER)
+    df = df.select(
+        "conv_id", "turn_idx", "ts", "seq", "op",
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(is_upd & (F.col("id") % 2 == 0), m)
+        .otherwise(F.concat(F.lit("r"), F.pmod(F.col("id"), F.lit(4))))
+        .alias("role"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(is_upd & (F.col("id") % 3 == 0), m)
+        .otherwise(F.concat(F.lit("text "), F.col("id")))
+        .alias("text"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(is_upd, m)
+        .otherwise(F.concat(F.lit("tool"), F.pmod(F.col("id"), F.lit(6))))
+        .alias("tool"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def run_arm(
+    spark, changes_path: str, work: str, patch: bool, n: int | None = None
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+
+    n = n or N_EVENTS
+    changes = spark.read.parquet(changes_path)
+    kw = dict(patch_cols=PATCH, unchanged_marker=MARKER) if patch else {}
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=32,
+        keys=["conv_id", "turn_idx"], order_cols=["ts", "seq"],
+        mode="mor", **kw,
+    )
+    per = n // BATCHES
+    t0 = time.perf_counter()
+    for b in range(BATCHES):
+        lo, hi = b * per + 1, (b + 1) * per if b < BATCHES - 1 else n
+        sink.apply(
+            changes.filter((F.col("seq") >= lo) & (F.col("seq") <= hi)),
+            f"b{b}",
+        )
+    elapsed = time.perf_counter() - t0
+    rows = sink.read().count()
+    return {
+        "sec": round(elapsed, 3),
+        "events_per_sec": round(n / elapsed, 1),
+        "final_rows": rows,
+    }
+
+
+def main() -> None:
+    import bench
+
+    spark = bench.build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="patch_overhead_", dir=work_base())
+    try:
+        changes_path = os.path.join(work, "changes")
+        gen_input(spark, changes_path)
+        # warm-up both arms small (codegen/JIT), then interleaved reps
+        for p in (False, True):
+            d = tempfile.mkdtemp(prefix=f"warm{p}_", dir=work)
+            run_arm(spark, changes_path, d, p, n=min(200_000, N_EVENTS))
+            shutil.rmtree(d, ignore_errors=True)
+        runs: dict[str, list[dict]] = {"row": [], "patch": []}
+        for rep in range(REPS):
+            for name, patch in (("row", False), ("patch", True)):
+                d = tempfile.mkdtemp(prefix=f"{name}{rep}_", dir=work)
+                runs[name].append(run_arm(spark, changes_path, d, patch))
+                shutil.rmtree(d, ignore_errors=True)
+        best = {k: max(v, key=lambda r: r["events_per_sec"]) for k, v in runs.items()}
+        out = {
+            "metric": "patch_vs_row_apply",
+            "n_events": N_EVENTS,
+            "batches": BATCHES,
+            "cpus": CPUS,
+            "row_events_per_sec": best["row"]["events_per_sec"],
+            "patch_events_per_sec": best["patch"]["events_per_sec"],
+            "overhead_pct": round(
+                100.0
+                * (best["row"]["events_per_sec"] - best["patch"]["events_per_sec"])
+                / best["row"]["events_per_sec"],
+                1,
+            ),
+            "row_runs_sec": [r["sec"] for r in runs["row"]],
+            "patch_runs_sec": [r["sec"] for r in runs["patch"]],
+            "row_final_rows": best["row"]["final_rows"],
+            "patch_final_rows": best["patch"]["final_rows"],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
