@@ -296,3 +296,40 @@ def test_read_changes_patch_net_and_mirror(spark):
         fd = sink.read_changes(vs[i - 1], vs[i])
         mirror.apply(fd, f"feed{i}")
     assert _as_set(_visible(mirror)) == _as_set(_visible(sink))
+
+
+def test_wire_envelope_to_patch_sink_preserves_marker_vs_null(spark):
+    """Full wire path: JSON change envelopes (Debezium-style — every
+    update restates all columns, unavailable ones as the marker
+    string, explicit null meaning SET NULL) → permissive envelope
+    parse → patch-mode sink. Pins that the parse keeps the
+    marker / explicit-null distinction intact all the way into the
+    stamped merge."""
+    import json as _json
+
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    def env(seq, ts, op, conv, turn, role, text, tool):
+        return (seq, _json.dumps({
+            "op": op, "ts": f"2024-01-01T00:00:{ts:02d}",
+            "data": {"conv_id": conv, "turn_idx": turn,
+                     "role": role, "text": text, "tool": tool},
+        }))
+
+    wire = [
+        env(1, 1, "insert", "c1", 0, "user", "hello", "search"),
+        # marker tool = unavailable (carry forward), new text
+        env(2, 2, "update", "c1", 0, M, "hello v2", M),
+        # explicit null tool = SET NULL (the Debezium contract)
+        env(3, 3, "update", "c1", 0, M, M, None),
+        env(4, 1, "insert", "c2", 5, "asst", "hi", None),
+    ]
+    sink = _sink(spark, "mor")
+    events = spark.createDataFrame(wire, "seq long, event_json string")
+    # two micro-batches through the runner's parse → apply path
+    apply_events_batch(events.filter(F.col("seq") <= 2), sink, "b0", evolve=False)
+    apply_events_batch(events.filter(F.col("seq") > 2), sink, "b1", evolve=False)
+    assert _as_set(_visible(sink)) == {
+        ("c1", 0, "user", "hello v2", None),
+        ("c2", 5, "asst", "hi", None),
+    }
