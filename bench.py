@@ -93,8 +93,26 @@ def bench_replay(
         n_turns=40,
         evolve_after=0.75,
     )
+    # BENCH_PATCH_COLS=role,text,tool switches the sink to patch mode
+    # (column-level LWW with stored stamps) so tools/scaling_run.py can
+    # evidence N→4N scaling for the patch path over the same full
+    # replay (envelope parse + merge — the CPU-bound regime; the
+    # merge-only tools/patch_overhead_run.py is fixed-cost-dominated
+    # and only measures RELATIVE arm cost).
+    patch_env = os.environ.get("BENCH_PATCH_COLS")
+    patch_kw = (
+        {
+            "patch_cols": patch_env.split(","),
+            "unchanged_marker": os.environ.get(
+                "BENCH_PATCH_MARKER", "__unchanged__"
+            ),
+        }
+        if patch_env
+        else {}
+    )
     sink = ParquetSnapshotSink(
-        spark, os.path.join(work, "transcripts"), num_buckets=32, mode=mode
+        spark, os.path.join(work, "transcripts"), num_buckets=32, mode=mode,
+        **patch_kw,
     )
     t0 = time.perf_counter()
     replay_segments(spark, events_dir, sink, num_batches=num_batches)

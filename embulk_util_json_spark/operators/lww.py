@@ -96,6 +96,7 @@ def lww_patch(
     comparison. Column-wise max over a total order is associative and
     commutative, so map-side partial combine applies and the salted
     two-stage split stays exact (same argument as ``lww_salted``)."""
+    _check_patch_cols(df, patch_cols)
     payload = [c for c in df.columns if c not in keys]
     order_fields = [F.col(o).alias(f"_o{i}") for i, o in enumerate(order_cols)]
     aggs = []
@@ -116,6 +117,24 @@ the column, or NULL if no event for the key has carried it yet. These
 stamps are what make the patch reduction a monoid that can be stored:
 a reduced row re-enters a later reduction as if it were one event per
 column, each at its own recorded position."""
+
+
+def _check_patch_cols(df: DataFrame, patch_cols: list[str]) -> None:
+    """Fail fast with a clear message instead of a deep analyzer
+    error at reduce time: maps are not comparable in Spark, and the
+    patch reduction's ``max(struct(order..., value))`` compares the
+    value field on stamp ties. (The row-level path never compares
+    values, so map PAYLOAD columns — e.g. ``_extras`` — stay fine.)"""
+    missing = [c for c in patch_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"patch columns absent from the frame: {missing}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    bad = [c for c in patch_cols if by_name[c].typeName() == "map"]
+    if bad:
+        raise ValueError(
+            f"map-typed columns cannot be patch columns: {bad} "
+            "(per-column LWW needs an orderable value slot)"
+        )
 
 
 def patch_present(
@@ -150,6 +169,7 @@ def patch_stamp(
     events (pinned by test), but the stamped form survives being
     written out and re-reduced, which is what the patch-mode sink
     needs. Pure projection — no shuffle, stays in codegen."""
+    _check_patch_cols(df, patch_cols)
     names = list(df.columns)
     sel = [F.col(c) for c in names]
     for c in patch_cols:

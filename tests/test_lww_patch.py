@@ -138,3 +138,18 @@ def test_patch_salted_equals_lww_patch(spark):
             salt_buckets=buckets,
         )
         assert _final(got) == _final(want), f"salt_buckets={buckets}"
+
+
+def test_patch_stamp_rejects_map_and_missing_columns(spark):
+    from embulk_util_json_spark.operators.lww import patch_stamp
+
+    df = spark.createDataFrame(
+        [("c1", 0, 1, 1, {"k": "v"})],
+        "conv_id string, turn_idx int, ts long, seq long, attrs map<string,string>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="map-typed"):
+        patch_stamp(df, ORDER, ["attrs"])
+    with _pytest.raises(ValueError, match="absent"):
+        patch_stamp(df, ORDER, ["nope"])
