@@ -333,3 +333,40 @@ def test_wire_envelope_to_patch_sink_preserves_marker_vs_null(spark):
         ("c1", 0, "user", "hello v2", None),
         ("c2", 5, "asst", "hi", None),
     }
+
+
+def test_patch_sink_with_schema_evolution_extras(spark, tmp_path):
+    """Patch mode × additive evolution: evolved fields ride the
+    row-level `_extras` map (maps can't be patch columns), are
+    promoted to real columns at read, and on a DENSE stream (every
+    event restates all columns — the generated corpus) the patch
+    sink's visible state equals the sequential row-level oracle."""
+    import pyarrow.parquet as pq
+
+    from embulk_util_json_spark.sources.generator import generate_events
+    from embulk_util_json_spark.streaming.runner import replay_parquet
+    from tests.test_cdc_e2e import sequential_oracle
+
+    t = generate_events(4000, n_convs=20, n_turns=20, evolve_after=0.5)
+    path = str(tmp_path / "evo.parquet")
+    pq.write_table(t, path)
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t_patch_evo"), num_buckets=4,
+        patch_cols=PATCH, unchanged_marker=M,
+    )
+    replay_parquet(spark, path, sink, num_batches=2)
+    out = sink.read()
+    assert "model" in out.columns
+    rows = out.collect()
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.model)
+        for r in rows
+    }
+    oracle = sequential_oracle(
+        zip(t.column("seq").to_pylist(), t.column("event_json").to_pylist())
+    )
+    want = {
+        k: (v["role"], v["text"], v["tool"], v["model"])
+        for k, v in oracle.items()
+    }
+    assert got == want
