@@ -654,6 +654,186 @@ def _q_cdc_patch_sink_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_patch_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-COLUMN evolution mid-stream: for the first half of the
+    binlog (seq ≤ max/2) change events do not carry ``tool`` at all;
+    ``evolve_patch_cols({"tool": "string"})`` then extends the
+    column-level-LWW set — METADATA-ONLY (no stored file is touched;
+    pre-evolution levels align to typed-NULL value + NULL stamp at
+    merge time, which is exactly "never present yet") — and the second
+    half patches it like any other column. Final state must equal one
+    full-history column-level LWW in which early events simply never
+    carry the column. This is the additive-schema-evolution story of
+    the north rule applied to the MERGE CONFIG itself: at 10^10
+    events, re-stamping a 100 TB table to add a column would be a
+    full rewrite; the manifest-versioned config + lazy alignment costs
+    zero data movement."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    mid = changes.agg(F.max("seq")).collect()[0][0] // 2  # 1-row bound
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    patched = changes.select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+    early = patched.filter(F.col("seq") <= mid).drop("tool")
+    late = patched.filter(F.col("seq") > mid)
+    work = _scratch("patch_evo_")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        patch_cols=["role", "text"], unchanged_marker=_PATCH_MARKER,
+    )
+    for i in range(2):
+        sink.apply(early.filter(F.col("seq") % 2 == i), f"e{i}")
+    sink.evolve_patch_cols({"tool": "string"})
+    for i in range(2):
+        sink.apply(late.filter(F.col("seq") % 2 == i), f"l{i}")
+    sink.compact(drop_tombstones=False)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_CDC_PATCH_EVOLUTION = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    patched AS (
+        SELECT seq, op, ts, conv_id, turn_idx,
+            CASE WHEN op = 'update' AND seq % 2 = 0
+                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
+            CASE WHEN op = 'update' AND seq % 3 = 0
+                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
+            CASE WHEN op = 'update'
+                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool,
+            seq > (SELECT MAX(seq) // 2 FROM changes) AS has_tool
+        FROM changes
+    ),
+    resolved AS (
+        SELECT conv_id, turn_idx,
+            (last_value(CASE WHEN role IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': role}} END IGNORE NULLS) OVER w).v AS role,
+            (last_value(CASE WHEN text IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': text}} END IGNORE NULLS) OVER w).v AS text,
+            (last_value(CASE WHEN tool IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete' AND has_tool
+                 THEN {{'v': tool}} END IGNORE NULLS) OVER w).v AS tool,
+            last_value(op) OVER w AS op,
+            last_value(ts) OVER w AS ts,
+            ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+        FROM patched
+        WINDOW w AS (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM resolved WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_patch_promote_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL → PATCH conversion mid-stream: the first half of the
+    binlog is applied under plain row-level LWW (every event restates
+    all columns), then ``evolve_patch_cols`` PROMOTES role/text/tool —
+    one manifest-committed rewrite that collapses the stored chains
+    under the old config and stamps each surviving row's columns at
+    the row's own (ts, seq) — and the second half arrives as marker-
+    patterned partial updates merged column-level. Contract: the
+    collapsed pre-history re-enters the merge as pseudo-events at the
+    winners' positions (promotion cannot resurrect history that
+    row-level applies already collapsed), so the oracle is
+    ``lww_patch`` over (row-level winners of the first half) ∪
+    (second-half patches)."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    mid = changes.agg(F.max("seq")).collect()[0][0] // 2
+    dense = changes.select("seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool")
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    late = dense.filter(F.col("seq") > mid).select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+    work = _scratch("patch_promote_")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    for i in range(2):
+        sink.apply(
+            dense.filter((F.col("seq") <= mid) & (F.col("seq") % 2 == i)), f"e{i}"
+        )
+    sink.evolve_patch_cols(
+        {"role": "string", "text": "string", "tool": "string"},
+        unchanged_marker=_PATCH_MARKER,
+    )
+    for i in range(2):
+        sink.apply(late.filter(F.col("seq") % 2 == i), f"l{i}")
+    sink.compact(drop_tombstones=False)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_CDC_PATCH_PROMOTE = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    mid AS (SELECT MAX(seq) // 2 AS v FROM changes),
+    collapsed AS (
+        SELECT conv_id, turn_idx, ts, seq, op, role, text, tool
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+            FROM changes WHERE seq <= (SELECT v FROM mid)
+        ) WHERE rn = 1
+    ),
+    late AS (
+        SELECT conv_id, turn_idx, ts, seq, op,
+            CASE WHEN op = 'update' AND seq % 2 = 0
+                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
+            CASE WHEN op = 'update' AND seq % 3 = 0
+                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
+            CASE WHEN op = 'update'
+                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool
+        FROM changes WHERE seq > (SELECT v FROM mid)
+    ),
+    hist AS (
+        SELECT * FROM collapsed UNION ALL SELECT * FROM late
+    ),
+    resolved AS (
+        SELECT conv_id, turn_idx,
+            (last_value(CASE WHEN role IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': role}} END IGNORE NULLS) OVER w).v AS role,
+            (last_value(CASE WHEN text IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': text}} END IGNORE NULLS) OVER w).v AS text,
+            (last_value(CASE WHEN tool IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': tool}} END IGNORE NULLS) OVER w).v AS tool,
+            last_value(op) OVER w AS op,
+            last_value(ts) OVER w AS ts,
+            ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+        FROM hist
+        WINDOW w AS (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM resolved WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew advisor, hot-key view: top-20 hottest conversations in the
     change stream with exact count, share, and the per-key salt factor
@@ -2005,6 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_final_state": _q_cdc_patch_final_state,
         "cdc_patch_sink_final_state": _q_cdc_patch_sink_final_state,
         "cdc_patch_final_salted": _q_cdc_patch_final_salted,
+        "cdc_patch_evolution_final_state": _q_cdc_patch_evolution_final_state,
+        "cdc_patch_promote_final_state": _q_cdc_patch_promote_final_state,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_seq_gaps": _q_cdc_seq_gaps,
         "cdc_seq_summary": _q_cdc_seq_summary,
@@ -2106,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
         "cdc_patch_sink_final_state": _ORACLE_CDC_PATCH_FINAL,
         "cdc_patch_final_salted": _ORACLE_CDC_PATCH_FINAL,
+        "cdc_patch_evolution_final_state": _ORACLE_CDC_PATCH_EVOLUTION,
+        "cdc_patch_promote_final_state": _ORACLE_CDC_PATCH_PROMOTE,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_seq_gaps": _seq_gaps_oracle(),
         "cdc_seq_summary": _seq_summary_oracle(),

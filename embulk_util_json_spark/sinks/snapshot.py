@@ -141,11 +141,24 @@ class ParquetSnapshotSink:
         # first manifest commits it, later writers/readers adopt it
         # (merging a patch chain row-level would corrupt the table).
         if current is not None and "patch_cols" in current:
-            self.patch_cols = list(current["patch_cols"]) or None
-            self.unchanged_marker = current.get("unchanged_marker")
+            self._adopt(current)
         else:
             self.patch_cols = list(patch_cols) if patch_cols else None
             self.unchanged_marker = unchanged_marker
+            self.patch_types: dict[str, str] = {}
+
+    def _adopt(self, manifest: dict) -> None:
+        """Refresh patch config from a freshly-read manifest. Patch
+        config is table state that can CHANGE between applies
+        (``evolve_patch_cols``), so every entry point that reads the
+        current manifest re-adopts it — a sink handle constructed
+        before an evolution must not keep merging under the old
+        column set."""
+        if "patch_cols" not in manifest:
+            return
+        self.patch_cols = list(manifest["patch_cols"]) or None
+        self.unchanged_marker = manifest.get("unchanged_marker")
+        self.patch_types = dict(manifest.get("patch_types", {}))
 
     # ---- manifest log -------------------------------------------------
 
@@ -304,6 +317,7 @@ class ParquetSnapshotSink:
             "applies": [],
             "patch_cols": self.patch_cols or [],
             "unchanged_marker": self.unchanged_marker,
+            "patch_types": self.patch_types,
         }
 
     def _read_bucket_paths(self, rel_paths: list[str]) -> DataFrame:
@@ -312,6 +326,86 @@ class ParquetSnapshotSink:
             .parquet(*[os.path.join(self.root, p) for p in rel_paths])
         )
 
+    def _patch_conf(self, manifest: dict | None) -> tuple[list[str] | None, dict]:
+        """(patch_cols, patch_types) for a reduction — the MANIFEST's
+        config when one is given (time travel must merge a pre-
+        evolution snapshot under the column set committed THEN), else
+        the instance's current config."""
+        if manifest is not None and "patch_cols" in manifest:
+            return (
+                list(manifest["patch_cols"]) or None,
+                dict(manifest.get("patch_types", {})),
+            )
+        return self.patch_cols, self.patch_types
+
+    def _align_patch(
+        self, df: DataFrame, stamped: bool, manifest: dict | None = None
+    ) -> DataFrame:
+        """Make ``df`` carry every patch column (plus, for stamped
+        frames, every ``_po_<col>`` stamp) as typed NULLs when missing —
+        the metadata-only half of patch-column evolution. A sparse
+        batch that omits an entire patch column, or a stored level
+        written before ``evolve_patch_cols`` added one, reduces as
+        "column never present", which is exactly the patch semantics
+        of an event that does not carry the column. Types come from
+        the manifest's ``patch_types`` (recorded at first apply and at
+        evolution), so alignment never guesses.
+
+        A stamped frame carrying a patch column's VALUE without its
+        stamp is ambiguous (at what position was the value written?)
+        and raises — stored levels are always written with both, and
+        a pre-evolution change feed carries neither."""
+        patch_cols, patch_types = self._patch_conf(manifest)
+        if not patch_cols:
+            return df
+        add = []
+        stamp_ddl = None
+        if stamped:
+            for c in patch_cols:
+                po = PATCH_ORD_PREFIX + c
+                if po in df.columns:
+                    stamp_ddl = df.schema[po].dataType.simpleString()
+                    break
+            if stamp_ddl is None:
+                # no stamp column present at all — derive the stamp
+                # struct type from the order columns if they are in the
+                # frame (a fully pre-evolution level), else fail below
+                # on the first missing column.
+                if all(o in df.columns for o in self.order_cols):
+                    stamp_ddl = T.StructType(
+                        [
+                            T.StructField(o, df.schema[o].dataType)
+                            for o in self.order_cols
+                        ]
+                    ).simpleString()
+        for c in patch_cols:
+            po = PATCH_ORD_PREFIX + c
+            have_v, have_po = c in df.columns, po in df.columns
+            if have_v and (have_po or not stamped):
+                continue
+            if have_v and stamped and not have_po:
+                raise ValueError(
+                    f"stamped frame carries patch column {c!r} without its "
+                    f"{po!r} stamp — evolve the table (evolve_patch_cols) "
+                    "before applying feeds that carry this column"
+                )
+            ddl = patch_types.get(c)
+            if ddl is None:
+                raise ValueError(
+                    f"patch column {c!r} missing from the frame and no type "
+                    "recorded in the manifest (patch_types) to align it"
+                )
+            add.append(F.lit(None).cast(ddl).alias(c))
+            if stamped:
+                if stamp_ddl is None:
+                    raise ValueError(
+                        "cannot derive the order-stamp type: frame has no "
+                        f"existing {PATCH_ORD_PREFIX}* column and no order "
+                        f"columns {self.order_cols}"
+                    )
+                add.append(F.lit(None).cast(stamp_ddl).alias(po))
+        return df.select("*", *add) if add else df
+
     def _stamp(self, df: DataFrame) -> DataFrame:
         """Patch mode: stamp raw change rows with per-column order
         structs (no-op row-level). Pure projection — applied once per
@@ -319,11 +413,23 @@ class ParquetSnapshotSink:
         closed stamped form."""
         if not self.patch_cols:
             return df
-        if all(PATCH_ORD_PREFIX + c in df.columns for c in self.patch_cols):
+        if any(PATCH_ORD_PREFIX + c in df.columns for c in self.patch_cols):
             # already in stamped form (a patch-mode change feed, or a
             # replayed stored level) — re-stamping would overwrite the
-            # carried per-column positions with the row's own order
-            return df
+            # carried per-column positions with the row's own order;
+            # stamps missing for evolved columns align to NULL.
+            return self._align_patch(df, stamped=True)
+        # Raw batch: a column evolved from the extras map may still
+        # arrive inside ``_extras`` (upstream parser not yet re-run
+        # with the evolved schema) — extract it before stamping so the
+        # promotion is seamless; otherwise align missing columns to
+        # typed NULL (a batch where no event carries the column).
+        missing = [c for c in self.patch_cols if c not in df.columns]
+        if missing and EXTRAS_COL in df.columns:
+            for c in missing:
+                ddl = self.patch_types.get(c, "string")
+                df = df.withColumn(c, F.col(EXTRAS_COL)[c].cast(ddl))
+        df = self._align_patch(df, stamped=False)
         return patch_stamp(
             df,
             self.order_cols,
@@ -332,21 +438,30 @@ class ParquetSnapshotSink:
             absent_if=F.col("op") == "delete",
         )
 
-    def _reduce(self, df: DataFrame, keys: list[str]) -> DataFrame:
+    def _reduce(
+        self, df: DataFrame, keys: list[str], manifest: dict | None = None
+    ) -> DataFrame:
         """THE merge operator for this table: row-level LWW, or the
         closed column-level patch reduction when in patch mode. Every
         reduction in the sink (apply, chain-merge at read, compact,
         rebucket, rewrite, purge) goes through here — correctness of
         MOR / replay rests on all of them being the same associative
-        operator."""
-        if self.patch_cols:
-            return lww_patch_stamped(df, keys, self.order_cols, self.patch_cols)
+        operator. ``manifest`` overrides the patch config for time
+        travel (merge a snapshot under the config committed at that
+        version, not today's)."""
+        patch_cols, _ = self._patch_conf(manifest)
+        if patch_cols:
+            df = self._align_patch(df, stamped=True, manifest=manifest)
+            return lww_patch_stamped(df, keys, self.order_cols, patch_cols)
         return lww_agg(df, keys, self.order_cols)
 
-    def _drop_patch_meta(self, df: DataFrame) -> DataFrame:
-        if not self.patch_cols:
+    def _drop_patch_meta(
+        self, df: DataFrame, manifest: dict | None = None
+    ) -> DataFrame:
+        patch_cols, _ = self._patch_conf(manifest)
+        if not patch_cols:
             return df
-        return df.drop(*[PATCH_ORD_PREFIX + c for c in self.patch_cols])
+        return df.drop(*[PATCH_ORD_PREFIX + c for c in patch_cols])
 
     @staticmethod
     def _paths_of(manifest: dict, bucket: str) -> list[str]:
@@ -413,8 +528,17 @@ class ParquetSnapshotSink:
         """
         t0 = time.time()
         manifest = self.current_manifest() or self._empty_manifest()
+        self._adopt(manifest)
         if batch_id in manifest["batch_ids"]:
             return {"batch_id": batch_id, "skipped": True, "reason": "already-applied"}
+        if self.patch_cols:
+            # Record each patch column's type the first time a batch
+            # carries it — alignment of later sparse batches / stored
+            # pre-evolution levels needs a recorded type, never a guess.
+            by_name = {f.name: f.dataType.simpleString() for f in changes.schema.fields}
+            for c in self.patch_cols:
+                if c not in self.patch_types and c in by_name:
+                    self.patch_types[c] = by_name[c]
 
         obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
         key0 = F.col(self.keys[0])
@@ -496,6 +620,7 @@ class ParquetSnapshotSink:
                 "applies": (manifest["applies"] + [metrics])[-1000:],
                 "patch_cols": self.patch_cols or [],
                 "unchanged_marker": self.unchanged_marker,
+                "patch_types": self.patch_types,
             }
         )
         return metrics
@@ -659,6 +784,11 @@ class ParquetSnapshotSink:
         )
         if not manifest or not manifest["buckets"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMA)
+        if at_version is None:
+            self._adopt(manifest)
+        # From here on, merge under the MANIFEST's patch config: time
+        # travel across evolve_patch_cols must reduce the old snapshot
+        # under the column set committed at that version.
         nb = manifest.get("num_buckets", self.num_buckets)
         if key_eq and self.bucket_by in key_eq:
             chain = self._paths_of(
@@ -700,11 +830,16 @@ class ParquetSnapshotSink:
         for k, v in (key_eq or {}).items():
             df = df.filter(F.col(k) == F.lit(v))
         if depth > 1:
-            df = self._reduce(df, self.keys)
+            df = self._reduce(df, self.keys, manifest=manifest)
+        else:
+            # single-level chain: no reduction runs, but the output
+            # schema must still carry evolved patch columns (typed
+            # NULL for levels written before the evolution)
+            df = self._align_patch(df, stamped=True, manifest=manifest)
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")
         if not include_meta:
-            df = self._drop_patch_meta(df.drop(*META_COLS))
+            df = self._drop_patch_meta(df.drop(*META_COLS), manifest=manifest)
         # Materialize manifest-declared evolved fields out of the
         # extras map (metadata-only schema evolution; old rows NULL).
         if EXTRAS_COL in df.columns:
@@ -762,7 +897,7 @@ class ParquetSnapshotSink:
         cand = self._read_bucket_paths(new_paths).filter(
             F.col(self.keys[0]).isNotNull()
         )
-        if self.patch_cols:
+        if self._patch_conf(to_manifest)[0]:
             return self._read_changes_patch(cand, from_manifest, to_manifest, new_paths)
         cand = lww_agg(cand, self.keys, self.order_cols)
 
@@ -834,17 +969,24 @@ class ParquetSnapshotSink:
                 for p in self._paths_of(from_manifest, b)
             ]
             if old_paths:
+                # reduce the FROM state under the config committed at
+                # from_version (it may predate an evolve_patch_cols);
+                # the union below aligns missing evolved columns /
+                # stamps to NULL, which merged-side stamped slots beat
                 old_state = self._reduce(
                     self._read_bucket_paths(old_paths).filter(
                         F.col(self.keys[0]).isNotNull()
                     ),
                     self.keys,
+                    manifest=from_manifest,
                 )
         if old_state is None:
-            out = self._reduce(cand, self.keys)
+            out = self._reduce(cand, self.keys, manifest=to_manifest)
         else:
             merged = self._reduce(
-                cand.unionByName(old_state, allowMissingColumns=True), self.keys
+                cand.unionByName(old_state, allowMissingColumns=True),
+                self.keys,
+                manifest=to_manifest,
             )
             vis = [
                 c
@@ -903,6 +1045,7 @@ class ParquetSnapshotSink:
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True}
+        self._adopt(manifest)
         t0 = time.time()
         target = sorted(
             set(only_buckets) if only_buckets else set(manifest["buckets"]), key=int
@@ -982,6 +1125,7 @@ class ParquetSnapshotSink:
             # nothing written yet: just adopt the new layout
             self.num_buckets = int(new_num_buckets)
             return {"skipped": True, "num_buckets": self.num_buckets}
+        self._adopt(manifest)
         t0 = time.time()
         df = self._read_bucket_paths(self._all_paths(manifest))
         df = self._reduce(df, self.keys)
@@ -1032,6 +1176,144 @@ class ParquetSnapshotSink:
             "to_num_buckets": self.num_buckets,
         }
 
+    def evolve_patch_cols(
+        self, cols: dict[str, str], unchanged_marker: str | None = None
+    ) -> dict:
+        """Patch-column evolution — extend the set of columns merged
+        with COLUMN-level LWW mid-stream (the patch-mode analogue of
+        additive schema evolution; Iceberg's partition-spec-evolution
+        shape: config is versioned in the manifest, data rewritten
+        only when the old layout is semantically incompatible).
+
+        ``cols`` maps column name → Spark DDL type (e.g. ``{"tool":
+        "string"}``). Two cases, decided per column:
+
+        - **Additive** (the column was never stored — e.g. a field that
+          first appears mid-stream, typically discovered via the
+          ``_extras`` map): METADATA-ONLY. No data is touched; stored
+          levels lacking the column align to typed-NULL value + NULL
+          stamp at merge time (``_align_patch``), which is exactly
+          "never present yet". O(1) regardless of table size.
+        - **Promotion** (the column exists in stored rows — as row-level
+          payload, or inside ``_extras``): one manifest-committed
+          rewrite. The current state is collapsed under the OLD config
+          (row-level history is row-level — promotion must not change
+          what already merged), promoted columns are stamped at each
+          surviving row's own (order_cols) position — the position its
+          value was last written — and extras-sourced columns are
+          extracted from the map (and removed from it). From then on
+          the column merges column-level; a pre-promotion value can
+          never be resurrected by the promotion itself (N row-level
+          applies already collapsed), and carry-forward/tombstone
+          semantics match ``lww_patch`` exactly.
+
+        A previously ROW-LEVEL table converting to patch mode passes
+        its marker here (``unchanged_marker``); on an existing
+        patch-mode table the marker must match (or be omitted).
+        Idempotent: already-evolved columns are skipped."""
+        manifest = self.current_manifest() or self._empty_manifest()
+        self._adopt(manifest)
+        have = list(self.patch_cols or [])
+        new = {c: t for c, t in cols.items() if c not in have}
+        if not new:
+            return {"skipped": True, "patch_cols": have}
+        for c in new:
+            if new[c].strip().lower().startswith("map"):
+                raise ValueError(
+                    f"map-typed columns cannot be patch columns: {c!r}"
+                )
+            if c in self.keys or c in self.order_cols or c == "op":
+                raise ValueError(
+                    f"key/order/op column {c!r} cannot be a patch column"
+                )
+        if self.patch_cols and unchanged_marker is not None and (
+            unchanged_marker != self.unchanged_marker
+        ):
+            raise ValueError(
+                "unchanged_marker conflicts with the table's committed "
+                f"marker {self.unchanged_marker!r}"
+            )
+        marker = (
+            self.unchanged_marker if self.patch_cols else unchanged_marker
+        )
+        stored = set(manifest.get("schema_fields", []))
+        extras = set(manifest.get("extra_fields", []))
+        promote = sorted(c for c in new if c in stored or c in extras)
+        t0 = time.time()
+        version = manifest["version"] + 1
+        new_manifest = {
+            **manifest,
+            "version": version,
+            "patch_cols": sorted(set(have) | set(new)),
+            "unchanged_marker": marker,
+            "patch_types": {**self.patch_types, **new},
+            "applies": manifest["applies"]
+            + [
+                {
+                    "evolve_patch_cols": sorted(new),
+                    "promoted": promote,
+                    "version": version,
+                }
+            ],
+        }
+        if promote and manifest["buckets"]:
+            # physical promotion rewrite: collapse under OLD config,
+            # stamp promoted columns at the surviving rows' positions
+            df = self._read_bucket_paths(self._all_paths(manifest))
+            df = df.filter(F.col(self.keys[0]).isNotNull())
+            df = self._reduce(df, self.keys, manifest=manifest)
+            if EXTRAS_COL in df.columns:
+                from_extras = [c for c in promote if c not in df.columns]
+                for c in from_extras:
+                    df = df.withColumn(c, F.col(EXTRAS_COL)[c].cast(new[c]))
+                if from_extras:
+                    df = df.withColumn(
+                        EXTRAS_COL,
+                        F.map_filter(
+                            F.col(EXTRAS_COL),
+                            lambda k, _: ~k.isin(*[F.lit(c) for c in from_extras]),
+                        ),
+                    )
+            missing = [c for c in promote if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"promoted columns absent from stored state: {missing}"
+                )
+            df = patch_stamp(
+                df,
+                self.order_cols,
+                promote,
+                marker,
+                absent_if=F.col("op") == "delete",
+            )
+            out_rel = f"data/v{version:08d}"
+            out_dir = os.path.join(self.root, out_rel)
+            (
+                df.withColumn(BUCKET_COL, self._bucket_expr())
+                .repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
+                .sortWithinPartitions(*self.keys)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+            present = self._written_buckets(out_dir)
+            new_manifest["buckets"] = {
+                b: [f"{out_rel}/{BUCKET_COL}={b}"]
+                for b in sorted(present, key=int)
+            }
+            new_manifest["schema_fields"] = sorted(
+                (set(manifest["schema_fields"]) | set(df.columns)) - {BUCKET_COL}
+            )
+            new_manifest["applies"][-1]["wall_sec"] = round(time.time() - t0, 3)
+        self._commit(new_manifest)
+        self._adopt(new_manifest)
+        return {
+            "version": version,
+            "patch_cols": new_manifest["patch_cols"],
+            "promoted": promote,
+            "rewritten": bool(promote and manifest["buckets"]),
+        }
+
     def rewrite(self, transform, where=None) -> dict:
         """Retroactive payload transform at rest — the backfill /
         redaction-rewrite maintenance op (ship a PII redactor months
@@ -1060,6 +1342,7 @@ class ParquetSnapshotSink:
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True}
+        self._adopt(manifest)
         t0 = time.time()
         df = self._read_bucket_paths(self._all_paths(manifest))
         df = self._reduce(df, self.keys)
@@ -1136,6 +1419,7 @@ class ParquetSnapshotSink:
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True, "purged_rows": 0}
+        self._adopt(manifest)
         t0 = time.time()
         if key_eq is not None:
             pred = None
