@@ -29,7 +29,7 @@ def register_self_contained_udfs() -> None:
         from .operators import capture
         from .pipeline import multimodal, similarity
         from .plans import capture_spec, pointer
-        from .streaming import stateful
+        from .streaming import patch_state, stateful
 
         for mod in (
             json_values,
@@ -39,6 +39,7 @@ def register_self_contained_udfs() -> None:
             multimodal,
             similarity,
             stateful,
+            patch_state,
         ):
             cloudpickle.register_pickle_by_value(mod)
         _REGISTERED = True

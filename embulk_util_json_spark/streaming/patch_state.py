@@ -1,0 +1,160 @@
+"""Continuously-resolved partial-update state (applyInPandasWithState).
+
+The patch-mode sink (``sinks/snapshot.ParquetSnapshotSink(patch_cols=…)``)
+maintains column-level LWW in the LAKE: exactly-once, replayable, the
+system of record. This module is its STREAMING twin for consumers that
+want the resolved row continuously — a live transcript view, a cache
+feed, monitoring — without waiting for a lake read: per-key state in
+the Spark state store holds the same information the sink's ``_po_``
+stamps persist (per patch column: latest value + the (ts, seq) it was
+written at; plus the row-level winner's op/position), merged with each
+micro-batch under the identical algebra (``operators.lww.lww_patch``
+semantics — presence = not ``unchanged_marker`` if given else
+non-NULL; tombstone rows carry no column payload; carry-forward looks
+through deletes; the row-level winner's op decides survival).
+
+Emission: one resolved snapshot per touched key per micro-batch
+(operator output mode ``append`` — each row is a closed snapshot, any
+sink works; consumers keep the row with the highest (ts, seq) per
+key). Because the merge is the same commutative/associative column-
+wise max the sink uses, out-of-order delivery ACROSS micro-batches
+resolves identically to the batch operator — pinned in tests against
+``lww_patch`` over the full raw history.
+
+Scale notes: state is one row-level position + one (value, position)
+per patch column per key — bounded by live keys, partitioned by the
+groupBy key across executors, checkpointed by the state store. Arrow
+batches in/out; the per-group pandas work is two column-wise sorts,
+no per-row Python in the hot path beyond the group loop the operator
+itself defines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..sources.events import KEY_COLS, ORDER_COLS
+
+
+def resolved_patch_state(
+    changes: DataFrame,
+    patch_cols: list[str],
+    keys: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    unchanged_marker: str | None = None,
+) -> DataFrame:
+    """Streaming column-level LWW: the resolved patched row per key,
+    maintained across micro-batches in the state store.
+
+    ``changes``: a *streaming* DataFrame carrying ``keys`` +
+    ``order_cols`` + ``op`` + ``patch_cols`` (e.g. the output of
+    ``parse_change_events_single_pass``, optionally column-pruned).
+    Rows with NULL key or NULL order values must be quarantined
+    upstream (the runner's malformed-row path) — they are dropped
+    here, not merged.
+    """
+    keys = keys or KEY_COLS
+    order_cols = order_cols or ORDER_COLS
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    by_name = {f.name: f.dataType.simpleString() for f in changes.schema.fields}
+    missing = [c for c in [*keys, *order_cols, "op", *patch_cols] if c not in by_name]
+    if missing:
+        raise ValueError(f"columns absent from the stream: {missing}")
+    bad = [c for c in patch_cols if by_name[c].startswith("map")]
+    if bad:
+        raise ValueError(f"map-typed columns cannot be patch columns: {bad}")
+
+    out_schema = ", ".join(
+        f"{c} {by_name[c]}" for c in [*keys, "op", *order_cols, *patch_cols]
+    )
+    state_fields = [f"op {by_name['op']}"]
+    state_fields += [f"{o} {by_name[o]}" for o in order_cols]
+    for c in patch_cols:
+        state_fields.append(f"{c} {by_name[c]}")
+        state_fields += [f"{c}__{o} {by_name[o]}" for o in order_cols]
+    state_schema = ", ".join(state_fields)
+
+    n_ord = len(order_cols)
+    marker = unchanged_marker
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # unpack state: row-level (op, order...), then per patch col
+        # (value, order...)
+        if state.exists:
+            flat = list(state.get)
+        else:
+            flat = [None] * (1 + n_ord + len(patch_cols) * (1 + n_ord))
+        row_op, row_ord = flat[0], tuple(flat[1 : 1 + n_ord])
+        col_state = {}
+        base = 1 + n_ord
+        for i, c in enumerate(patch_cols):
+            s = base + i * (1 + n_ord)
+            col_state[c] = (flat[s], tuple(flat[s + 1 : s + 1 + n_ord]))
+
+        def beats(a: tuple, b: tuple) -> bool:
+            """a > b over the order tuple; None order = never written."""
+            if b is None or any(v is None for v in b):
+                return True
+            if a is None or any(v is None for v in a):
+                return False
+            return tuple(a) > tuple(b)
+
+        touched = False
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=list(order_cols))
+            if not len(pdf):
+                continue
+            touched = True
+            srt = pdf.sort_values(list(order_cols), kind="stable")
+            top = srt.iloc[-1]
+            cand_ord = tuple(top[o] for o in order_cols)
+            if beats(cand_ord, row_ord):
+                row_op, row_ord = top["op"], cand_ord
+            not_delete = srt["op"] != "delete"
+            for c in patch_cols:
+                if marker is not None:
+                    present = (srt[c] != marker) | srt[c].isna()
+                else:
+                    present = srt[c].notna()
+                sub = srt[present & not_delete]
+                if not len(sub):
+                    continue
+                last = sub.iloc[-1]
+                c_ord = tuple(last[o] for o in order_cols)
+                if beats(c_ord, col_state[c][1]):
+                    v = last[c]
+                    col_state[c] = (None if pd.isna(v) else v, c_ord)
+
+        if not touched:
+            return
+        flat_out = [row_op, *row_ord]
+        for c in patch_cols:
+            v, o = col_state[c]
+            flat_out += [v, *o]
+        state.update(tuple(flat_out))
+        out = {k: [v] for k, v in zip(keys, key)}
+        out["op"] = [row_op]
+        for i, o in enumerate(order_cols):
+            out[o] = [row_ord[i]]
+        for c in patch_cols:
+            out[c] = [col_state[c][0]]
+        yield pd.DataFrame(out)
+
+    return (
+        changes.dropna(subset=keys)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
