@@ -315,6 +315,89 @@ def patch_merge_exprs(
     return guard, sets
 
 
+def stamp_type_ddl(order_cols: list[tuple[str, str]]) -> str:
+    """DDL of the per-column order-stamp struct (``_po_<col>``) from
+    (name, sql_type) pairs of the order columns."""
+    return "struct<" + ", ".join(f"{n}: {t}" for n, t in order_cols) + ">"
+
+
+def promote_stamp_exprs(
+    col: str, order_cols: list[str], marker: str | None
+) -> tuple[str, str]:
+    """(value_expr, stamp_expr) of the promotion UPDATE — the SQL twin
+    of ``patch_stamp`` applied to STORED rows: present (not the
+    marker; with a marker set, explicit NULL counts as a write; never
+    on tombstones) → value normalized + stamped at the row's own
+    order position; absent → both NULL. Exposed for the jarless
+    semantic pin (run via selectExpr ≡ ``patch_stamp``)."""
+    if marker is not None:
+        present = f"({col} IS DISTINCT FROM {sql_str_lit(marker)} AND op <> 'delete')"
+    else:
+        present = f"({col} IS NOT NULL AND op <> 'delete')"
+    struct = "named_struct(" + ", ".join(f"'{o}', {o}" for o in order_cols) + ")"
+    return (
+        f"CASE WHEN {present} THEN {col} END",
+        f"CASE WHEN {present} THEN {struct} END",
+    )
+
+
+def promote_patch_col_sql(
+    table: str, col: str, order_cols: list[str], marker: str | None
+) -> str:
+    """One UPDATE stamping an existing row-level column at each stored
+    row's own (order_cols) position — the Iceberg twin of the snapshot
+    sink's promotion rewrite (there the chain is collapsed first; an
+    Iceberg MOW table is already collapsed, so the UPDATE alone is the
+    whole rewrite). RHS expressions evaluate against the pre-update
+    row, so value and stamp read consistent inputs."""
+    v, s = promote_stamp_exprs(col, order_cols, marker)
+    po = PATCH_ORD_PREFIX + col
+    return f"UPDATE {table} SET {po} = {s}, {col} = {v}"
+
+
+def patch_props_sql(
+    table: str, patch_cols: list[str], marker: str | None
+) -> str:
+    """Persist patch config as table properties — the manifest-adopted
+    config of the snapshot sink, kept where every Iceberg writer can
+    re-read it (a writer merging a patch table row-level would corrupt
+    carry-forward)."""
+    props = [f"'engine.patch_cols' = {sql_str_lit(','.join(patch_cols))}"]
+    if marker is not None:
+        props.append(f"'engine.unchanged_marker' = {sql_str_lit(marker)}")
+    return f"ALTER TABLE {table} SET TBLPROPERTIES ({', '.join(props)})"
+
+
+def evolve_patch_cols_sqls(
+    table: str,
+    cols: dict[str, str],
+    order_cols: list[tuple[str, str]],
+    marker: str | None,
+    existing_cols: list[str],
+    all_patch_cols: list[str],
+) -> list[str]:
+    """Statement sequence for patch-column evolution (the
+    ``ParquetSnapshotSink.evolve_patch_cols`` twin): per column an ADD
+    COLUMN for the value (additive case only) and its ``_po_`` stamp —
+    both metadata-only in Iceberg — plus, when the column already has
+    stored row-level values, the promotion UPDATE; finally the config
+    property commit. Iceberg's ALTER is id-based, so the additive path
+    touches zero data files, matching the snapshot sink's
+    metadata-only alignment."""
+    sqls: list[str] = []
+    ord_names = [n for n, _ in order_cols]
+    for c, t in cols.items():
+        if c not in existing_cols:
+            sqls.append(add_column_sql(table, c, t))
+        sqls.append(
+            add_column_sql(table, PATCH_ORD_PREFIX + c, stamp_type_ddl(order_cols))
+        )
+        if c in existing_cols:
+            sqls.append(promote_patch_col_sql(table, c, ord_names, marker))
+    sqls.append(patch_props_sql(table, all_patch_cols, marker))
+    return sqls
+
+
 def purge_sql(table: str, key_eq: dict) -> list[str]:
     """Compliance purge statements (the snapshot sink's ``purge``
     twin): DELETE the matching rows (real row removal, not an engine
@@ -504,6 +587,49 @@ class IcebergSink:
         self.spark.sql(merge)
         self.spark.sql(log_batch_sql(self.table, batch_id))
         return {"batch_id": batch_id}
+
+    def evolve_patch_cols(
+        self, cols: dict[str, str], unchanged_marker: str | None = None
+    ) -> dict:
+        """Patch-column evolution — interface twin of
+        ``ParquetSnapshotSink.evolve_patch_cols`` (same validation,
+        same additive-vs-promotion split; statements from the
+        golden-tested :func:`evolve_patch_cols_sqls`)."""
+        have = list(self.patch_cols or [])
+        new = {c: t for c, t in cols.items() if c not in have}
+        if not new:
+            return {"skipped": True, "patch_cols": have}
+        for c, t in new.items():
+            if t.strip().lower().startswith("map"):
+                raise ValueError(f"map-typed columns cannot be patch columns: {c!r}")
+            if c in self.keys or c in self.order_cols or c == "op":
+                raise ValueError(f"key/order/op column {c!r} cannot be a patch column")
+        if self.patch_cols and unchanged_marker is not None and (
+            unchanged_marker != self.unchanged_marker
+        ):
+            raise ValueError(
+                "unchanged_marker conflicts with the table's committed "
+                f"marker {self.unchanged_marker!r}"
+            )
+        marker = self.unchanged_marker if self.patch_cols else unchanged_marker
+        fields = {
+            f.name: f.dataType.simpleString()
+            for f in self.spark.table(self.table).schema.fields
+        }
+        all_patch = sorted(set(have) | set(new))
+        promoted = sorted(c for c in new if c in fields)
+        for sql in evolve_patch_cols_sqls(
+            self.table,
+            new,
+            [(o, fields[o]) for o in self.order_cols],
+            marker,
+            list(fields),
+            all_patch,
+        ):
+            self.spark.sql(sql)
+        self.patch_cols = all_patch
+        self.unchanged_marker = marker
+        return {"patch_cols": all_patch, "promoted": promoted}
 
     def read(self) -> DataFrame:
         df = self.spark.table(self.table).filter(F.col("op") != "delete")

@@ -342,3 +342,103 @@ def test_patch_merge_exprs_semantics(spark):
     got_set = {tuple(r) for r in merged_sql.select(*cols).collect()}
     want_set = {tuple(r) for r in want.select(*cols).collect()}
     assert got_set == want_set
+
+
+def test_evolve_patch_cols_sqls_golden():
+    """Patch-column evolution statements: additive column → two ADD
+    COLUMNs (value + stamp struct) and NO data-touching statement;
+    promoted column → stamp ADD COLUMN + one UPDATE stamping rows at
+    their own (ts, seq); config property commit last, marker escaped."""
+    from embulk_util_json_spark.sinks.iceberg import evolve_patch_cols_sqls
+
+    existing = ["conv_id", "turn_idx", "ts", "seq", "op", "role", "text"]
+    ords = [("ts", "timestamp"), ("seq", "bigint")]
+    # additive: 'tool' never stored
+    sqls = evolve_patch_cols_sqls(
+        TABLE, {"tool": "string"}, ords, "__u__", existing,
+        ["role", "text", "tool"],
+    )
+    assert sqls[0] == f"ALTER TABLE {TABLE} ADD COLUMN tool string"
+    assert sqls[1] == (
+        f"ALTER TABLE {TABLE} ADD COLUMN _po_tool "
+        "struct<ts: timestamp, seq: bigint>"
+    )
+    assert not any(s.startswith("UPDATE") for s in sqls)
+    assert sqls[-1] == (
+        f"ALTER TABLE {TABLE} SET TBLPROPERTIES ("
+        "'engine.patch_cols' = 'role,text,tool', "
+        "'engine.unchanged_marker' = '__u__')"
+    )
+    # promotion: 'text' already stored row-level
+    sqls = evolve_patch_cols_sqls(
+        TABLE, {"text": "string"}, ords, "it''s", existing, ["text"]
+    )
+    assert not any(s == f"ALTER TABLE {TABLE} ADD COLUMN text string" for s in sqls)
+    upd = [s for s in sqls if s.startswith("UPDATE")]
+    assert len(upd) == 1
+    assert "named_struct('ts', ts, 'seq', seq)" in upd[0]
+    assert "IS DISTINCT FROM 'it''''s'" in upd[0]
+    assert "op <> 'delete'" in upd[0]
+
+
+def test_promote_stamp_exprs_semantics(spark):
+    """The promotion UPDATE's CASE expressions, run via selectExpr,
+    must equal ``patch_stamp`` on the same stored rows — the jarless
+    proof the Iceberg promotion and the snapshot sink's promotion
+    rewrite stamp identically (marker → absent, explicit NULL under a
+    marker → present, tombstones never stamped)."""
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.operators.lww import patch_stamp
+    from embulk_util_json_spark.sinks.iceberg import promote_stamp_exprs
+
+    M = "__u__"
+    rows = [
+        ("c1", 0, 10, 1, "insert", "hello"),
+        ("c1", 1, 11, 2, "update", M),        # marker → absent
+        ("c2", 0, 12, 3, "update", None),      # explicit NULL → present
+        ("c2", 1, 13, 4, "delete", "ghost"),   # tombstone → absent
+    ]
+    schema = "conv_id string, turn_idx int, ts long, seq long, op string, text string"
+    df = spark.createDataFrame(rows, schema)
+    v, s = promote_stamp_exprs("text", ORDER, M)
+    via_sql = df.selectExpr(
+        "conv_id", "turn_idx", "ts", "seq", "op",
+        f"{v} AS text", f"{s} AS _po_text",
+    )
+    via_engine = patch_stamp(
+        df, ORDER, ["text"], unchanged_marker=M,
+        absent_if=F.col("op") == "delete",
+    )
+    cols = via_engine.columns
+    assert sorted(via_sql.columns) == sorted(cols)
+    got = {tuple(str(x) for x in r) for r in via_sql.select(*cols).collect()}
+    want = {tuple(str(x) for x in r) for r in via_engine.collect()}
+    assert got == want
+
+
+def test_promote_stamp_exprs_no_marker(spark):
+    """marker=None: presence is plain non-NULL (sparse mode)."""
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.operators.lww import patch_stamp
+    from embulk_util_json_spark.sinks.iceberg import promote_stamp_exprs
+
+    rows = [
+        ("c1", 0, 10, 1, "insert", "hello"),
+        ("c1", 1, 11, 2, "update", None),  # NULL → absent without marker
+    ]
+    schema = "conv_id string, turn_idx int, ts long, seq long, op string, text string"
+    df = spark.createDataFrame(rows, schema)
+    v, s = promote_stamp_exprs("text", ORDER, None)
+    via_sql = df.selectExpr(
+        "conv_id", "turn_idx", "ts", "seq", "op",
+        f"{v} AS text", f"{s} AS _po_text",
+    )
+    via_engine = patch_stamp(
+        df, ORDER, ["text"], absent_if=F.col("op") == "delete"
+    )
+    cols = via_engine.columns
+    got = {tuple(str(x) for x in r) for r in via_sql.select(*cols).collect()}
+    want = {tuple(str(x) for x in r) for r in via_engine.collect()}
+    assert got == want
