@@ -834,6 +834,38 @@ _ORACLE_CDC_PATCH_PROMOTE = f"""
 """
 
 
+def _q_cdc_mirror_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream mirror maintenance: the change stream replays into a
+    SOURCE sink in 3 interleaved micro-batches with ``sync_mirror``
+    interleaved at a lagged cadence (after batch 1, then after batch
+    3 — one sync window covering two applies), and the MIRROR's state
+    is returned. Exactly-once with no sidecar state: the sync batch id
+    encodes the (from, to) version window and the mirror's own batch
+    log is the high-water mark. The feed is O(net changes) per window
+    (``read_changes`` candidates = files added in the window), so
+    mirror lag cost is bounded by sync cadence, not table size — the
+    read-replica / DR-copy path at 10^10 events."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+    from embulk_util_json_spark.streaming.mirror import sync_mirror
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir)).select(
+        "seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    work = _scratch("mirror_q_")
+    src = ParquetSnapshotSink(
+        spark, os.path.join(work, "src"), num_buckets=8, mode="mor"
+    )
+    dst = ParquetSnapshotSink(
+        spark, os.path.join(work, "dst"), num_buckets=8, mode="mor"
+    )
+    for i in range(3):
+        src.apply(changes.filter(F.col("seq") % 3 == i), f"b{i}")
+        if i != 1:  # lagged cadence: window 2 covers batches 1+2
+            sync_mirror(src, dst)
+    return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew advisor, hot-key view: top-20 hottest conversations in the
     change stream with exact count, share, and the per-key salt factor
@@ -2187,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_final_salted": _q_cdc_patch_final_salted,
         "cdc_patch_evolution_final_state": _q_cdc_patch_evolution_final_state,
         "cdc_patch_promote_final_state": _q_cdc_patch_promote_final_state,
+        "cdc_mirror_final_state": _q_cdc_mirror_final_state,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_seq_gaps": _q_cdc_seq_gaps,
         "cdc_seq_summary": _q_cdc_seq_summary,
@@ -2290,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_final_salted": _ORACLE_CDC_PATCH_FINAL,
         "cdc_patch_evolution_final_state": _ORACLE_CDC_PATCH_EVOLUTION,
         "cdc_patch_promote_final_state": _ORACLE_CDC_PATCH_PROMOTE,
+        "cdc_mirror_final_state": _ORACLE_CDC_FINAL,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_seq_gaps": _seq_gaps_oracle(),
         "cdc_seq_summary": _seq_summary_oracle(),

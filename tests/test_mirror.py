@@ -1,0 +1,131 @@
+"""Downstream mirror maintenance (``streaming.mirror.sync_mirror``):
+incremental sink-to-sink sync off the net-change feed, exactly-once
+with no sidecar state (the mirror's batch-id log IS the high-water
+mark), correct under lagged cadence, replays, patch mode, and
+mid-stream patch-column evolution."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+from embulk_util_json_spark.streaming.mirror import (
+    last_synced_version,
+    sync_mirror,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+ORDER = ["ts", "seq"]
+M = "__unchanged__"
+_SCHEMA = (
+    "conv_id string, turn_idx int, ts long, seq long, "
+    "op string, role string, text string, tool string"
+)
+
+
+def _stream(n=180, n_convs=5, n_turns=4, seed=23):
+    rows = []
+    for seq in range(1, n + 1):
+        k = (seq * 7919 + seed) % (n_convs * n_turns)
+        conv, turn = f"c{k % n_convs}", k // n_convs
+        ts = seq // 3
+        r = (seq * 31 + seed) % 10
+        if r == 0:
+            rows.append((conv, turn, ts, seq, "delete", None, None, None))
+        else:
+            rows.append(
+                (conv, turn, ts, seq, "insert" if r < 3 else "update",
+                 f"r{seq % 3}", f"text {seq}", f"tool{seq % 4}")
+            )
+    return rows
+
+
+def _scratch():
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix="mirror_", dir=base)
+
+
+def _sink(spark, **kw):
+    kw.setdefault("mode", "mor")
+    return ParquetSnapshotSink(
+        spark, _scratch(), num_buckets=4, keys=KEYS, order_cols=ORDER, **kw
+    )
+
+
+def _state(sink):
+    return {
+        tuple(r) for r in sink.read().select(
+            "conv_id", "turn_idx", "role", "text", "tool"
+        ).collect()
+    }
+
+
+def test_mirror_tracks_source_lagged_and_idempotent(spark):
+    rows = _stream()
+    src, dst = _sink(spark), _sink(spark)
+    bs = [rows[i::3] for i in range(3)]
+
+    src.apply(spark.createDataFrame(bs[0], _SCHEMA), "b0")
+    r1 = sync_mirror(src, dst)
+    assert not r1["skipped"] and r1["from_version"] == 0
+    assert _state(dst) == _state(src)
+
+    # lagged cadence: two applies, ONE sync window covers both
+    src.apply(spark.createDataFrame(bs[1], _SCHEMA), "b1")
+    src.apply(spark.createDataFrame(bs[2], _SCHEMA), "b2")
+    r2 = sync_mirror(src, dst)
+    assert r2["from_version"] == r1["to_version"]
+    assert _state(dst) == _state(src)
+
+    # idempotent: nothing new → up-to-date skip, state unchanged
+    r3 = sync_mirror(src, dst)
+    assert r3.get("reason") == "up-to-date"
+    assert last_synced_version(dst) == src.current_version()
+
+    # crash-replay shape: a re-applied window is a batch-log skip
+    feed = src.read_changes(r2["from_version"], r2["to_version"])
+    res = dst.apply(feed, f"mirror@{r2['from_version']}-{r2['to_version']}")
+    assert res.get("skipped")
+    assert _state(dst) == _state(src)
+
+
+def test_mirror_patch_mode_with_midstream_evolution(spark):
+    """Patch-mode source that EVOLVES mid-stream: the sync adopts the
+    new patch config onto the mirror (metadata-only) before applying
+    the post-evolution feed — final states bit-equal."""
+    rows = _stream(n=150)
+    early = [r[:7] for r in rows[:75]]  # no tool column yet
+    late = rows[75:]
+    early_schema = _SCHEMA.rsplit(",", 1)[0]
+    src = _sink(spark, patch_cols=["role", "text"], unchanged_marker=M)
+    dst = _sink(spark, patch_cols=["role", "text"], unchanged_marker=M)
+
+    src.apply(spark.createDataFrame(early, early_schema), "e0")
+    sync_mirror(src, dst)
+    src.evolve_patch_cols({"tool": "string"})
+    src.apply(spark.createDataFrame(late, _SCHEMA), "l0")
+    r = sync_mirror(src, dst)
+    assert not r["skipped"]
+    assert dst.patch_cols == ["role", "text", "tool"]
+    assert _state(dst) == _state(src)
+
+
+def test_mirror_metadata_only_window_advances_mark(spark):
+    """A window containing only a config evolution (no data files)
+    still commits its batch id so the high-water mark advances."""
+    rows = _stream(n=60)
+    src = _sink(spark, patch_cols=["role", "text", "tool"], unchanged_marker=M)
+    dst = _sink(spark, patch_cols=["role", "text", "tool"], unchanged_marker=M)
+    src.apply(spark.createDataFrame(rows, _SCHEMA), "b0")
+    sync_mirror(src, dst)
+    src.evolve_patch_cols({"extra_col": "string"})  # metadata-only
+    r = sync_mirror(src, dst)
+    assert r["to_version"] == src.current_version()
+    assert last_synced_version(dst) == src.current_version()
+    assert sync_mirror(src, dst).get("reason") == "up-to-date"
+    # mirror adopted the evolved config too
+    assert "extra_col" in (dst.patch_cols or [])
+    assert _state(dst) == _state(src)

@@ -178,3 +178,74 @@ def test_lww_patch_equals_pure_fold_any_order_with_dups(spark, events, seed, dup
         for r in lww_patch(df, ["key"], ["ts", "seq"], ["a", "b"], _M).collect()
     }
     assert got == _patch_oracle(events)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        _patch_event, min_size=1, max_size=20,
+        unique_by=lambda e: (e[0], e[1], e[2]),
+    ),
+    cut=st.integers(0, 20),
+    seed=st.integers(0, 2**16),
+)
+def test_patch_evolution_alignment_equals_full_history(spark, events, cut, seed):
+    """The algebra behind metadata-only patch-column evolution
+    (``ParquetSnapshotSink.evolve_patch_cols`` additive path): a
+    prefix of the stream stamped WITHOUT column ``b`` (it did not
+    exist yet), aligned to (NULL value, NULL stamp), then reduced
+    together with the stamped suffix, must equal ``lww_patch`` over a
+    full history in which prefix events simply never carry ``b`` —
+    for ANY evolution cut point and arrival order."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.operators.lww import (
+        PATCH_ORD_PREFIX,
+        lww_patch,
+        lww_patch_stamped,
+        patch_stamp,
+    )
+
+    rows = list(events)
+    cut = min(cut, len(rows))
+    prefix, suffix = rows[:cut], rows[cut:]
+    _random.Random(seed).shuffle(prefix)
+    _random.Random(seed + 1).shuffle(suffix)
+
+    pre = spark.createDataFrame(
+        [(k, t, s, a) for k, t, s, a, _ in prefix] or [],
+        "key string, ts int, seq int, a string",
+    )
+    post = spark.createDataFrame(
+        suffix or [], "key string, ts int, seq int, a string, b string"
+    )
+    pre_stamped = patch_stamp(pre, ["ts", "seq"], ["a"], _M)
+    # metadata-only evolution alignment: typed-NULL value + NULL stamp
+    pre_aligned = pre_stamped.select(
+        "*",
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("struct<ts:int,seq:int>").alias(PATCH_ORD_PREFIX + "b"),
+    )
+    post_stamped = patch_stamp(post, ["ts", "seq"], ["a", "b"], _M)
+    merged = lww_patch_stamped(
+        pre_aligned.unionByName(post_stamped), ["key"], ["ts", "seq"], ["a", "b"]
+    )
+    got = {r.key: (r.a, r.b) for r in merged.collect()}
+
+    # oracle: one lww_patch over a history where prefix rows carry the
+    # marker for b (= not present)
+    full = [(k, t, s, a, _M) for k, t, s, a, _ in prefix] + suffix
+    df = spark.createDataFrame(
+        full, "key string, ts int, seq int, a string, b string"
+    )
+    want = {
+        r.key: (r.a, r.b)
+        for r in lww_patch(df, ["key"], ["ts", "seq"], ["a", "b"], _M).collect()
+    }
+    assert got == want
