@@ -31,6 +31,13 @@ version's manifest, so the source's ``vacuum`` must keep versions
 back to ``last_synced_version(dst)`` — vacuum past the mirror's
 high-water mark and the next sync fails loudly (files missing), never
 silently skips.
+
+Compliance interplay: a physical ``purge`` on the source is NOT a
+change event (a purged key simply stops existing — by design there is
+no tombstone to ship), so purges do not propagate through the feed.
+Right-to-be-forgotten must be executed against every mirror directly
+(``dst.purge(...)``) — the same contract Iceberg CDC and replicated
+lakes have.
 """
 
 from __future__ import annotations

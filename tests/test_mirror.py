@@ -129,3 +129,23 @@ def test_mirror_metadata_only_window_advances_mark(spark):
     # mirror adopted the evolved config too
     assert "extra_col" in (dst.patch_cols or [])
     assert _state(dst) == _state(src)
+
+
+def test_mirror_sync_fails_loudly_after_overzealous_vacuum(spark):
+    """Vacuum past the mirror's high-water mark: the next sync must
+    FAIL (missing files), never silently skip the window — silent
+    gaps would desynchronize the mirror forever."""
+    import pytest
+
+    rows = _stream(n=90)
+    src, dst = _sink(spark, mode="mow"), _sink(spark, mode="mow")
+    bs = [rows[i::3] for i in range(3)]
+    src.apply(spark.createDataFrame(bs[0], _SCHEMA), "b0")
+    sync_mirror(src, dst)
+    src.apply(spark.createDataFrame(bs[1], _SCHEMA), "b1")
+    src.apply(spark.createDataFrame(bs[2], _SCHEMA), "b2")
+    # MOW rewrites affected buckets each apply; vacuum to only the
+    # newest version removes files the mirror's FROM manifest needs
+    src.vacuum(keep_versions=1)
+    with pytest.raises(Exception):
+        sync_mirror(src, dst)
