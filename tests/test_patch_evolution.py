@@ -377,3 +377,76 @@ def test_evolution_rejects_marker_conflict(spark):
     sink = _sink(spark, "mor")
     with pytest.raises(ValueError, match="marker"):
         sink.evolve_patch_cols({"tool": "string"}, unchanged_marker="other")
+
+
+def test_streaming_e2e_promotion_between_restarts(spark, tmp_path):
+    """Full wire path under Structured Streaming with evolution at a
+    checkpoint boundary: JSON envelopes → stream_directory → patch
+    sink (role/text column-level; tool still row-level, the source
+    ships the marker for it), stream stopped, ``tool`` PROMOTED to a
+    patch column (stored marker values stamp to absent), stream
+    resumed from the same checkpoint over new files carrying real
+    tool patches. Final state ≡ one lww_patch over the whole wire
+    history — the mid-stream-evolution story end-to-end."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_util_json_spark.streaming.runner import stream_directory
+
+    M_ = M
+
+    def env(seq, ts, op, conv, turn, role, text, tool):
+        return (seq, _json.dumps({
+            "op": op, "ts": f"2024-01-01T00:00:{ts:02d}",
+            "data": {"conv_id": conv, "turn_idx": turn,
+                     "role": role, "text": text, "tool": tool},
+        }))
+
+    early_wire = [
+        env(1, 1, "insert", "c1", 0, "user", "hello", M_),
+        env(2, 2, "update", "c1", 0, M_, "hello v2", M_),
+        env(3, 1, "insert", "c2", 5, "asst", "hi", M_),
+        env(4, 3, "delete", "c2", 5, None, None, None),
+    ]
+    late_wire = [
+        # revives c2 turn 5 via patch; touches only tool on c1
+        env(5, 4, "update", "c2", 5, M_, "revived", "browser"),
+        env(6, 5, "update", "c1", 0, M_, M_, "search"),
+    ]
+
+    def write(rows, path):
+        seqs, js = zip(*rows)
+        pq.write_table(
+            pa.table({"seq": pa.array(seqs, pa.int64()),
+                      "event_json": pa.array(js)}), str(path))
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=4, mode="mor",
+        patch_cols=["role", "text"], unchanged_marker=M,
+    )
+    write(early_wire, src / "p0.parquet")
+    q = stream_directory(spark, str(src), sink, ckpt, evolve=False)
+    q.processAllAvailable(); q.stop()
+
+    res = sink.evolve_patch_cols({"tool": "string"})
+    assert res["promoted"] == ["tool"] and res["rewritten"]
+
+    write(late_wire, src / "p1.parquet")
+    q = stream_directory(spark, str(src), sink, ckpt, evolve=False)
+    q.processAllAvailable(); q.stop()
+
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in sink.read().collect()
+    }
+    assert got == {
+        ("c1", 0): ("user", "hello v2", "search"),
+        # carry-forward looks through the tombstone; tool was never
+        # carried pre-promotion (markers stamped to absent)
+        ("c2", 5): ("asst", "revived", "browser"),
+    }
