@@ -749,6 +749,7 @@ class ParquetSnapshotSink:
         key_eq: dict | None = None,
         probe_keys: DataFrame | None = None,
         broadcast_probe: bool = True,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -778,6 +779,19 @@ class ParquetSnapshotSink:
         ``broadcast_probe`` hints the semi-join's build side — right
         for increment ≪ store (the probe case); pass False to let AQE
         choose when the probe set is itself huge.
+
+        ``columns`` — payload projection, applied BEFORE the LWW
+        merge. Catalyst cannot prune columns through the reduce (the
+        winner is ``max_by(struct(<all payload>))``, which references
+        every column), so without this a 2-column projection of a
+        100 TB table still scans every column; with it the projection
+        reaches the parquet scan (``ReadSchema``, plan-asserted in
+        tests). Exact for both merge modes: row-level LWW picks the
+        winner by (order cols) alone, and the patch reduction resolves
+        columns independently — dropping unrequested patch columns
+        (and their stamps) cannot change the kept ones. Keys, order
+        columns and ``op`` are always read (the merge needs them);
+        the returned frame carries keys + ``columns``.
         """
         manifest = (
             self.manifest_at(at_version) if at_version else self.current_manifest()
@@ -829,24 +843,54 @@ class ParquetSnapshotSink:
         df = df.filter(F.col(self.keys[0]).isNotNull())
         for k, v in (key_eq or {}).items():
             df = df.filter(F.col(k) == F.lit(v))
+        conf = manifest
+        if columns is not None:
+            conf_patch, _ = self._patch_conf(manifest)
+            known = (
+                set(df.columns)
+                | set(manifest.get("schema_fields", []))
+                | set(manifest.get("extra_fields", []))
+            )
+            unknown = [c for c in columns if c not in known]
+            if unknown:
+                raise ValueError(f"unknown columns: {unknown}")
+            kept_patch = [c for c in (conf_patch or []) if c in columns]
+            keep = list(dict.fromkeys(
+                [*self.keys, *self.order_cols, "op", *columns]
+            ))
+            keep += [PATCH_ORD_PREFIX + c for c in kept_patch]
+            if EXTRAS_COL in df.columns and any(
+                c in manifest.get("extra_fields", []) for c in columns
+            ):
+                keep.append(EXTRAS_COL)
+            df = df.select(*[c for c in keep if c in df.columns])
+            # merge under the PROJECTED patch set: per-column
+            # independence makes dropping unrequested columns exact,
+            # and alignment must not resurrect them as NULLs
+            conf = {**manifest, "patch_cols": kept_patch}
         if depth > 1:
-            df = self._reduce(df, self.keys, manifest=manifest)
+            df = self._reduce(df, self.keys, manifest=conf)
         else:
             # single-level chain: no reduction runs, but the output
             # schema must still carry evolved patch columns (typed
             # NULL for levels written before the evolution)
-            df = self._align_patch(df, stamped=True, manifest=manifest)
+            df = self._align_patch(df, stamped=True, manifest=conf)
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")
         if not include_meta:
-            df = self._drop_patch_meta(df.drop(*META_COLS), manifest=manifest)
+            df = self._drop_patch_meta(df.drop(*META_COLS), manifest=conf)
         # Materialize manifest-declared evolved fields out of the
         # extras map (metadata-only schema evolution; old rows NULL).
         if EXTRAS_COL in df.columns:
             for name in manifest.get("extra_fields", []):
-                if name not in df.columns:
+                if name not in df.columns and (
+                    columns is None or name in columns
+                ):
                     df = df.withColumn(name, F.col(EXTRAS_COL)[name])
             df = df.drop(EXTRAS_COL)
+        if columns is not None and not include_meta:
+            out_cols = list(dict.fromkeys([*self.keys, *columns]))
+            df = df.select(*[c for c in out_cols if c in df.columns])
         return df
 
     def read_changes(

@@ -744,3 +744,62 @@ def test_rewrite_scoped_where_touches_only_matches(
     # schema contract enforced
     with pytest.raises(ValueError):
         sink.rewrite(lambda df: df.drop("text"))
+
+
+def test_read_columns_projection_prunes_scan(spark, events_parquet, tmp_path):
+    """``read(columns=[...])``: the payload projection must reach the
+    parquet scan (ReadSchema) — Catalyst cannot prune columns through
+    the LWW ``max_by(struct(<all payload>))`` on its own, so at 100 TB
+    an unpruned 2-column projection reads every byte. Values must
+    equal the full read's projection exactly."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), num_buckets=4, mode="mor"
+    )
+    replay_parquet(spark, events_parquet, sink, num_batches=3)
+
+    df = sink.read(columns=["text"])
+    assert sorted(df.columns) == ["conv_id", "text", "turn_idx"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        schema = line.split("ReadSchema:")[-1]
+        assert "text" in schema
+        assert "role" not in schema and "tool" not in schema, line
+
+    full = {
+        (r.conv_id, r.turn_idx): r.text for r in sink.read().collect()
+    }
+    got = {(r.conv_id, r.turn_idx): r.text for r in df.collect()}
+    assert got == full
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        sink.read(columns=["nope"])
+
+
+def test_read_columns_projection_patch_mode(spark, tmp_path):
+    """Projection in PATCH mode: unrequested patch columns (and their
+    stamps) are dropped before the reduce — exact because the patch
+    reduction resolves columns independently — and are not resurrected
+    as NULLs by evolution alignment."""
+    M = "__u__"
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "hello", "search"),
+        ("c1", 0, 2, 2, "update", M, "hello v2", M),
+        ("c1", 0, 3, 3, "update", "asst", M, M),
+    ]
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "p"), num_buckets=2, mode="mor",
+        patch_cols=["role", "text", "tool"], unchanged_marker=M,
+    )
+    ddl = ("conv_id string, turn_idx int, ts long, seq long, "
+           "op string, role string, text string, tool string")
+    for i, r in enumerate(rows):
+        sink.apply(spark.createDataFrame([r], ddl), f"b{i}")
+    df = sink.read(columns=["text"])
+    assert sorted(df.columns) == ["conv_id", "text", "turn_idx"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in [l for l in plan.splitlines() if "ReadSchema" in l]:
+        schema = line.split("ReadSchema:")[-1]
+        assert "role" not in schema and "tool" not in schema, line
+    assert {tuple(r) for r in df.collect()} == {("c1", 0, "hello v2")}
