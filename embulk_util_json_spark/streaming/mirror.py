@@ -61,14 +61,30 @@ def last_synced_version(dst: ParquetSnapshotSink) -> int:
 
 
 def sync_mirror(
-    src: ParquetSnapshotSink, dst: ParquetSnapshotSink
+    src: ParquetSnapshotSink,
+    dst: ParquetSnapshotSink,
+    key_filter=None,
 ) -> dict:
     """One incremental sync: mirror ← net changes since the last sync.
 
     Call on any cadence (cron, after each upstream apply, or from a
     streaming foreachBatch); every call is idempotent and crash-safe.
     Returns the synced window and the apply metrics (or a skip when
-    the mirror is already current)."""
+    the mirror is already current).
+
+    ``key_filter`` — optional Column predicate over KEY columns for a
+    SELECTIVE replica (tenant split, regional fan-out, public subset).
+    Exactness argument: LWW reduces per key and every change row of a
+    key satisfies the same key predicate, so filtering the feed is
+    identical to filtering the full history — but ONLY for predicates
+    that are a pure function of the key columns. A payload predicate
+    (e.g. ``role = 'user'``) is NOT replication-safe: a key whose
+    winning row drifts out of the predicate would simply stop
+    updating on the mirror instead of reverting — the classic
+    filtered-replication pitfall. This is the same restriction
+    Postgres logical-replication row filters place on UPDATE-mode
+    publications; it is the caller's contract here (predicates are
+    arbitrary Columns and cannot be statically checked)."""
     to_v = src.current_version()
     from_v = last_synced_version(dst)
     if to_v <= from_v:
@@ -93,6 +109,8 @@ def sync_mirror(
         )
 
     feed = src.read_changes(from_v, to_v)
+    if key_filter is not None and "op" in feed.columns:
+        feed = feed.filter(key_filter)
     if "op" not in feed.columns:
         # metadata-only window (vacuum / config evolution, no new data
         # files): read_changes returns the empty sentinel frame, which

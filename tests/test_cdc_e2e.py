@@ -659,3 +659,47 @@ def test_replay_quarantine_crash_between_apply_and_cleanup(spark, tmp_path, monk
     live = sorted(os.listdir(qdir))[-1]
     dead = spark.read.parquet(os.path.join(qdir, live)).collect()
     assert [r2.seq for r2 in dead] == [3]
+
+
+def test_route_tables_mixed_patch_and_row_level_sinks(spark, tmp_path):
+    """Demux into sinks with DIFFERENT merge configs: transcripts in
+    patch mode (marker-patterned partial updates, column-level LWW),
+    audit row-level — one shared parse, each sink merges its slice
+    under its own manifest-committed config."""
+    M = "__unchanged__"
+
+    def ev(seq, table, ts, op, conv, turn, role, text, tool):
+        return (seq, json.dumps({
+            "table": table, "op": op, "ts": f"2024-01-01T00:00:{ts:02d}",
+            "data": {"conv_id": conv, "turn_idx": turn,
+                     "role": role, "text": text, "tool": tool},
+        }))
+
+    rows = [
+        ev(1, "transcripts", 1, "insert", "c1", 0, "user", "hello", "search"),
+        # partial update: only text changes; role/tool carried forward
+        ev(2, "transcripts", 2, "update", "c1", 0, M, "hello v2", M),
+        ev(3, "audit", 1, "insert", "a1", 0, "sys", "created", None),
+        ev(4, "audit", 2, "update", "a1", 0, "sys", "updated", None),
+    ]
+    from embulk_util_json_spark.streaming.runner import route_tables
+
+    sinks = {
+        "transcripts": ParquetSnapshotSink(
+            spark, str(tmp_path / "t"), num_buckets=2, mode="mor",
+            patch_cols=["role", "text", "tool"], unchanged_marker=M,
+        ),
+        "audit": ParquetSnapshotSink(
+            spark, str(tmp_path / "a"), num_buckets=2, mode="mor"
+        ),
+    }
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    route_tables(df, sinks, "b0")
+    t = {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+         for r in sinks["transcripts"].read().collect()}
+    # column-level LWW: role/tool carried through the marker update
+    assert t == {("c1", 0): ("user", "hello v2", "search")}
+    a = {(r.conv_id, r.turn_idx): r.text
+         for r in sinks["audit"].read().collect()}
+    # row-level LWW: whole payload replaced
+    assert a == {("a1", 0): "updated"}

@@ -149,3 +149,21 @@ def test_mirror_sync_fails_loudly_after_overzealous_vacuum(spark):
     src.vacuum(keep_versions=1)
     with pytest.raises(Exception):
         sync_mirror(src, dst)
+
+
+def test_selective_mirror_key_filter(spark):
+    """Tenant-split replica: a key predicate on the feed must produce
+    exactly the filtered source state — per-key all-or-nothing makes
+    filtering the incremental feed ≡ filtering the full history."""
+    rows = _stream(n=150)
+    src, dst = _sink(spark), _sink(spark)
+    bs = [rows[i::3] for i in range(3)]
+    pred = F.col("conv_id").isin("c0", "c2")
+    for i, b in enumerate(bs):
+        src.apply(spark.createDataFrame(b, _SCHEMA), f"b{i}")
+        sync_mirror(src, dst, key_filter=pred)
+    want = {t for t in _state(src) if t[0] in ("c0", "c2")}
+    assert _state(dst) == want
+    # replay safety: re-sync is a skip, filtered state unchanged
+    assert sync_mirror(src, dst, key_filter=pred).get("reason") == "up-to-date"
+    assert _state(dst) == want
