@@ -509,6 +509,30 @@ def _seq_summary_oracle() -> str:
 _PATCH_MARKER = "__unchanged__"
 
 
+def _patchify(changes: DataFrame) -> DataFrame:
+    """Deterministic marker patterning shared by every cdc_patch_*
+    query (and mirrored by _ORACLE_PATCH_CASES): updates mark role
+    unchanged on even seq, text on seq%3, tool always — the Debezium
+    TOAST-placeholder shape. Single-sourced so engine and oracle can
+    never drift on the pattern."""
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    return changes.select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+
+
+_ORACLE_PATCH_CASES = f"""CASE WHEN op = 'update' AND seq % 2 = 0
+                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
+            CASE WHEN op = 'update' AND seq % 3 = 0
+                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
+            CASE WHEN op = 'update'
+                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool"""
+
+
 def _q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-update (patch-style) CDC merge: update events do not
     restate every column — a deterministic rewrite marks ``tool`` as
@@ -521,14 +545,7 @@ def _q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.sources.events import parse_change_events
 
     changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
-    is_upd = F.col("op") == "update"
-    m = F.lit(_PATCH_MARKER)
-    patched = changes.select(
-        "seq", "op", "ts", "conv_id", "turn_idx",
-        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
-        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
-        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
-    )
+    patched = _patchify(changes)
     final = lww_patch(
         patched,
         ["conv_id", "turn_idx"],
@@ -546,12 +563,7 @@ _ORACLE_CDC_PATCH_FINAL = f"""
     WITH changes AS ({_ORACLE_CDC_EVENTS}),
     patched AS (
         SELECT seq, op, ts, conv_id, turn_idx,
-            CASE WHEN op = 'update' AND seq % 2 = 0
-                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
-            CASE WHEN op = 'update' AND seq % 3 = 0
-                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
-            CASE WHEN op = 'update'
-                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool
+            {_ORACLE_PATCH_CASES}
         FROM changes
     ),
     resolved AS (
@@ -593,14 +605,7 @@ def _q_cdc_patch_final_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_util_json_spark.sources.events import parse_change_events
 
     changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
-    is_upd = F.col("op") == "update"
-    m = F.lit(_PATCH_MARKER)
-    patched = changes.select(
-        "seq", "op", "ts", "conv_id", "turn_idx",
-        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
-        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
-        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
-    )
+    patched = _patchify(changes)
     final = lww_patch_salted(
         patched,
         ["conv_id", "turn_idx"],
@@ -635,14 +640,7 @@ def _q_cdc_patch_sink_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     from embulk_util_json_spark.sources.events import parse_change_events
 
     changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
-    is_upd = F.col("op") == "update"
-    m = F.lit(_PATCH_MARKER)
-    patched = changes.select(
-        "seq", "op", "ts", "conv_id", "turn_idx",
-        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
-        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
-        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
-    )
+    patched = _patchify(changes)
     work = _scratch("patch_sink_")
     sink = ParquetSnapshotSink(
         spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
@@ -673,14 +671,7 @@ def _q_cdc_patch_evolution_final_state(spark: SparkSession, sf_dir: str) -> Data
 
     changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
     mid = changes.agg(F.max("seq")).collect()[0][0] // 2  # 1-row bound
-    is_upd = F.col("op") == "update"
-    m = F.lit(_PATCH_MARKER)
-    patched = changes.select(
-        "seq", "op", "ts", "conv_id", "turn_idx",
-        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
-        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
-        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
-    )
+    patched = _patchify(changes)
     early = patched.filter(F.col("seq") <= mid).drop("tool")
     late = patched.filter(F.col("seq") > mid)
     work = _scratch("patch_evo_")
@@ -701,12 +692,7 @@ _ORACLE_CDC_PATCH_EVOLUTION = f"""
     WITH changes AS ({_ORACLE_CDC_EVENTS}),
     patched AS (
         SELECT seq, op, ts, conv_id, turn_idx,
-            CASE WHEN op = 'update' AND seq % 2 = 0
-                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
-            CASE WHEN op = 'update' AND seq % 3 = 0
-                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
-            CASE WHEN op = 'update'
-                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool,
+            {_ORACLE_PATCH_CASES},
             seq > (SELECT MAX(seq) // 2 FROM changes) AS has_tool
         FROM changes
     ),
@@ -756,14 +742,7 @@ def _q_cdc_patch_promote_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
     mid = changes.agg(F.max("seq")).collect()[0][0] // 2
     dense = changes.select("seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool")
-    is_upd = F.col("op") == "update"
-    m = F.lit(_PATCH_MARKER)
-    late = dense.filter(F.col("seq") > mid).select(
-        "seq", "op", "ts", "conv_id", "turn_idx",
-        F.when(is_upd & (F.col("seq") % 2 == 0), m).otherwise(F.col("role")).alias("role"),
-        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
-        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
-    )
+    late = _patchify(dense.filter(F.col("seq") > mid))
     work = _scratch("patch_promote_")
     sink = ParquetSnapshotSink(
         spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
@@ -796,12 +775,7 @@ _ORACLE_CDC_PATCH_PROMOTE = f"""
     ),
     late AS (
         SELECT conv_id, turn_idx, ts, seq, op,
-            CASE WHEN op = 'update' AND seq % 2 = 0
-                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
-            CASE WHEN op = 'update' AND seq % 3 = 0
-                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
-            CASE WHEN op = 'update'
-                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool
+            {_ORACLE_PATCH_CASES}
         FROM changes WHERE seq > (SELECT v FROM mid)
     ),
     hist AS (

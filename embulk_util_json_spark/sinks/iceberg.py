@@ -341,18 +341,35 @@ def promote_stamp_exprs(
     )
 
 
-def promote_patch_col_sql(
-    table: str, col: str, order_cols: list[str], marker: str | None
+def promote_patch_cols_sql(
+    table: str, cols: list[str], order_cols: list[str], marker: str | None
 ) -> str:
-    """One UPDATE stamping an existing row-level column at each stored
+    """ONE UPDATE stamping existing row-level columns at each stored
     row's own (order_cols) position — the Iceberg twin of the snapshot
     sink's promotion rewrite (there the chain is collapsed first; an
     Iceberg MOW table is already collapsed, so the UPDATE alone is the
-    whole rewrite). RHS expressions evaluate against the pre-update
-    row, so value and stamp read consistent inputs."""
-    v, s = promote_stamp_exprs(col, order_cols, marker)
-    po = PATCH_ORD_PREFIX + col
-    return f"UPDATE {table} SET {po} = {s}, {col} = {v}"
+    whole rewrite). All promoted columns ride a single statement: one
+    full-table rewrite total, not one per column. RHS expressions
+    evaluate against the pre-update row, so value and stamp read
+    consistent inputs — which also makes the statement IDEMPOTENT
+    (re-running on already-promoted rows recomputes the same stamps:
+    normalized values are never the marker, and explicit NULLs under a
+    marker stay present), so a crashed evolution sequence can simply
+    be re-run."""
+    sets = []
+    for col in cols:
+        v, s = promote_stamp_exprs(col, order_cols, marker)
+        sets.append(f"{PATCH_ORD_PREFIX + col} = {s}")
+        sets.append(f"{col} = {v}")
+    return f"UPDATE {table} SET {', '.join(sets)}"
+
+
+def promote_patch_col_sql(
+    table: str, col: str, order_cols: list[str], marker: str | None
+) -> str:
+    """Single-column convenience wrapper over
+    :func:`promote_patch_cols_sql`."""
+    return promote_patch_cols_sql(table, [col], order_cols, marker)
 
 
 def patch_props_sql(
@@ -379,21 +396,32 @@ def evolve_patch_cols_sqls(
     """Statement sequence for patch-column evolution (the
     ``ParquetSnapshotSink.evolve_patch_cols`` twin): per column an ADD
     COLUMN for the value (additive case only) and its ``_po_`` stamp —
-    both metadata-only in Iceberg — plus, when the column already has
-    stored row-level values, the promotion UPDATE; finally the config
-    property commit. Iceberg's ALTER is id-based, so the additive path
-    touches zero data files, matching the snapshot sink's
-    metadata-only alignment."""
+    both metadata-only in Iceberg — plus ONE promotion UPDATE covering
+    every column that already has stored row-level values; finally the
+    config property commit. Iceberg's ALTER is id-based, so the
+    additive path touches zero data files, matching the snapshot
+    sink's metadata-only alignment.
+
+    Re-entrant: pass the LIVE table schema as ``existing_cols`` (value
+    AND ``_po_`` columns) — already-added columns are skipped and the
+    promotion UPDATE is idempotent, so a sequence that crashed before
+    the final property commit is safely re-run from the top."""
     sqls: list[str] = []
     ord_names = [n for n, _ in order_cols]
+    promote: list[str] = []
     for c, t in cols.items():
         if c not in existing_cols:
             sqls.append(add_column_sql(table, c, t))
-        sqls.append(
-            add_column_sql(table, PATCH_ORD_PREFIX + c, stamp_type_ddl(order_cols))
-        )
-        if c in existing_cols:
-            sqls.append(promote_patch_col_sql(table, c, ord_names, marker))
+        else:
+            promote.append(c)
+        if PATCH_ORD_PREFIX + c not in existing_cols:
+            sqls.append(
+                add_column_sql(
+                    table, PATCH_ORD_PREFIX + c, stamp_type_ddl(order_cols)
+                )
+            )
+    if promote:
+        sqls.append(promote_patch_cols_sql(table, promote, ord_names, marker))
     sqls.append(patch_props_sql(table, all_patch_cols, marker))
     return sqls
 
@@ -491,6 +519,58 @@ class IcebergSink:
         # field, and merge_patch_sql keeps them moving with the values.
         self.patch_cols = list(patch_cols) if patch_cols else None
         self.unchanged_marker = unchanged_marker
+        # column → DDL for patch columns that may be absent from a
+        # batch (recorded by evolve_patch_cols; the live table schema
+        # is the fallback) — the snapshot sink's patch_types twin.
+        self.patch_types: dict[str, str] = {}
+
+    def _stamp_aligned(self, changes: DataFrame) -> DataFrame:
+        """Stamp the batch for the patch merge, aligning missing patch
+        columns (sparse feeds; producers older than an
+        ``evolve_patch_cols``) the way the snapshot sink does: a
+        column still riding ``_extras`` is extracted before stamping
+        (promotion seamlessness); a genuinely absent column is added
+        AFTER stamping as NULL value + NULL stamp — "never carried".
+        Pre-filling NULL values would be wrong under a marker: NULL
+        reads as an explicit NULL WRITE (the Debezium set-to-NULL
+        contract) and would clobber carried values."""
+        patch_cols = self.patch_cols or []
+        missing = [c for c in patch_cols if c not in changes.columns]
+        types = dict(self.patch_types)
+        if missing and EXTRAS_COL in changes.columns:
+            for c in list(missing):
+                ddl = types.setdefault(c, "string")
+                changes = changes.withColumn(
+                    c, F.col(EXTRAS_COL)[c].cast(ddl)
+                )
+            missing = []
+        carried = [c for c in patch_cols if c in changes.columns]
+        stamped = patch_stamp(
+            changes,
+            self.order_cols,
+            carried,
+            self.unchanged_marker,
+            absent_if=F.col("op") == "delete",
+        )
+        if missing:
+            try:
+                for f in self.spark.table(self.table).schema.fields:
+                    types.setdefault(f.name, f.dataType.simpleString())
+            except Exception:
+                pass
+            by_name = {f.name: f.dataType for f in stamped.schema.fields}
+            from pyspark.sql import types as T
+
+            stamp_ddl = T.StructType(
+                [T.StructField(o, by_name[o]) for o in self.order_cols]
+            ).simpleString()
+            for c in missing:
+                stamped = stamped.withColumn(
+                    c, F.lit(None).cast(types.get(c, "string"))
+                ).withColumn(
+                    PATCH_ORD_PREFIX + c, F.lit(None).cast(stamp_ddl)
+                )
+        return stamped
 
     # The remaining methods are executable only with the runtime jar;
     # they are exercised by integration deployments, not this sandbox.
@@ -546,13 +626,7 @@ class IcebergSink:
         module docstring), skipped outright when the batch log already
         carries ``batch_id``."""
         if self.patch_cols:
-            stamped = patch_stamp(
-                changes,
-                self.order_cols,
-                self.patch_cols,
-                self.unchanged_marker,
-                absent_if=F.col("op") == "delete",
-            )
+            stamped = self._stamp_aligned(changes)
             reduced = lww_patch_stamped(
                 stamped, self.keys, self.order_cols, self.patch_cols
             )
@@ -629,6 +703,7 @@ class IcebergSink:
             self.spark.sql(sql)
         self.patch_cols = all_patch
         self.unchanged_marker = marker
+        self.patch_types.update(new)
         return {"patch_cols": all_patch, "promoted": promoted}
 
     def read(self) -> DataFrame:

@@ -339,7 +339,7 @@ class ParquetSnapshotSink:
         return self.patch_cols, self.patch_types
 
     def _align_patch(
-        self, df: DataFrame, stamped: bool, manifest: dict | None = None
+        self, df: DataFrame, manifest: dict | None = None
     ) -> DataFrame:
         """Make ``df`` carry every patch column (plus, for stamped
         frames, every ``_po_<col>`` stamp) as typed NULLs when missing —
@@ -360,30 +360,23 @@ class ParquetSnapshotSink:
             return df
         add = []
         stamp_ddl = None
-        if stamped:
-            for c in patch_cols:
-                po = PATCH_ORD_PREFIX + c
-                if po in df.columns:
-                    stamp_ddl = df.schema[po].dataType.simpleString()
-                    break
-            if stamp_ddl is None:
-                # no stamp column present at all — derive the stamp
-                # struct type from the order columns if they are in the
-                # frame (a fully pre-evolution level), else fail below
-                # on the first missing column.
-                if all(o in df.columns for o in self.order_cols):
-                    stamp_ddl = T.StructType(
-                        [
-                            T.StructField(o, df.schema[o].dataType)
-                            for o in self.order_cols
-                        ]
-                    ).simpleString()
+        for c in patch_cols:
+            po = PATCH_ORD_PREFIX + c
+            if po in df.columns:
+                stamp_ddl = df.schema[po].dataType.simpleString()
+                break
+        if stamp_ddl is None and all(o in df.columns for o in self.order_cols):
+            # no stamp column present at all — derive the stamp struct
+            # type from the order columns (a fully pre-evolution level)
+            stamp_ddl = T.StructType(
+                [T.StructField(o, df.schema[o].dataType) for o in self.order_cols]
+            ).simpleString()
         for c in patch_cols:
             po = PATCH_ORD_PREFIX + c
             have_v, have_po = c in df.columns, po in df.columns
-            if have_v and (have_po or not stamped):
+            if have_v and have_po:
                 continue
-            if have_v and stamped and not have_po:
+            if have_v and not have_po:
                 raise ValueError(
                     f"stamped frame carries patch column {c!r} without its "
                     f"{po!r} stamp — evolve the table (evolve_patch_cols) "
@@ -395,22 +388,24 @@ class ParquetSnapshotSink:
                     f"patch column {c!r} missing from the frame and no type "
                     "recorded in the manifest (patch_types) to align it"
                 )
+            if stamp_ddl is None:
+                raise ValueError(
+                    "cannot derive the order-stamp type: frame has no "
+                    f"existing {PATCH_ORD_PREFIX}* column and no order "
+                    f"columns {self.order_cols}"
+                )
             add.append(F.lit(None).cast(ddl).alias(c))
-            if stamped:
-                if stamp_ddl is None:
-                    raise ValueError(
-                        "cannot derive the order-stamp type: frame has no "
-                        f"existing {PATCH_ORD_PREFIX}* column and no order "
-                        f"columns {self.order_cols}"
-                    )
-                add.append(F.lit(None).cast(stamp_ddl).alias(po))
+            add.append(F.lit(None).cast(stamp_ddl).alias(po))
         return df.select("*", *add) if add else df
 
     def _stamp(self, df: DataFrame) -> DataFrame:
         """Patch mode: stamp raw change rows with per-column order
         structs (no-op row-level). Pure projection — applied once per
         batch before any reduction, so stored rows are always in the
-        closed stamped form."""
+        closed stamped form. Alignment of missing patch columns always
+        happens in STAMPED space (NULL value + NULL stamp = "never
+        carried") — never by pre-filling NULL values, which a
+        configured marker would read as explicit NULL writes."""
         if not self.patch_cols:
             return df
         if any(PATCH_ORD_PREFIX + c in df.columns for c in self.patch_cols):
@@ -418,25 +413,35 @@ class ParquetSnapshotSink:
             # replayed stored level) — re-stamping would overwrite the
             # carried per-column positions with the row's own order;
             # stamps missing for evolved columns align to NULL.
-            return self._align_patch(df, stamped=True)
+            return self._align_patch(df)
         # Raw batch: a column evolved from the extras map may still
         # arrive inside ``_extras`` (upstream parser not yet re-run
         # with the evolved schema) — extract it before stamping so the
-        # promotion is seamless; otherwise align missing columns to
-        # typed NULL (a batch where no event carries the column).
+        # promotion is seamless.
         missing = [c for c in self.patch_cols if c not in df.columns]
         if missing and EXTRAS_COL in df.columns:
             for c in missing:
-                ddl = self.patch_types.get(c, "string")
+                # record the type used for the extraction: a later
+                # batch carrying neither the column nor _extras must
+                # still be alignable (patch_types is the only source
+                # of truth for columns that never appear top-level)
+                ddl = self.patch_types.setdefault(c, "string")
                 df = df.withColumn(c, F.col(EXTRAS_COL)[c].cast(ddl))
-        df = self._align_patch(df, stamped=False)
-        return patch_stamp(
+        # Stamp ONLY the columns the batch actually carries, then
+        # align the rest in STAMPED space (NULL value + NULL stamp =
+        # "never carried"). Aligning BEFORE stamping would be wrong
+        # under a marker: a NULL value reads as an explicit NULL WRITE
+        # (the Debezium set-to-NULL contract), silently clobbering
+        # carried values at the batch's positions.
+        carried = [c for c in self.patch_cols if c in df.columns]
+        df = patch_stamp(
             df,
             self.order_cols,
-            self.patch_cols,
+            carried,
             self.unchanged_marker,
             absent_if=F.col("op") == "delete",
         )
+        return self._align_patch(df)
 
     def _reduce(
         self, df: DataFrame, keys: list[str], manifest: dict | None = None
@@ -451,7 +456,7 @@ class ParquetSnapshotSink:
         version, not today's)."""
         patch_cols, _ = self._patch_conf(manifest)
         if patch_cols:
-            df = self._align_patch(df, stamped=True, manifest=manifest)
+            df = self._align_patch(df, manifest=manifest)
             return lww_patch_stamped(df, keys, self.order_cols, patch_cols)
         return lww_agg(df, keys, self.order_cols)
 
@@ -854,6 +859,12 @@ class ParquetSnapshotSink:
             unknown = [c for c in columns if c not in known]
             if unknown:
                 raise ValueError(f"unknown columns: {unknown}")
+            meta_req = [c for c in columns if c in META_COLS]
+            if meta_req and not include_meta:
+                raise ValueError(
+                    f"meta columns {meta_req} require include_meta=True "
+                    "(they would otherwise be silently dropped)"
+                )
             kept_patch = [c for c in (conf_patch or []) if c in columns]
             keep = list(dict.fromkeys(
                 [*self.keys, *self.order_cols, "op", *columns]
@@ -874,7 +885,7 @@ class ParquetSnapshotSink:
             # single-level chain: no reduction runs, but the output
             # schema must still carry evolved patch columns (typed
             # NULL for levels written before the evolution)
-            df = self._align_patch(df, stamped=True, manifest=conf)
+            df = self._align_patch(df, manifest=conf)
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")
         if not include_meta:
@@ -936,7 +947,14 @@ class ParquetSnapshotSink:
             p for p in self._all_paths(to_manifest) if p not in from_paths
         ]
         if not new_paths:
-            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+            # metadata-only window (config evolution / vacuum): no
+            # candidate files, but return the TABLE's own typed schema
+            # (one stored footer) so an empty feed still type-checks
+            # downstream for any key/order layout — not the legacy
+            # default-schema sentinel.
+            return self._read_bucket_paths(
+                self._all_paths(to_manifest)[:1]
+            ).limit(0)
 
         cand = self._read_bucket_paths(new_paths).filter(
             F.col(self.keys[0]).isNotNull()

@@ -90,9 +90,18 @@ def sync_mirror(
     if to_v <= from_v:
         return {"skipped": True, "reason": "up-to-date", "at_version": from_v}
 
+    # Refresh the SOURCE handle's config from the manifest being
+    # synced: a long-lived mirror job may hold a handle built before
+    # another writer ran evolve_patch_cols, and version/feed reads go
+    # to the filesystem while patch config sits on the handle — a
+    # stale handle here would silently merge evolved columns
+    # row-level on the mirror (the same reason every sink entry point
+    # calls _adopt).
+    src._adopt(src.manifest_at(to_v) or {})
     # adopt the source's patch config (incl. mid-stream evolution)
-    # BEFORE applying: merging a stamped feed row-level — or under a
-    # stale column set — would corrupt column-level carry-forward.
+    # onto the MIRROR before applying: merging a stamped feed
+    # row-level — or under a stale column set — would corrupt
+    # column-level carry-forward.
     src_patch = list(src.patch_cols or [])
     dst_patch = list(dst.patch_cols or [])
     missing = [c for c in src_patch if c not in dst_patch]
@@ -109,18 +118,16 @@ def sync_mirror(
         )
 
     feed = src.read_changes(from_v, to_v)
-    if key_filter is not None and "op" in feed.columns:
-        feed = feed.filter(key_filter)
     if "op" not in feed.columns:
-        # metadata-only window (vacuum / config evolution, no new data
-        # files): read_changes returns the empty sentinel frame, which
-        # lacks op/seq. Commit the window's batch id over an empty
-        # change set so the high-water mark still advances.
-        from pyspark.sql import functions as F
-
-        feed = feed.withColumn("op", F.lit(None).cast("string")).withColumn(
-            "seq", F.lit(None).cast("long")
-        )
+        # The source has never stored a data file (empty table whose
+        # versions advanced via config-only commits): read_changes has
+        # no typed schema to return and yields the legacy sentinel.
+        # Nothing to sync and nothing to type an empty apply with —
+        # leave the mark where it is; the window re-widens from the
+        # same from_v once data exists.
+        return {"skipped": True, "reason": "empty-source", "at_version": from_v}
+    if key_filter is not None:
+        feed = feed.filter(key_filter)
     res = dst.apply(feed, f"{MIRROR_PREFIX}{from_v}-{to_v}")
     return {
         "from_version": from_v,

@@ -65,9 +65,21 @@ def resolved_patch_state(
     missing = [c for c in [*keys, *order_cols, "op", *patch_cols] if c not in by_name]
     if missing:
         raise ValueError(f"columns absent from the stream: {missing}")
-    bad = [c for c in patch_cols if by_name[c].startswith("map")]
+    # Stricter than the batch operator: lww_patch handles array-typed
+    # patch columns (Spark arrays are orderable), but this operator's
+    # per-group pandas merge uses scalar NULL checks (pd.isna) and
+    # scalar state slots — container values would crash or corrupt
+    # state mid-stream. Reject them up front.
+    bad = [
+        c for c in patch_cols
+        if by_name[c].partition("<")[0] in ("map", "array", "struct")
+    ]
     if bad:
-        raise ValueError(f"map-typed columns cannot be patch columns: {bad}")
+        raise ValueError(
+            f"non-scalar columns cannot be patch columns here: {bad} "
+            "(streaming state holds scalar slots; use the batch "
+            "lww_patch or the patch-mode sink for container types)"
+        )
 
     out_schema = ", ".join(
         f"{c} {by_name[c]}" for c in [*keys, "op", *order_cols, *patch_cols]

@@ -442,3 +442,29 @@ def test_promote_stamp_exprs_no_marker(spark):
     got = {tuple(str(x) for x in r) for r in via_sql.select(*cols).collect()}
     want = {tuple(str(x) for x in r) for r in via_engine.collect()}
     assert got == want
+
+
+def test_evolve_patch_cols_sqls_reentrant_and_single_update():
+    """Crash-retry contract: with the LIVE schema (value + stamp
+    columns already added) passed as existing_cols, re-running emits
+    no duplicate ADD COLUMNs — just the idempotent promotion UPDATE +
+    property commit. Multi-column promotion rides ONE UPDATE (one
+    full-table rewrite, not one per column)."""
+    from embulk_util_json_spark.sinks.iceberg import evolve_patch_cols_sqls
+
+    ords = [("ts", "timestamp"), ("seq", "bigint")]
+    cols = {"role": "string", "text": "string", "tool": "string"}
+    base = ["conv_id", "turn_idx", "ts", "seq", "op", "role", "text", "tool"]
+    first = evolve_patch_cols_sqls(
+        TABLE, cols, ords, "__u__", base, sorted(cols)
+    )
+    updates = [s for s in first if s.startswith("UPDATE")]
+    assert len(updates) == 1
+    for c in cols:
+        assert f"_po_{c} = " in updates[0] and f" {c} = CASE" in updates[0]
+    # retry with live schema: stamps already added
+    live = base + [f"_po_{c}" for c in cols]
+    retry = evolve_patch_cols_sqls(TABLE, cols, ords, "__u__", live, sorted(cols))
+    assert not any("ADD COLUMN" in s for s in retry)
+    assert [s for s in retry if s.startswith("UPDATE")] == updates
+    assert retry[-1].startswith(f"ALTER TABLE {TABLE} SET TBLPROPERTIES")

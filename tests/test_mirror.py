@@ -167,3 +167,66 @@ def test_selective_mirror_key_filter(spark):
     # replay safety: re-sync is a skip, filtered state unchanged
     assert sync_mirror(src, dst, key_filter=pred).get("reason") == "up-to-date"
     assert _state(dst) == want
+
+
+def test_mirror_sync_with_stale_source_handle(spark):
+    """The sync must read the SOURCE's patch config from the manifest
+    being synced, not the in-memory handle: a mirror job holding a
+    handle built before another writer evolved the table would
+    otherwise merge evolved columns row-level on the mirror —
+    silently."""
+    rows = _stream(n=120)
+    early = [r[:7] for r in rows[:60]]
+    late = rows[60:]
+    early_schema = _SCHEMA.rsplit(",", 1)[0]
+    src = _sink(spark, patch_cols=["role", "text"], unchanged_marker=M)
+    stale_src = ParquetSnapshotSink(
+        spark, src.root, keys=KEYS, order_cols=ORDER, mode="mor"
+    )
+    dst = _sink(spark, patch_cols=["role", "text"], unchanged_marker=M)
+    src.apply(spark.createDataFrame(early, early_schema), "e0")
+    sync_mirror(stale_src, dst)
+    # evolution happens through ANOTHER handle
+    src.evolve_patch_cols({"tool": "string"})
+    src.apply(spark.createDataFrame(late, _SCHEMA), "l0")
+    r = sync_mirror(stale_src, dst)  # stale handle drives the sync
+    assert not r["skipped"]
+    assert dst.patch_cols == ["role", "text", "tool"]
+    assert _state(dst) == _state(src)
+
+
+def test_mirror_custom_keys_metadata_only_window(spark):
+    """Metadata-only windows must type-check for ANY key layout: the
+    empty feed carries the table's own stored schema, not a
+    hardcoded default-table sentinel."""
+    schema = "user_id string, ts long, seq long, op string, score string"
+    def sink():
+        return ParquetSnapshotSink(
+            spark, _scratch(), num_buckets=2, mode="mor",
+            keys=["user_id"], order_cols=ORDER,
+            patch_cols=["score"], unchanged_marker=M,
+        )
+    src, dst = sink(), sink()
+    src.apply(spark.createDataFrame(
+        [("u1", 1, 1, "insert", "9")], schema), "b0")
+    sync_mirror(src, dst)
+    src.evolve_patch_cols({"extra": "string"})  # metadata-only window
+    r = sync_mirror(src, dst)
+    assert not r.get("skipped") or r.get("reason") != "empty-source"
+    assert last_synced_version(dst) == src.current_version()
+
+
+def test_mirror_empty_source_does_not_advance(spark):
+    """Config-only commits on a table that has never stored data:
+    nothing to sync and nothing to type an apply with — the sync
+    skips WITHOUT advancing, and resumes cleanly once data exists."""
+    src = _sink(spark, patch_cols=["role", "text"], unchanged_marker=M)
+    dst = _sink(spark, patch_cols=["role", "text"], unchanged_marker=M)
+    src.evolve_patch_cols({"tool": "string"})  # version 1, no data
+    r = sync_mirror(src, dst)
+    assert r.get("reason") == "empty-source"
+    assert last_synced_version(dst) == 0
+    rows = _stream(n=30)
+    src.apply(spark.createDataFrame(rows, _SCHEMA), "b0")
+    sync_mirror(src, dst)
+    assert _state(dst) == _state(src)

@@ -450,3 +450,43 @@ def test_streaming_e2e_promotion_between_restarts(spark, tmp_path):
         # carried pre-promotion (markers stamped to absent)
         ("c2", 5): ("asst", "revived", "browser"),
     }
+
+
+def test_extras_resident_patch_col_sparse_batches(spark):
+    """A patch column that only ever arrives inside ``_extras``: the
+    extraction records its type, so a later batch carrying neither the
+    column nor the map still aligns instead of raising."""
+    sink = _sink(spark, "mor", patch_cols=("role", "text", "model"))
+    schema_extras = (
+        "conv_id string, turn_idx int, ts long, seq long, op string, "
+        "role string, text string, _extras map<string,string>"
+    )
+    schema_bare = (
+        "conv_id string, turn_idx int, ts long, seq long, op string, "
+        "role string, text string"
+    )
+    sink.apply(spark.createDataFrame(
+        [("c1", 0, 1, 1, "insert", "user", "hi", {"model": "m-base"})],
+        schema_extras), "b0")
+    assert sink.current_manifest()["patch_types"]["model"] == "string"
+    # neither `model` nor `_extras` in this batch — must align, not raise
+    sink.apply(spark.createDataFrame(
+        [("c1", 0, 2, 2, "update", M, "hi v2", )],
+        schema_bare.replace("text string", "text string")  # no-op, clarity
+        ), "b1")
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.model)
+        for r in sink.read().collect()
+    }
+    assert got == {("c1", 0): ("user", "hi v2", "m-base")}
+
+
+def test_read_columns_meta_requires_include_meta(spark):
+    sink = _sink(spark, "mor")
+    early, _ = _stream(n=30)
+    sink.apply(spark.createDataFrame(early, _EARLY_SCHEMA), "b0")
+    with pytest.raises(ValueError, match="include_meta"):
+        sink.read(columns=["text", "seq"])
+    # with include_meta the meta column survives
+    df = sink.read(columns=["text", "seq"], include_meta=True)
+    assert "seq" in df.columns
