@@ -490,3 +490,45 @@ def test_read_columns_meta_requires_include_meta(spark):
     # with include_meta the meta column survives
     df = sink.read(columns=["text", "seq"], include_meta=True)
     assert "seq" in df.columns
+
+
+def test_evolution_loses_occ_race_cleanly_and_retries(spark, tmp_path):
+    """evolve_patch_cols racing a concurrent apply: the loser raises
+    ConcurrentCommitError (no torn manifest), and a plain retry
+    succeeds — the re-read manifest carries the competitor's batch and
+    the evolution lands on the next free version."""
+    import json as _json
+
+    from embulk_util_json_spark.sinks.snapshot import ConcurrentCommitError
+
+    early, late = _stream(n=60)
+    sink = _sink(spark, "mor")
+    sink.apply(spark.createDataFrame(early, _EARLY_SCHEMA), "e0")
+
+    stolen = {"done": False}
+    orig_commit = sink._commit
+
+    def stealing_commit(manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            m = sink.current_manifest()
+            with open(sink._manifest_path(manifest["version"]), "w") as fh:
+                _json.dump(
+                    {**m, "version": manifest["version"],
+                     "batch_ids": m["batch_ids"] + ["writer-b"]}, fh)
+        orig_commit(manifest)
+
+    sink._commit = stealing_commit
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ConcurrentCommitError):
+            sink.evolve_patch_cols({"tool": "string"})
+        # retry: manifest re-read, evolution lands cleanly
+        res = sink.evolve_patch_cols({"tool": "string"})
+        assert res["patch_cols"] == ["role", "text", "tool"]
+    finally:
+        sink._commit = orig_commit
+    assert "writer-b" in sink.current_manifest()["batch_ids"]
+    sink.apply(spark.createDataFrame(late, _LATE_SCHEMA), "l0")
+    assert _as_set(_visible(sink)) == _as_set(_oracle(spark, early, late))
