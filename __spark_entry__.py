@@ -840,6 +840,61 @@ def _q_cdc_mirror_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_debezium_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical partial-update ingest path end-to-end: the
+    marker-patterned change stream re-wrapped into Debezium wire
+    envelopes (string row images, ``source.ts_us`` for lossless event
+    time), parsed back through the Debezium adapter, and applied in
+    two micro-batches through a patch-mode MOR sink whose
+    ``unchanged_marker`` is the placeholder the wire carries — the
+    Postgres TOAST / ``unavailable.value.placeholder`` contract.
+    Adapter round-trip preserves the marker / explicit-NULL / value
+    trichotomy byte-for-byte (strings pass through untouched), so the
+    oracle is the same full-history column-level LWW as
+    ``cdc_patch_final_state``."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.debezium import parse_debezium_events
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    patched = _patchify(parse_change_events(_events_as_cdc_json(spark, sf_dir)))
+    is_del = F.col("op") == "delete"
+    data = F.create_map(
+        F.lit("conv_id"), F.col("conv_id"),
+        F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+        F.lit("role"), F.col("role"),
+        F.lit("text"), F.col("text"),
+        F.lit("tool"), F.col("tool"),
+    )
+    op_code = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.when(is_del, data).alias("before"),
+            F.when(~is_del, data).alias("after"),
+            F.struct(
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.lit("transcripts").alias("table"),
+            ).alias("source"),
+            op_code.alias("op"),
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+        )
+    )
+    wire = patched.select("seq", envelope.alias("event_json"))
+    changes = parse_debezium_events(wire)
+    work = _scratch("dbz_patch_")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        patch_cols=["role", "text", "tool"], unchanged_marker=_PATCH_MARKER,
+    )
+    for i in range(2):
+        sink.apply(changes.filter(F.col("seq") % 2 == i), f"b{i}")
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew advisor, hot-key view: top-20 hottest conversations in the
     change stream with exact count, share, and the per-key salt factor
@@ -2194,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_evolution_final_state": _q_cdc_patch_evolution_final_state,
         "cdc_patch_promote_final_state": _q_cdc_patch_promote_final_state,
         "cdc_mirror_final_state": _q_cdc_mirror_final_state,
+        "cdc_debezium_patch_final_state": _q_cdc_debezium_patch_final_state,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_seq_gaps": _q_cdc_seq_gaps,
         "cdc_seq_summary": _q_cdc_seq_summary,
@@ -2298,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_evolution_final_state": _ORACLE_CDC_PATCH_EVOLUTION,
         "cdc_patch_promote_final_state": _ORACLE_CDC_PATCH_PROMOTE,
         "cdc_mirror_final_state": _ORACLE_CDC_FINAL,
+        "cdc_debezium_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_seq_gaps": _seq_gaps_oracle(),
         "cdc_seq_summary": _seq_summary_oracle(),
