@@ -41,6 +41,28 @@ def work_base() -> str:
     return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
 
 
+def stop_spark_with_watchdog(spark, timeout_sec: int = 60) -> None:
+    """Stop the session without letting a hung JVM teardown stall the
+    caller. Observed on this host: after large sessions (many cached
+    plans / streaming queries), ``spark.stop()`` can block
+    indefinitely in py4j shutdown — with every result already printed.
+    The driver invokes these tools and WAITS on them, so a teardown
+    hang would stall a whole round. Stop on a daemon thread, give it
+    ``timeout_sec``, then exit the process hard: all output is flushed
+    first, and the orphaned JVM dies with the process group."""
+    import os
+    import sys
+    import threading
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    t = threading.Thread(target=spark.stop, daemon=True)
+    t.start()
+    t.join(timeout=timeout_sec)
+    if t.is_alive():
+        os._exit(0)
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -216,7 +238,7 @@ def main() -> None:
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        spark.stop()
+        stop_spark_with_watchdog(spark)
 
 
 if __name__ == "__main__":

@@ -123,7 +123,16 @@ def main() -> int:
             for a, b in diffs:
                 print(f"    spark : {a[:200]}")
                 print(f"    oracle: {b[:200]}")
-    spark.stop()
+    import threading
+
+    # teardown watchdog: a hung spark.stop() (observed after large
+    # sessions) must not stall the caller — results are already printed
+    import sys as _sys
+    _sys.stdout.flush()
+    _t = threading.Thread(target=spark.stop, daemon=True)
+    _t.start(); _t.join(timeout=60)
+    if _t.is_alive():
+        os._exit(1 if failures else 0)
     return 1 if failures else 0
 
 

@@ -161,7 +161,16 @@ def main() -> None:
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        spark.stop()
+        import sys as _sys
+    import threading as _th
+
+    _sys.stdout.flush()
+    _t = _th.Thread(target=spark.stop, daemon=True)
+    _t.start(); _t.join(timeout=60)
+    if _t.is_alive():
+        import os as _os
+
+        _os._exit(0)  # hung JVM teardown must not stall the caller
 
 
 if __name__ == "__main__":

@@ -47,7 +47,16 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
+    import sys as _sys
+    import threading as _th
+
+    _sys.stdout.flush()
+    _t = _th.Thread(target=spark.stop, daemon=True)
+    _t.start(); _t.join(timeout=60)
+    if _t.is_alive():
+        import os as _os
+
+        _os._exit(0)  # hung JVM teardown must not stall the caller
 
 
 if __name__ == "__main__":
