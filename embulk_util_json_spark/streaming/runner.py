@@ -281,10 +281,27 @@ def bootstrap_snapshot(
     ``_extras`` map so every stored level keeps the homogeneous
     (base + extras) shape the parsed-batch path writes — mixed
     real-column/extras levels would break read()'s materialization.
+
+    PATCH-MODE handoff: when the receiving sink merges column-level
+    and the snapshot carries ``_po_<col>`` stamps (hand over from
+    another patch sink with ``include_meta=True``), the stamps pass
+    through as real columns — the seeded rows re-enter the merge at
+    the positions their column values were actually written, so the
+    handoff stays bit-exact even when tail events arrive with OLDER
+    event time than the snapshot rows (folding stamps away would
+    collapse every column to the row position — the promotion
+    semantics — which is only final-state-exact for in-order tails).
     """
+    from ..operators.lww import PATCH_ORD_PREFIX
+
     cols = snapshot.columns
     base_names = [n for n, _ in BASE_DATA_FIELDS]
-    known = set(base_names) | {"op", "ts", "seq", EXTRAS_COL}
+    stamp_cols = [
+        PATCH_ORD_PREFIX + c
+        for c in (sink.patch_cols or [])
+        if PATCH_ORD_PREFIX + c in cols
+    ]
+    known = set(base_names) | {"op", "ts", "seq", EXTRAS_COL} | set(stamp_cols)
     extra_src = [c for c in cols if c not in known]
 
     out = snapshot
@@ -329,7 +346,7 @@ def bootstrap_snapshot(
         )
     out = out.select(
         "op", F.col("ts").cast("timestamp").alias("ts"), "seq",
-        *base_names, EXTRAS_COL,
+        *base_names, EXTRAS_COL, *stamp_cols,
     )
     return sink.apply(out, batch_id or f"bootstrap-seq-{watermark_seq}")
 

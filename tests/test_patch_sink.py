@@ -370,3 +370,58 @@ def test_patch_sink_with_schema_evolution_extras(spark, tmp_path):
         for k, v in oracle.items()
     }
     assert got == want
+
+
+def test_bootstrap_handoff_preserves_column_positions(spark):
+    """Snapshot → tail handoff BETWEEN PATCH SINKS: the seeded rows
+    must re-enter the merge at the positions their column values were
+    written (stamps ride the snapshot), not at the row-winner position
+    — a tail patch with event time between a column's last write and
+    the row winner must WIN that column, exactly as in a full replay.
+    Collapsing stamps at the handoff would make it lose."""
+    from pyspark.sql import functions as F2
+
+    from embulk_util_json_spark.streaming.runner import bootstrap_snapshot
+
+    def tdf(rows):
+        return _df(spark, rows).withColumn(
+            "ts", F2.timestamp_seconds(F2.col("ts"))
+        )
+
+    prefix = [
+        # key (c1,0): tool last written at ts=3; row winner at ts=33
+        ("c1", 0, 3, 10, "insert", "user", "t1", "x"),
+        ("c1", 0, 33, 100, "update", M, "t2", M),
+        # key (c2,1): plain history + a delete to carry through
+        ("c2", 1, 4, 11, "insert", "asst", "hi", "z"),
+        ("c2", 1, 30, 90, "delete", None, None, None),
+    ]
+    tail = [
+        # ts=5: OLDER than (c1,0)'s row winner but NEWER than tool's
+        # last write -> must win tool, lose text
+        ("c1", 0, 5, 130, "update", M, "stale", "y"),
+        # revival patch for the tombstoned key
+        ("c2", 1, 35, 131, "update", M, "revived", M),
+    ]
+    a = _sink(spark, "mor")
+    a.apply(tdf(prefix), "p0")
+    b = _sink(spark, "mor")
+    bootstrap_snapshot(
+        b, a.read(include_tombstones=True, include_meta=True), 100
+    )
+    for s, name in ((a, "a"), (b, "b")):
+        s.apply(tdf(tail), f"tail-{name}")
+
+    want = _as_set(
+        lww_patch(
+            tdf(prefix + tail), KEYS, ORDER, PATCH,
+            unchanged_marker=M, absent_if=F2.col("op") == "delete",
+        ).filter(F2.col("op") != "delete").select(
+            "conv_id", "turn_idx", "role", "text", "tool"
+        )
+    )
+    assert _as_set(_visible(b)) == _as_set(_visible(a)) == want
+    # the discriminating cell: tool won by the out-of-order tail patch
+    got = {(r[0], r[1]): r for r in _as_set(_visible(b))}
+    assert got[("c1", 0)] == ("c1", 0, "user", "t2", "y")
+    assert got[("c2", 1)] == ("c2", 1, "asst", "revived", "z")
