@@ -230,3 +230,19 @@ def test_mirror_empty_source_does_not_advance(spark):
     src.apply(spark.createDataFrame(rows, _SCHEMA), "b0")
     sync_mirror(src, dst)
     assert _state(dst) == _state(src)
+
+
+def test_mirror_chain_replication(spark):
+    """Fan-out topology A → B → C: a mirror is a normal sink, so its
+    own change feed drives a second-hop mirror; after lagged syncs at
+    both hops the leaf equals the source."""
+    rows = _stream(n=120)
+    a, b, c = _sink(spark), _sink(spark), _sink(spark)
+    bs = [rows[i::3] for i in range(3)]
+    for i, batch in enumerate(bs):
+        a.apply(spark.createDataFrame(batch, _SCHEMA), f"b{i}")
+        sync_mirror(a, b)
+        if i == 2:  # leaf syncs lag: one window covers all B versions
+            sync_mirror(b, c)
+    assert _state(c) == _state(b) == _state(a)
+    assert sync_mirror(b, c).get("reason") == "up-to-date"
