@@ -895,6 +895,41 @@ def _q_cdc_debezium_patch_final_state(spark: SparkSession, sf_dir: str) -> DataF
     return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned table read: replay into the sink, then read ONLY
+    (keys, text) — the projection is applied BEFORE the LWW merge
+    (Catalyst cannot prune through ``max_by(struct(<all payload>))``),
+    so the parquet scan's ReadSchema omits role/tool/ts entirely
+    (plan-asserted in tests). At 100 TB this is the difference between
+    scanning 2 columns and scanning the table."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir)).select(
+        "seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    work = _scratch("proj_read_")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    for i in range(2):
+        sink.apply(changes.filter(F.col("seq") % 2 == i), f"b{i}")
+    return sink.read(columns=["text"])
+
+
+_ORACLE_CDC_PROJECTED = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew advisor, hot-key view: top-20 hottest conversations in the
     change stream with exact count, share, and the per-key salt factor
@@ -2250,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_promote_final_state": _q_cdc_patch_promote_final_state,
         "cdc_mirror_final_state": _q_cdc_mirror_final_state,
         "cdc_debezium_patch_final_state": _q_cdc_debezium_patch_final_state,
+        "cdc_projected_read": _q_cdc_projected_read,
         "cdc_dlq_repair_final_state": _q_cdc_dlq_repair_final_state,
         "cdc_seq_gaps": _q_cdc_seq_gaps,
         "cdc_seq_summary": _q_cdc_seq_summary,
@@ -2355,6 +2391,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_promote_final_state": _ORACLE_CDC_PATCH_PROMOTE,
         "cdc_mirror_final_state": _ORACLE_CDC_FINAL,
         "cdc_debezium_patch_final_state": _ORACLE_CDC_PATCH_FINAL,
+        "cdc_projected_read": _ORACLE_CDC_PROJECTED,
         "cdc_dlq_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_seq_gaps": _seq_gaps_oracle(),
         "cdc_seq_summary": _seq_summary_oracle(),
