@@ -145,3 +145,50 @@ def test_late_refresh_converges(spark, tmp_path):
         for r in assemble_conversations(sink.read()).collect()
     }
     assert _view_state(view) == oracle
+
+
+def test_view_over_patch_mode_base(spark, tmp_path):
+    """Incremental view maintenance over a PATCH-MODE base table: the
+    probe-pruned source read merges column-level (carry-forward
+    through markers and tombstones), so the assembled documents equal
+    reassembling the full-history lww_patch state."""
+    from embulk_util_json_spark.operators.lww import lww_patch
+
+    M = "__u__"
+    ddl = ("conv_id string, turn_idx int, ts long, seq long, "
+           "op string, role string, text string, tool string")
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "hello", "search"),
+        ("c1", 1, 1, 2, "insert", "asst", "hi", None),
+        ("c2", 0, 1, 3, "insert", "user", "yo", None),
+        # batch 2: partial updates + a delete
+        ("c1", 0, 2, 4, "update", M, "hello v2", M),
+        ("c2", 0, 2, 5, "delete", None, None, None),
+        # batch 3: revival patch carries pre-delete role forward
+        ("c2", 0, 3, 6, "update", M, "revived", M),
+    ]
+    base = ParquetSnapshotSink(
+        spark, str(tmp_path / "base"), num_buckets=2, mode="mor",
+        patch_cols=["role", "text", "tool"], unchanged_marker=M,
+    )
+    view = IncrementalConversationView(spark, base, str(tmp_path / "view"))
+    for i, batch in enumerate([rows[:3], rows[3:5], rows[5:]]):
+        df = spark.createDataFrame(batch, ddl)
+        base.apply(df, f"b{i}")
+        view.refresh(df.select("conv_id"), f"b{i}:view")
+
+    final = lww_patch(
+        spark.createDataFrame(rows, ddl),
+        ["conv_id", "turn_idx"], ["ts", "seq"], ["role", "text", "tool"],
+        unchanged_marker=M, absent_if=F.col("op") == "delete",
+    ).filter(F.col("op") != "delete")
+    want = {
+        (r.conv_id, r.document, r.n_turns)
+        for r in assemble_conversations(final).collect()
+    }
+    got = {tuple(r) for r in view.read().collect()}
+    assert got == want
+    # carry-forward reached the document: revived c2 kept role 'user'
+    docs = {r.conv_id: r.document for r in view.read().collect()}
+    assert "user: revived" in docs["c2"]
+    assert "user: hello v2" in docs["c1"]
