@@ -249,3 +249,40 @@ def test_patch_evolution_alignment_equals_full_history(spark, events, cut, seed)
         for r in lww_patch(df, ["key"], ["ts", "seq"], ["a", "b"], _M).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        _patch_event, min_size=1, max_size=20,
+        unique_by=lambda e: (e[0], e[1], e[2]),
+    ),
+    salt=st.integers(2, 8),
+    dup_idx=st.lists(st.integers(0, 19), max_size=4),
+)
+def test_lww_patch_salted_equals_plain_for_any_salt(spark, events, salt, dup_idx):
+    """The two-stage salted split of the column-level reduction must be
+    invisible for ANY salt bucket count and under duplicate delivery —
+    the associativity/commutativity the skew split rests on."""
+    from embulk_util_json_spark.operators.lww import lww_patch, lww_patch_salted
+
+    rows = list(events) + [events[i % len(events)] for i in dup_idx]
+    df = spark.createDataFrame(
+        rows, "key string, ts int, seq int, a string, b string"
+    )
+    plain = {
+        r.key: (r.a, r.b)
+        for r in lww_patch(df, ["key"], ["ts", "seq"], ["a", "b"], _M).collect()
+    }
+    salted = {
+        r.key: (r.a, r.b)
+        for r in lww_patch_salted(
+            df, ["key"], ["ts", "seq"], ["a", "b"], _M,
+            salt_buckets=salt,
+        ).collect()
+    }
+    assert salted == plain == _patch_oracle(events)
