@@ -235,7 +235,34 @@ def main() -> None:
             "sink_mode": replay["sink_mode"],
             "replay_runs_sec": replay["replay_runs_sec"],
         }
-        print(json.dumps(out))
+        # Full per-query timings -> a sidecar file; the FINAL stdout
+        # line stays compact. Round 3's single ~3 KB JSON line outgrew
+        # the driver's tail capture (BENCH_r03.json "parsed": null —
+        # the captured tail began mid-dict), so the headline line now
+        # carries only the replay metric plus the slowest queries and a
+        # pointer to the sidecar with everything.
+        qfile = os.environ.get(
+            "BENCH_QUERIES_FILE",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH",
+                "queries_latest.json",
+            ),
+        )
+        try:
+            os.makedirs(os.path.dirname(qfile), exist_ok=True)
+            with open(qfile, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+        except OSError:
+            qfile = None
+        headline = dict(out)
+        if len(qtimes) > 12:
+            slowest = sorted(qtimes.items(), key=lambda kv: -kv[1])[:8]
+            headline["queries"] = dict(slowest)
+        headline["n_queries"] = len(qtimes)
+        headline["queries_sec_total"] = round(sum(qtimes.values()), 3)
+        headline["queries_file"] = qfile
+        print(json.dumps(headline))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         stop_spark_with_watchdog(spark)

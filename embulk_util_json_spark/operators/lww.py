@@ -144,9 +144,18 @@ def patch_present(
 ) -> Column:
     """The "this row carries this column" predicate shared by
     ``lww_patch`` and ``patch_stamp`` (semantics documented on
-    ``lww_patch``)."""
+    ``lww_patch``).
+
+    The marker comparison runs in STRING space: ``col != lit(marker)``
+    on a non-string column would coerce the marker to the column type
+    (NULL for a non-numeric marker), making the predicate NULL for
+    every non-null value — ``F.when`` then reads every write as absent
+    and the column silently never updates. ``cast("string")`` is the
+    identity on string columns and gives non-string columns the
+    correct semantics: a value whose string form never equals the
+    marker is always present."""
     if unchanged_marker is not None:
-        present = col.isNull() | (col != F.lit(unchanged_marker))
+        present = col.isNull() | (col.cast("string") != F.lit(unchanged_marker))
     else:
         present = col.isNotNull()
     if absent_if is not None:

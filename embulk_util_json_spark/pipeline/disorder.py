@@ -230,7 +230,11 @@ def seq_continuity_summary_sql(changes_sql: str, seq_col: str = "seq") -> str:
         ),
         g AS (
             SELECT COUNT(*) AS n_gaps,
-                   COALESCE(SUM(seq - prev - 1), 0) AS n_missing
+                   -- DuckDB SUM(BIGINT) returns HUGEINT (Arrow
+                   -- decimal128); Spark emits int64 — CAST so the
+                   -- driver's value hash canonicalizes identically.
+                   CAST(COALESCE(SUM(seq - prev - 1), 0) AS BIGINT)
+                       AS n_missing
             FROM l WHERE seq > prev + 1
         )
         SELECT n_rows, n_distinct, lo, hi, n_dup_rows, n_gaps, n_missing
@@ -254,7 +258,9 @@ def disorder_summary_sql(changes_sql: str, ts_col: str = "ts",
         ),
         l AS (SELECT date_diff('microsecond', ts, run) AS late_us FROM r)
         SELECT COUNT(*) AS n_events,
-               SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+               -- CAST: DuckDB SUM -> HUGEINT, Spark -> int64.
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
                CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
                    / COUNT(*) AS frac_late,
                MAX(late_us) / 1e6 AS max_lateness_sec,

@@ -55,17 +55,25 @@ def key_histogram(
     and the per-key salt factor for a ``parallelism``-partition stage."""
     c = _with_total(_key_counts(df, keys))
     salt = F.expr(f"div(n_rows * {int(parallelism)} + _total - 1, _total)")
-    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
-    return (
+    order = [F.col("n_rows").desc(), *[F.col(k) for k in keys]]
+    # Top-k FIRST via orderBy+limit — Spark plans this as
+    # TakeOrderedAndProject (per-partition heap + driver merge of k
+    # rows), never a single-task global sort over the per-key count
+    # frame (one row per distinct key = billions at 100 TB). Only the
+    # ≤ top_k surviving rows pass through the ranking window, so the
+    # unpartitioned row_number is metadata-sized by construction.
+    top = (
         c.select(
             *keys,
             "n_rows",
             (F.col("n_rows") / F.col("_total")).alias("share"),
             F.greatest(salt, F.lit(1)).cast("long").alias("salt"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        .orderBy(*order)
+        .limit(int(top_k))
     )
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def key_histogram_sql(changes_sql: str, keys: list[str], top_k: int = 20,
@@ -83,10 +91,12 @@ def key_histogram_sql(changes_sql: str, keys: list[str], top_k: int = 20,
         ranked AS (
             SELECT {key_cols}, n_rows,
                    CAST(n_rows AS DOUBLE) / _total AS share,
-                   GREATEST(
+                   -- CAST: _total is a DuckDB SUM (HUGEINT), which
+                   -- infects the integer arithmetic; Spark emits int64.
+                   CAST(GREATEST(
                        (n_rows * {int(parallelism)} + _total - 1) // _total,
                        1
-                   ) AS salt,
+                   ) AS BIGINT) AS salt,
                    ROW_NUMBER() OVER (ORDER BY {order}) AS rank
             FROM counts, t
         )
@@ -116,7 +126,7 @@ def skew_summary_sql(changes_sql: str, keys: list[str]) -> str:
             SELECT {key_cols}, COUNT(*) AS n_rows
             FROM changes GROUP BY {key_cols}
         )
-        SELECT SUM(n_rows) AS n_rows,
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n_rows,
                COUNT(*) AS n_keys,
                MAX(n_rows) AS max_key_rows,
                CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) AS avg_key_rows,

@@ -241,10 +241,11 @@ def truncate_to_budget_sql(table_sql: str, budget: int) -> str:
         SELECT conv_id, turn_idx, role, text, n_tokens, cum_tokens
         FROM (
             SELECT conv_id, turn_idx, role, text, n_tokens,
-                   SUM(n_tokens) OVER (
+                   -- CAST: DuckDB window SUM -> HUGEINT, Spark -> int64.
+                   CAST(SUM(n_tokens) OVER (
                        PARTITION BY conv_id ORDER BY turn_idx DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_tokens
+                   ) AS BIGINT) AS cum_tokens
             FROM (
                 SELECT conv_id, turn_idx, role, text,
                        CAST(len(regexp_extract_all(

@@ -523,6 +523,51 @@ class IcebergSink:
         # batch (recorded by evolve_patch_cols; the live table schema
         # is the fallback) — the snapshot sink's patch_types twin.
         self.patch_types: dict[str, str] = {}
+        # Patch config is TABLE state (the ParquetSnapshotSink._adopt
+        # contract): a writer constructed without patch_cols on a
+        # patch-mode table would run the row-level MERGE and clobber
+        # per-column carry-forward. Adopt the committed properties,
+        # raising on conflict with constructor args.
+        self._adopt_table_props()
+
+    def _adopt_table_props(self) -> None:
+        """Read ``engine.patch_cols`` / ``engine.unchanged_marker``
+        back from the table (written by :func:`patch_props_sql` at
+        create/evolve time) and adopt them. No-op when the table does
+        not exist yet (first ``ensure_tables`` publishes this
+        handle's config). Conflicting constructor args raise — a
+        silent override in either direction corrupts the table."""
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.table}"
+            ).collect()
+        except Exception:
+            return  # table not created yet
+        props = {r["key"]: r["value"] for r in rows}
+        stored = props.get("engine.patch_cols")
+        if stored is None:
+            return
+        stored_cols = [c for c in stored.split(",") if c]
+        stored_marker = props.get("engine.unchanged_marker")
+        if self.patch_cols is not None and sorted(self.patch_cols) != sorted(
+            stored_cols
+        ):
+            raise ValueError(
+                f"patch_cols {self.patch_cols} conflict with the table's "
+                f"committed engine.patch_cols {stored_cols}"
+            )
+        if (
+            self.unchanged_marker is not None
+            and stored_marker is not None
+            and self.unchanged_marker != stored_marker
+        ):
+            raise ValueError(
+                f"unchanged_marker {self.unchanged_marker!r} conflicts with "
+                f"the table's committed marker {stored_marker!r}"
+            )
+        self.patch_cols = stored_cols or None
+        if stored_marker is not None:
+            self.unchanged_marker = stored_marker
 
     def _stamp_aligned(self, changes: DataFrame) -> DataFrame:
         """Stamp the batch for the patch merge, aligning missing patch
@@ -586,6 +631,15 @@ class IcebergSink:
             create_table_sql(self.table, fields, self.num_buckets, self.keys[0])
         )
         self.spark.sql(create_batchlog_sql(self.table))
+        # Publish patch config as table properties on first create so
+        # later writers (constructed with no args) adopt it — the
+        # read-back twin is _adopt_table_props in __init__.
+        if self.patch_cols:
+            self.spark.sql(
+                patch_props_sql(
+                    self.table, self.patch_cols, self.unchanged_marker
+                )
+            )
 
     def _applied(self, batch_id: str) -> bool:
         return bool(self.spark.sql(applied_check_sql(self.table, batch_id)).take(1))

@@ -153,12 +153,46 @@ class ParquetSnapshotSink:
         (``evolve_patch_cols``), so every entry point that reads the
         current manifest re-adopts it — a sink handle constructed
         before an evolution must not keep merging under the old
-        column set."""
+        column set. ``num_buckets`` is the same class of table state
+        (``rebucket`` changes it): a handle constructed before another
+        handle's rebucket must not keep hashing with — or re-commit —
+        the stale bucket count, or key-pruned reads open the wrong
+        chain and silently miss rows."""
+        if "num_buckets" in manifest:
+            self.num_buckets = int(manifest["num_buckets"])
         if "patch_cols" not in manifest:
             return
         self.patch_cols = list(manifest["patch_cols"]) or None
         self.unchanged_marker = manifest.get("unchanged_marker")
         self.patch_types = dict(manifest.get("patch_types", {}))
+
+    def _empty_state_frame(self) -> DataFrame:
+        """Typed empty frame for reads of a table with NO data files
+        (prune misses on a non-empty table use a stored footer
+        instead — exact). The default transcript configuration keeps
+        the historical ``EMPTY_SCHEMA`` sentinel; a re-keyed sink
+        derives the frame from its CONFIGURED keys/order columns
+        (name-heuristic types) rather than crashing downstream selects
+        with a hardcoded transcript schema."""
+        if self.keys == KEY_COLS and self.order_cols == ORDER_COLS:
+            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+
+        def _typ(name: str, is_order: bool) -> T.DataType:
+            if is_order:
+                return (
+                    T.TimestampType()
+                    if name == "ts" or name.endswith(("_ts", "_time"))
+                    else T.LongType()
+                )
+            return T.IntegerType() if "idx" in name else T.StringType()
+
+        fields = [T.StructField(k, _typ(k, False)) for k in self.keys]
+        fields += [
+            T.StructField(o, _typ(o, True))
+            for o in self.order_cols
+            if o not in self.keys and o not in META_COLS
+        ]
+        return self.spark.createDataFrame([], T.StructType(fields))
 
     # ---- manifest log -------------------------------------------------
 
@@ -802,7 +836,7 @@ class ParquetSnapshotSink:
             self.manifest_at(at_version) if at_version else self.current_manifest()
         )
         if not manifest or not manifest["buckets"]:
-            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+            return self._empty_state_frame()
         if at_version is None:
             self._adopt(manifest)
         # From here on, merge under the MANIFEST's patch config: time
@@ -813,9 +847,16 @@ class ParquetSnapshotSink:
             chain = self._paths_of(
                 manifest, str(self.bucket_of(key_eq[self.bucket_by], nb))
             )
+            # Prune miss: fall through with a footer-typed empty frame
+            # (NOT the transcript sentinel — a re-keyed/evolved table's
+            # downstream selects would crash on the wrong schema); the
+            # normal projection/patch-align pipeline below then shapes
+            # the output exactly like a non-empty read.
             if not chain:
-                return self.spark.createDataFrame([], EMPTY_SCHEMA)
-            df = self._read_bucket_paths(chain)
+                chain = self._all_paths(manifest)[:1]
+                df = self._read_bucket_paths(chain).limit(0)
+            else:
+                df = self._read_bucket_paths(chain)
             depth = len(chain)
         elif probe_keys is not None:
             probe = probe_keys.select(self.bucket_by).filter(
@@ -832,13 +873,18 @@ class ParquetSnapshotSink:
             chains = {b: self._paths_of(manifest, str(b)) for b in hit}
             paths = [p for c in chains.values() for p in c]
             if not paths:
-                return self.spark.createDataFrame([], EMPTY_SCHEMA)
-            df = self._read_bucket_paths(paths).join(
-                F.broadcast(probe) if broadcast_probe else probe,
-                self.bucket_by,
-                "left_semi",
-            )
-            depth = max(len(c) for c in chains.values())
+                # prune miss — same footer-typed fall-through as key_eq
+                df = self._read_bucket_paths(
+                    self._all_paths(manifest)[:1]
+                ).limit(0)
+                depth = 1
+            else:
+                df = self._read_bucket_paths(paths).join(
+                    F.broadcast(probe) if broadcast_probe else probe,
+                    self.bucket_by,
+                    "left_semi",
+                )
+                depth = max(len(c) for c in chains.values())
         else:
             df = self._read_bucket_paths(self._all_paths(manifest))
             depth = self._chain_depth(manifest)
@@ -938,7 +984,7 @@ class ParquetSnapshotSink:
             raise ValueError("to_version must be >= from_version")
         to_manifest = self.manifest_at(to_version)
         if not to_manifest or not to_manifest["buckets"]:
-            return self.spark.createDataFrame([], EMPTY_SCHEMA)
+            return self._empty_state_frame()
         from_manifest = (
             self.manifest_at(from_version) if from_version > 0 else None
         )

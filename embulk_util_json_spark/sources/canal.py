@@ -131,7 +131,16 @@ def parse_canal_events(
 
 
 # Row seq → envelope seq, for dead-lettering the original wire bytes.
-parse_canal_events.to_raw_seq = lambda c: (c / CANAL_SEQ_STRIDE).cast("long")
+# Pure long-space arithmetic (stride is 2^20, so div = shiftright 20):
+# Spark `/` is DOUBLE division, and above 2^53 (envelope seq > ~2^33 —
+# plausible for long-lived Kafka offsets at the 10^10-event scale) the
+# float round-trip can map a row seq to the WRONG envelope seq,
+# dead-lettering the wrong raw row.
+_CANAL_SEQ_SHIFT = CANAL_SEQ_STRIDE.bit_length() - 1
+assert 1 << _CANAL_SEQ_SHIFT == CANAL_SEQ_STRIDE
+parse_canal_events.to_raw_seq = lambda c: F.shiftright(
+    c.cast("long"), _CANAL_SEQ_SHIFT
+)
 
 
 def to_canal_json(

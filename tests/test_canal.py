@@ -146,3 +146,19 @@ def test_quarantine_recovers_envelope_bytes(spark, tmp_path):
     assert final[("c1", 0)] == "t0v2"  # same-ms tie broken by derived seq
     assert ("c1", 2) not in final      # deleted
     assert final[("c2", 0)] == "x0"
+
+
+def test_to_raw_seq_exact_above_2_53(spark):
+    """Row seq → envelope seq must be exact long arithmetic: double
+    division loses integer precision above 2^53, mapping a dead-letter
+    back to the WRONG raw envelope for large Kafka-offset-style seqs."""
+    env_seqs = [0, 1, (1 << 33) + 12345, (1 << 43) - 1]
+    rows = [(e * CANAL_SEQ_STRIDE + pos,) for e in env_seqs for pos in (0, 7, CANAL_SEQ_STRIDE - 1)]
+    df = spark.createDataFrame(rows, "seq long")
+    got = [
+        r.env for r in df.select(
+            parse_canal_events.to_raw_seq(F.col("seq")).alias("env")
+        ).collect()
+    ]
+    want = [e for e in env_seqs for _ in range(3)]
+    assert got == want

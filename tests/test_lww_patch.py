@@ -153,3 +153,37 @@ def test_patch_stamp_rejects_map_and_missing_columns(spark):
         patch_stamp(df, ORDER, ["attrs"])
     with _pytest.raises(ValueError, match="absent"):
         patch_stamp(df, ORDER, ["nope"])
+
+
+def test_patch_marker_on_non_string_column(spark):
+    """A non-string patch column under a string marker: the presence
+    predicate compares in STRING space. The naive `col != lit(marker)`
+    coerces the marker to the column type (NULL for a non-numeric
+    marker), making presence NULL for every non-null value — every
+    write would silently read as absent and the column would stay at
+    its first value forever."""
+    cols = ["conv_id", "turn_idx", "ts", "seq", "op", "score", "text"]
+    rows = [
+        ("c1", 0, 1, 1, "insert", 10, "hello"),
+        ("c1", 0, 2, 2, "update", 42, M),      # score UPDATE must land
+        ("c1", 0, 3, 3, "update", None, "v3"),  # explicit NULL write
+    ]
+    df = spark.createDataFrame(rows, ", ".join(
+        f"{c} {'int' if c in ('turn_idx', 'score') else 'long' if c in ('ts', 'seq') else 'string'}"
+        for c in cols
+    ))
+    out = lww_patch(
+        df, KEYS, ORDER, patch_cols=["score", "text"], unchanged_marker=M
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # NULL under a marker is an explicit write: score ends NULL (seq 3
+    # wins), having passed through 42 — NOT stuck at 10
+    assert r.score is None and r.text == "v3"
+
+    # and without the explicit-NULL tail, the int update itself lands
+    out2 = lww_patch(
+        spark.createDataFrame(rows[:2], df.schema), KEYS, ORDER,
+        patch_cols=["score", "text"], unchanged_marker=M,
+    ).collect()[0]
+    assert out2.score == 42 and out2.text == "hello"

@@ -803,3 +803,58 @@ def test_read_columns_projection_patch_mode(spark, tmp_path):
         schema = line.split("ReadSchema:")[-1]
         assert "role" not in schema and "tool" not in schema, line
     assert {tuple(r) for r in df.collect()} == {("c1", 0, "hello v2")}
+
+
+def test_stale_handle_adopts_rebucketed_layout(
+    spark, events_parquet, oracle_state, tmp_path
+):
+    """A handle constructed BEFORE another handle's rebucket must
+    re-adopt the committed bucket count at its next entry point —
+    keeping the stale count would hash point lookups into the wrong
+    chain and re-commit the old layout metadata on apply."""
+    root = str(tmp_path / "stale")
+    a = ParquetSnapshotSink(spark, root, num_buckets=4, mode="mor")
+    replay_parquet(spark, events_parquet, a, num_batches=3)
+    b = ParquetSnapshotSink(spark, root, mode="mor")  # stale after...
+    a.rebucket(9)
+    # ...but b's next apply adopts 9 and must NOT revert the manifest
+    replay_parquet(spark, events_parquet, b, num_batches=6)
+    assert b.num_buckets == 9
+    assert b.current_manifest()["num_buckets"] == 9
+    assert_matches_oracle(b, oracle_state)
+    # stale-handle point lookup opens the NEW layout's chain
+    some_key = next(iter(state_from_sink(b)))
+    c = ParquetSnapshotSink(spark, root, num_buckets=4, mode="mor")
+    assert c.num_buckets == 9  # constructor adopts
+    row = c.read(key_eq={"conv_id": some_key[0], "turn_idx": some_key[1]})
+    assert row.count() == 1
+
+
+def test_empty_and_prune_miss_reads_carry_real_schema(spark, tmp_path):
+    """read() on an empty or fully-pruned-away result must return the
+    TABLE's schema, not the hardcoded transcript sentinel: a re-keyed
+    sink's downstream selects crash otherwise."""
+    # re-keyed empty table: schema derives from the configured keys
+    empty = ParquetSnapshotSink(
+        spark, str(tmp_path / "rk"), keys=["doc_id"],
+        order_cols=["ts", "seq"], bucket_by="doc_id", mode="mor",
+    )
+    df = empty.read()
+    assert "doc_id" in df.columns and df.count() == 0
+    df.select("doc_id").collect()  # the ADVICE crash case
+
+    # prune miss on a non-empty evolved table: footer-typed schema
+    # (includes the evolved column), not the 6-column sentinel
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "pm"), num_buckets=2, mode="mor")
+    ddl = ("conv_id string, turn_idx int, ts timestamp, seq long, "
+           "op string, role string, text string, tool string, extra string")
+    row = ("c1", 0, __import__("datetime").datetime(2026, 1, 1), 1,
+           "insert", "user", "hi", None, "x")
+    sink.apply(spark.createDataFrame([row], ddl), "b0")
+    miss = sink.read(key_eq={"conv_id": "no-such-conv"})
+    assert miss.count() == 0
+    assert "extra" in miss.columns
+    miss.select("conv_id", "extra").collect()
+    probe = spark.createDataFrame([("no-such-conv",)], "conv_id string")
+    pm = sink.read(probe_keys=probe)
+    assert pm.count() == 0 and "extra" in pm.columns

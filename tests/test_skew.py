@@ -56,13 +56,20 @@ def test_uniform_stream_recommends_no_salting(spark):
 
 
 def test_topk_is_take_ordered_not_global_sort(spark):
-    """row_number-over-count ≤ k must plan as TakeOrderedAndProject —
-    a global sort of all keys would be the 100 TB bottleneck."""
+    """The top-k must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows) — a global sort of all per-key
+    counts (one row per distinct key; billions at 100 TB) through one
+    task would be the scale bottleneck. The ranking window may only
+    run ABOVE the TakeOrdered, where its input is ≤ top_k rows by
+    construction (physical plans print parent-first, so the Window
+    node must appear before TakeOrderedAndProject in the string)."""
     plan = (
         key_histogram(_skewed_df(spark), ["conv_id"], top_k=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
 def test_total_branch_reuses_grouped_exchange(spark, sf_smoke_dir):

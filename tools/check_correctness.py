@@ -52,6 +52,22 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str
     return len(rows), sorted(cols), h
 
 
+DRIVER_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_violations(con, sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs whose type the driver's value
+    hasher canonicalizes differently from any Spark output type.
+    Shared with tests/test_oracle_types.py so every new oracle gets
+    swept."""
+    rows = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+    return [
+        (r[0], r[1])
+        for r in rows
+        if any(r[1].upper().startswith(t) for t in DRIVER_UNSAFE_TYPES)
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -101,8 +117,23 @@ def main() -> int:
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
             o_fp = frame_fingerprint(ocols, orows)
+            # Round-3 lesson: fetchall() yields Python ints, so this
+            # mirror is structurally blind to DuckDB's SUM(BIGINT) →
+            # HUGEINT widening (Arrow decimal128) that the DRIVER's
+            # hasher canonicalizes differently from Spark's int64 —
+            # 5 driver-gate hash fails that all passed here. Assert
+            # the oracle's declared types are driver-safe instead.
+            bad = oracle_type_violations(con, oracles[name])
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        if bad:
+            print(
+                f"FAIL {name}: driver-unsafe oracle column types {bad} "
+                "(DuckDB HUGEINT/DECIMAL hash-canonicalizes differently "
+                "from Spark int64 — CAST the column AS BIGINT/DOUBLE)"
+            )
             failures += 1
             continue
         status = "PASS" if s_fp == o_fp else "FAIL"
