@@ -46,6 +46,8 @@ def resolved_patch_state(
     keys: list[str] | None = None,
     order_cols: list[str] | None = None,
     unchanged_marker: str | None = None,
+    state_ttl_sec: float | None = None,
+    watermark_delay_sec: float = 0.0,
 ) -> DataFrame:
     """Streaming column-level LWW: the resolved patched row per key,
     maintained across micro-batches in the state store.
@@ -56,7 +58,27 @@ def resolved_patch_state(
     Rows with NULL key or NULL order values must be quarantined
     upstream (the runner's malformed-row path) — they are dropped
     here, not merged.
-    """
+
+    ``state_ttl_sec`` bounds the state store for unbounded key spaces
+    (conversations at 10^10-event scale are finite-lived; without a
+    TTL, state grows with EVERY key ever seen, not live keys): a key
+    whose latest EVENT TIME falls ``state_ttl_sec`` behind the
+    watermark is evicted. Event-time, not processing-time, for two
+    reasons: (a) replay determinism — the same stream evicts the same
+    keys at the same points, so a checkpoint-restarted or re-run query
+    resolves identically (the module's core contract); (b) Spark's
+    processing-time timeout keeps ``availableNow``/batch-drain
+    triggers scheduling no-data batches forever (its
+    ``shouldRunAnotherBatch`` is unconditionally true), so the query
+    never terminates. ``watermark_delay_sec`` is the usual lateness
+    allowance feeding the watermark (TTL mode only).
+
+    SEMANTIC TRADE-OFF, opt-in: a patch arriving after eviction
+    resolves with no carry-forward (unpatched columns NULL) and loses
+    out-of-order protection against pre-eviction positions, so set the
+    TTL well beyond the feed's replay/lateness horizon. The patch-mode
+    SINK remains the system of record — its stamps never expire; this
+    view is the cache tier."""
     keys = keys or KEY_COLS
     order_cols = order_cols or ORDER_COLS
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -94,9 +116,32 @@ def resolved_patch_state(
     n_ord = len(order_cols)
     marker = unchanged_marker
 
+    ttl_ms = int(state_ttl_sec * 1000) if state_ttl_sec else None
+    ts_col = order_cols[0]
+    if ttl_ms is not None and by_name[ts_col] != "timestamp":
+        raise ValueError(
+            f"state_ttl_sec needs a timestamp first order column, got "
+            f"{ts_col!r}: {by_name[ts_col]} (event-time TTL rides the "
+            "watermark)"
+        )
+
+    def _arm(state, last_ts) -> None:
+        """Schedule eviction at (latest event ts) + TTL, clamped above
+        the current watermark (Spark rejects deadlines <= watermark —
+        a key already idle past its TTL at arm time evicts on the next
+        watermark tick)."""
+        deadline = int(pd.Timestamp(last_ts).value // 1_000_000) + ttl_ms
+        state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # TTL eviction: fired only for keys whose deadline fell behind
+        # the advancing watermark (no new rows this batch) — drop the
+        # slots and emit nothing; the lake sink keeps the history.
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         # unpack state: row-level (op, order...), then per patch col
         # (value, order...)
         if state.exists:
@@ -145,12 +190,16 @@ def resolved_patch_state(
                     col_state[c] = (None if pd.isna(v) else v, c_ord)
 
         if not touched:
+            if ttl_ms is not None and state.exists and row_ord[0] is not None:
+                _arm(state, row_ord[0])  # re-arm, don't evict
             return
         flat_out = [row_op, *row_ord]
         for c in patch_cols:
             v, o = col_state[c]
             flat_out += [v, *o]
         state.update(tuple(flat_out))
+        if ttl_ms is not None:
+            _arm(state, row_ord[0])
         out = {k: [v] for k, v in zip(keys, key)}
         out["op"] = [row_op]
         for i, o in enumerate(order_cols):
@@ -159,14 +208,15 @@ def resolved_patch_state(
             out[c] = [col_state[c][0]]
         yield pd.DataFrame(out)
 
-    return (
-        changes.dropna(subset=keys)
-        .groupBy(*keys)
-        .applyInPandasWithState(
-            update,
-            out_schema,
-            state_schema,
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+    src = changes.dropna(subset=keys)
+    if ttl_ms is not None:
+        src = src.withWatermark(ts_col, f"{watermark_delay_sec} seconds")
+    return src.groupBy(*keys).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )

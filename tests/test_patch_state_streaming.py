@@ -134,3 +134,61 @@ def test_patch_state_rejects_bad_config(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "absent" in str(e)
+
+
+def test_patch_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """state_ttl_sec bounds the store: a key whose latest event time
+    falls TTL behind the watermark is evicted (event-time — the same
+    stream evicts the same keys on any replay), and a LATER patch to
+    it resolves with NO carry-forward — the documented cache
+    trade-off; the lake sink keeps the authoritative history."""
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(_STREAM_DDL).parquet(str(src))
+        resolved = resolved_patch_state(
+            stream, PATCH, keys=KEYS, order_cols=ORDER,
+            unchanged_marker=M, state_ttl_sec=50.0,
+        )
+        q = (
+            resolved.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(
+        _rows_table([("c1", 0, 100, 1, "insert", "user", "hello", "search")]),
+        str(src / "p0.parquet"),
+    )
+    run()
+    # an unrelated batch advances the watermark to ts=200 — past c1's
+    # deadline (100 + 50) → c1 evicts on the watermark tick
+    pq.write_table(
+        _rows_table([("zz", 9, 200, 2, "insert", "user", "other", "t")]),
+        str(src / "p1.parquet"),
+    )
+    run()
+    files_before = set(os.listdir(out))
+    # a post-eviction patch: text carries, role/tool DON'T come back
+    pq.write_table(
+        _rows_table([("c1", 0, 300, 3, "update", M, "late patch", M)]),
+        str(src / "p2.parquet"),
+    )
+    run()
+    new_files = [
+        str(out / f)
+        for f in set(os.listdir(out)) - files_before
+        if f.endswith(".parquet")
+    ]
+    got = {
+        (r.conv_id, r.turn_idx): (r.op, r.role, r.text, r.tool)
+        for r in spark.read.parquet(*new_files).collect()
+    }
+    assert got == {("c1", 0): ("update", None, "late patch", None)}

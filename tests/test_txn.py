@@ -1,0 +1,118 @@
+"""Atomic multi-table transactions (sinks/txn.TransactionLog):
+all-or-nothing visibility across independently-committing sinks,
+crash-replay convergence, and snapshot-pinned consistent reads."""
+
+from __future__ import annotations
+
+import datetime
+
+from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+from embulk_util_json_spark.sinks.txn import TransactionLog
+
+DDL = (
+    "conv_id string, turn_idx int, ts timestamp, seq long, "
+    "op string, role string, text string, tool string"
+)
+
+
+def _rows(spark, specs):
+    base = datetime.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [
+            (c, t, base + datetime.timedelta(seconds=seq), seq, op, "user", txt, None)
+            for (c, t, seq, op, txt) in specs
+        ],
+        DDL,
+    )
+
+
+def _sinks(spark, tmp_path):
+    return {
+        "a": ParquetSnapshotSink(spark, str(tmp_path / "a"), num_buckets=2, mode="mor"),
+        "b": ParquetSnapshotSink(spark, str(tmp_path / "b"), num_buckets=2, mode="mor"),
+    }
+
+
+def _state(df):
+    return {
+        (r.conv_id, r.turn_idx): r.text
+        for r in df.select("conv_id", "turn_idx", "text").collect()
+    }
+
+
+def test_txn_atomic_visibility_and_crash_replay(spark, tmp_path):
+    sinks = _sinks(spark, tmp_path)
+    log = TransactionLog(str(tmp_path))
+
+    r1 = log.txn_apply(
+        sinks,
+        {
+            "a": _rows(spark, [("c1", 0, 1, "insert", "a1")]),
+            "b": _rows(spark, [("d1", 0, 2, "insert", "b1")]),
+        },
+        "txn-1",
+    )
+    assert r1["seq"] == 1
+    snap = log.consistent_read(sinks)
+    assert _state(snap["a"]) == {("c1", 0): "a1"}
+    assert _state(snap["b"]) == {("d1", 0): "b1"}
+
+    # crash mid-txn-2: table a's slice lands, the record never commits
+    a2 = _rows(spark, [("c1", 0, 3, "update", "a2")])
+    b2 = _rows(spark, [("d1", 0, 4, "update", "b2")])
+    sinks["a"].apply(a2, "txn-2:a")
+    # consistent view still serves txn-1 for BOTH tables — no torn read
+    snap = log.consistent_read(sinks)
+    assert _state(snap["a"]) == {("c1", 0): "a1"}
+    assert _state(snap["b"]) == {("d1", 0): "b1"}
+    # ...even though table a's CURRENT state already moved
+    assert _state(sinks["a"].read()) == {("c1", 0): "a2"}
+
+    # replaying the whole transaction converges: a's apply skips
+    # (sink batch-id log), b's lands, the record commits once
+    r2 = log.txn_apply(sinks, {"a": a2, "b": b2}, "txn-2")
+    assert r2["seq"] == 2
+    assert r2["tables"]["a"].get("skipped")
+    assert not r2["tables"]["b"].get("skipped")
+    snap = log.consistent_read(sinks)
+    assert _state(snap["a"]) == {("c1", 0): "a2"}
+    assert _state(snap["b"]) == {("d1", 0): "b2"}
+
+    # a committed transaction re-runs as a pure skip
+    r2b = log.txn_apply(sinks, {"a": a2, "b": b2}, "txn-2")
+    assert r2b["skipped"]
+    assert log.current_seq() == 2
+
+
+def test_txn_partial_table_participation_and_time_travel(spark, tmp_path):
+    sinks = _sinks(spark, tmp_path)
+    log = TransactionLog(str(tmp_path))
+    log.txn_apply(
+        sinks, {"a": _rows(spark, [("c1", 0, 1, "insert", "a1")])}, "t1"
+    )
+    # b never participated: it reads EMPTY through the txn view (typed),
+    # not whatever its current state happens to be
+    snap = log.consistent_read(sinks)
+    assert _state(snap["b"]) == {}
+    assert "conv_id" in snap["b"].columns
+
+    log.txn_apply(
+        sinks,
+        {
+            "a": _rows(spark, [("c1", 0, 2, "update", "a2")]),
+            "b": _rows(spark, [("d1", 0, 3, "insert", "b1")]),
+        },
+        "t2",
+    )
+    # carried-forward versions: a txn touching only b still pins a
+    log.txn_apply(
+        sinks, {"b": _rows(spark, [("d1", 0, 4, "update", "b2")])}, "t3"
+    )
+    head = log.committed_versions()
+    assert head["a"] == 2 and head["b"] == 2
+    # time travel to any committed txn snapshot
+    at1 = log.consistent_read(sinks, at_seq=1)
+    assert _state(at1["a"]) == {("c1", 0): "a1"} and _state(at1["b"]) == {}
+    at2 = log.consistent_read(sinks, at_seq=2)
+    assert _state(at2["a"]) == {("c1", 0): "a2"}
+    assert _state(at2["b"]) == {("d1", 0): "b1"}
