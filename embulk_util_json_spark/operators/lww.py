@@ -96,7 +96,7 @@ def lww_patch(
     comparison. Column-wise max over a total order is associative and
     commutative, so map-side partial combine applies and the salted
     two-stage split stays exact (same argument as ``lww_salted``)."""
-    _check_patch_cols(df, patch_cols)
+    _check_patch_cols(df, patch_cols, unchanged_marker)
     payload = [c for c in df.columns if c not in keys]
     order_fields = [F.col(o).alias(f"_o{i}") for i, o in enumerate(order_cols)]
     aggs = []
@@ -119,12 +119,24 @@ a reduced row re-enters a later reduction as if it were one event per
 column, each at its own recorded position."""
 
 
-def _check_patch_cols(df: DataFrame, patch_cols: list[str]) -> None:
+def _check_patch_cols(
+    df: DataFrame,
+    patch_cols: list[str],
+    unchanged_marker: str | None = None,
+) -> None:
     """Fail fast with a clear message instead of a deep analyzer
     error at reduce time: maps are not comparable in Spark, and the
     patch reduction's ``max(struct(order..., value))`` compares the
     value field on stamp ties. (The row-level path never compares
-    values, so map PAYLOAD columns — e.g. ``_extras`` — stay fine.)"""
+    values, so map PAYLOAD columns — e.g. ``_extras`` — stay fine.)
+
+    A NUMERIC-looking marker on a non-string patch column is rejected
+    outright: the presence predicate compares in string space
+    (``patch_present``), where ``'-1'`` matches int ``-1`` but not
+    double ``-1.0`` — silently different from what either a numeric or
+    a string reading of the config intends. Markers are sentinels;
+    pick one that cannot render equal to real data (Debezium's own is
+    ``__debezium_unavailable_value``)."""
     missing = [c for c in patch_cols if c not in df.columns]
     if missing:
         raise ValueError(f"patch columns absent from the frame: {missing}")
@@ -135,6 +147,23 @@ def _check_patch_cols(df: DataFrame, patch_cols: list[str]) -> None:
             f"map-typed columns cannot be patch columns: {bad} "
             "(per-column LWW needs an orderable value slot)"
         )
+    if unchanged_marker is not None:
+        non_string = [
+            c for c in patch_cols if by_name[c].typeName() != "string"
+        ]
+        numeric_marker = False
+        try:
+            float(unchanged_marker)
+            numeric_marker = True
+        except ValueError:
+            pass
+        if non_string and numeric_marker:
+            raise ValueError(
+                f"unchanged_marker {unchanged_marker!r} is numeric-looking "
+                f"and patch columns {non_string} are non-string: the "
+                "string-space presence comparison would be ambiguous "
+                "against real values — use a non-numeric sentinel marker"
+            )
 
 
 def patch_present(
@@ -178,7 +207,7 @@ def patch_stamp(
     events (pinned by test), but the stamped form survives being
     written out and re-reduced, which is what the patch-mode sink
     needs. Pure projection — no shuffle, stays in codegen."""
-    _check_patch_cols(df, patch_cols)
+    _check_patch_cols(df, patch_cols, unchanged_marker)
     names = list(df.columns)
     sel = [F.col(c) for c in names]
     for c in patch_cols:

@@ -536,13 +536,30 @@ class IcebergSink:
         create/evolve time) and adopt them. No-op when the table does
         not exist yet (first ``ensure_tables`` publishes this
         handle's config). Conflicting constructor args raise — a
-        silent override in either direction corrupts the table."""
+        silent override in either direction corrupts the table.
+        Called from ``__init__`` AND from every ``apply`` /
+        ``evolve_patch_cols`` entry point — patch config is table
+        state that another writer's evolution can change under a
+        long-lived handle (the ``ParquetSnapshotSink._adopt``
+        contract)."""
         try:
             rows = self.spark.sql(
                 f"SHOW TBLPROPERTIES {self.table}"
             ).collect()
-        except Exception:
-            return  # table not created yet
+        except Exception as ex:
+            # ONLY table-absent is a benign skip. Swallowing transient
+            # catalog/metastore errors here would silently leave
+            # patch_cols unset and the next apply would run the
+            # row-level MERGE — the exact corruption this method
+            # exists to prevent.
+            msg = f"{type(ex).__name__}: {ex}"
+            if (
+                "TABLE_OR_VIEW_NOT_FOUND" in msg
+                or "Table or view not found" in msg
+                or "NoSuchTableException" in msg
+            ):
+                return
+            raise
         props = {r["key"]: r["value"] for r in rows}
         stored = props.get("engine.patch_cols")
         if stored is None:
@@ -679,6 +696,7 @@ class IcebergSink:
         tombstone rows, unseen keys insert. Idempotent per batch (see
         module docstring), skipped outright when the batch log already
         carries ``batch_id``."""
+        self._adopt_table_props()  # refresh stale handles per entry point
         if self.patch_cols:
             stamped = self._stamp_aligned(changes)
             reduced = lww_patch_stamped(
@@ -723,6 +741,7 @@ class IcebergSink:
         ``ParquetSnapshotSink.evolve_patch_cols`` (same validation,
         same additive-vs-promotion split; statements from the
         golden-tested :func:`evolve_patch_cols_sqls`)."""
+        self._adopt_table_props()  # refresh stale handles per entry point
         have = list(self.patch_cols or [])
         new = {c: t for c, t in cols.items() if c not in have}
         if not new:

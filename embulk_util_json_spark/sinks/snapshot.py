@@ -194,14 +194,26 @@ class ParquetSnapshotSink:
         ]
         return self.spark.createDataFrame([], T.StructType(fields))
 
+    def _typed_empty_from_footer(self, manifest: dict) -> DataFrame:
+        """Zero-row frame carrying the table's REAL stored schema (one
+        stored footer, no data read) — the empty-result building block
+        for prune misses and metadata-only change windows on a
+        non-empty table. Callers run it through the same
+        projection/patch-align post-processing as a non-empty read, so
+        the output schema is exactly what a hit would have produced."""
+        return self._read_bucket_paths(self._all_paths(manifest)[:1]).limit(0)
+
     # ---- manifest log -------------------------------------------------
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._manifest_dir, f"v{version:08d}.json")
 
     def current_version(self) -> int:
+        # parse every digit up to ".json" — a fixed [1:9] slice would
+        # silently mis-parse once the version counter passes 10^8
+        # (the %08d format widens, it does not wrap)
         versions = [
-            int(f[1:9])
+            int(f[1:-5])
             for f in os.listdir(self._manifest_dir)
             if f.startswith("v") and f.endswith(".json")
         ]
@@ -853,11 +865,11 @@ class ParquetSnapshotSink:
             # normal projection/patch-align pipeline below then shapes
             # the output exactly like a non-empty read.
             if not chain:
-                chain = self._all_paths(manifest)[:1]
-                df = self._read_bucket_paths(chain).limit(0)
+                df = self._typed_empty_from_footer(manifest)
+                depth = 1
             else:
                 df = self._read_bucket_paths(chain)
-            depth = len(chain)
+                depth = len(chain)
         elif probe_keys is not None:
             probe = probe_keys.select(self.bucket_by).filter(
                 F.col(self.bucket_by).isNotNull()
@@ -874,9 +886,7 @@ class ParquetSnapshotSink:
             paths = [p for c in chains.values() for p in c]
             if not paths:
                 # prune miss — same footer-typed fall-through as key_eq
-                df = self._read_bucket_paths(
-                    self._all_paths(manifest)[:1]
-                ).limit(0)
+                df = self._typed_empty_from_footer(manifest)
                 depth = 1
             else:
                 df = self._read_bucket_paths(paths).join(
@@ -998,9 +1008,7 @@ class ParquetSnapshotSink:
             # (one stored footer) so an empty feed still type-checks
             # downstream for any key/order layout — not the legacy
             # default-schema sentinel.
-            return self._read_bucket_paths(
-                self._all_paths(to_manifest)[:1]
-            ).limit(0)
+            return self._typed_empty_from_footer(to_manifest)
 
         cand = self._read_bucket_paths(new_paths).filter(
             F.col(self.keys[0]).isNotNull()

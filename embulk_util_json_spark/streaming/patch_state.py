@@ -116,7 +116,11 @@ def resolved_patch_state(
     n_ord = len(order_cols)
     marker = unchanged_marker
 
-    ttl_ms = int(state_ttl_sec * 1000) if state_ttl_sec else None
+    if state_ttl_sec is not None and state_ttl_sec <= 0:
+        # falsy-zero must not silently mean "no TTL" — that is the
+        # exact unbounded-state failure the parameter exists to prevent
+        raise ValueError(f"state_ttl_sec must be > 0, got {state_ttl_sec}")
+    ttl_ms = int(state_ttl_sec * 1000) if state_ttl_sec is not None else None
     ts_col = order_cols[0]
     if ttl_ms is not None and by_name[ts_col] != "timestamp":
         raise ValueError(
@@ -124,13 +128,25 @@ def resolved_patch_state(
             f"{ts_col!r}: {by_name[ts_col]} (event-time TTL rides the "
             "watermark)"
         )
+    # Arrow hands the pandas UDF tz-NAIVE timestamps rendered in the
+    # session timezone, while GroupState.getCurrentWatermarkMs /
+    # setTimeoutTimestamp speak true epoch-UTC ms. Capture the session
+    # tz at plan build and localize before converting, or a non-UTC
+    # session would skew every deadline by the UTC offset (west-of-UTC:
+    # deadlines land in the past → TTL collapses to one watermark tick).
+    session_tz = changes.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
 
     def _arm(state, last_ts) -> None:
         """Schedule eviction at (latest event ts) + TTL, clamped above
         the current watermark (Spark rejects deadlines <= watermark —
         a key already idle past its TTL at arm time evicts on the next
         watermark tick)."""
-        deadline = int(pd.Timestamp(last_ts).value // 1_000_000) + ttl_ms
+        ts = pd.Timestamp(last_ts)
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        deadline = int(ts.value // 1_000_000) + ttl_ms
         state.setTimeoutTimestamp(max(deadline, state.getCurrentWatermarkMs() + 1))
 
     def update(

@@ -187,3 +187,28 @@ def test_patch_marker_on_non_string_column(spark):
         patch_cols=["score", "text"], unchanged_marker=M,
     ).collect()[0]
     assert out2.score == 42 and out2.text == "hello"
+
+
+def test_numeric_marker_on_non_string_column_rejected(spark):
+    """A numeric-looking marker on a non-string patch column is an
+    ambiguous config (string-space comparison: '-1' matches int -1 but
+    not double -1.0) — rejected loudly instead of silently resolving
+    either way."""
+    df = spark.createDataFrame(
+        [("c1", 0, 1, 1, "insert", 10, "x")],
+        "conv_id string, turn_idx int, ts long, seq long, op string, "
+        "score int, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="numeric-looking"):
+        lww_patch(
+            df, KEYS, ORDER, patch_cols=["score", "text"],
+            unchanged_marker="-1",
+        )
+    # string columns only: numeric markers stay allowed
+    out = lww_patch(
+        df.drop("score"), KEYS, ORDER, patch_cols=["text"],
+        unchanged_marker="-1",
+    )
+    assert out.count() == 1

@@ -192,3 +192,19 @@ def test_patch_state_ttl_evicts_idle_keys(spark, tmp_path):
         for r in spark.read.parquet(*new_files).collect()
     }
     assert got == {("c1", 0): ("update", None, "late patch", None)}
+
+
+def test_patch_state_ttl_validation(spark, tmp_path):
+    """state_ttl_sec=0 must raise, not silently disable eviction (the
+    falsy-zero trap would reintroduce unbounded state growth)."""
+    import pytest as _pytest
+
+    stream = spark.readStream.schema(_STREAM_DDL).parquet(str(tmp_path))
+    with _pytest.raises(ValueError, match="must be > 0"):
+        resolved_patch_state(
+            stream, PATCH, keys=KEYS, order_cols=ORDER, state_ttl_sec=0.0
+        )
+    with _pytest.raises(ValueError, match="must be > 0"):
+        resolved_patch_state(
+            stream, PATCH, keys=KEYS, order_cols=ORDER, state_ttl_sec=-5
+        )

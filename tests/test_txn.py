@@ -1,13 +1,22 @@
 """Atomic multi-table transactions (sinks/txn.TransactionLog):
 all-or-nothing visibility across independently-committing sinks,
-crash-replay convergence, and snapshot-pinned consistent reads."""
+crash-replay convergence, the pending-intent guard (a crashed
+transaction must be replayed before a new one touches its tables —
+sink chains are cumulative, so a later commit would otherwise expose
+the crashed half), and snapshot-pinned consistent reads."""
 
 from __future__ import annotations
 
 import datetime
+import json
+
+import pytest
 
 from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
-from embulk_util_json_spark.sinks.txn import TransactionLog
+from embulk_util_json_spark.sinks.txn import (
+    PendingTransactionError,
+    TransactionLog,
+)
 
 DDL = (
     "conv_id string, turn_idx int, ts timestamp, seq long, "
@@ -57,9 +66,12 @@ def test_txn_atomic_visibility_and_crash_replay(spark, tmp_path):
     assert _state(snap["a"]) == {("c1", 0): "a1"}
     assert _state(snap["b"]) == {("d1", 0): "b1"}
 
-    # crash mid-txn-2: table a's slice lands, the record never commits
+    # crash mid-txn-2: the intent is written and table a's slice
+    # lands, but the record never commits
     a2 = _rows(spark, [("c1", 0, 3, "update", "a2")])
     b2 = _rows(spark, [("d1", 0, 4, "update", "b2")])
+    with open(log._intent_path("txn-2"), "w") as fh:
+        json.dump({"txn_id": "txn-2", "tables": ["a", "b"]}, fh)
     sinks["a"].apply(a2, "txn-2:a")
     # consistent view still serves txn-1 for BOTH tables — no torn read
     snap = log.consistent_read(sinks)
@@ -68,20 +80,39 @@ def test_txn_atomic_visibility_and_crash_replay(spark, tmp_path):
     # ...even though table a's CURRENT state already moved
     assert _state(sinks["a"].read()) == {("c1", 0): "a2"}
 
+    # a DIFFERENT transaction touching table a is refused while txn-2
+    # is pending: committing it would pin a cumulative version of a
+    # that contains txn-2's half — the torn read the log exists to
+    # prevent
+    with pytest.raises(PendingTransactionError, match="txn-2"):
+        log.txn_apply(
+            sinks, {"a": _rows(spark, [("c9", 0, 9, "insert", "x")])}, "txn-3"
+        )
+
     # replaying the whole transaction converges: a's apply skips
-    # (sink batch-id log), b's lands, the record commits once
+    # (sink batch-id log, version recovered from the manifest log),
+    # b's lands, the record commits once, the intent clears
     r2 = log.txn_apply(sinks, {"a": a2, "b": b2}, "txn-2")
     assert r2["seq"] == 2
     assert r2["tables"]["a"].get("skipped")
     assert not r2["tables"]["b"].get("skipped")
+    assert log.pending_intents() == {}
     snap = log.consistent_read(sinks)
     assert _state(snap["a"]) == {("c1", 0): "a2"}
     assert _state(snap["b"]) == {("d1", 0): "b2"}
+    # the recovered-version record pins a's txn-2 version exactly
+    assert log.committed_versions()["a"] == 2
+
+    # ...and the previously-refused transaction now lands
+    r3 = log.txn_apply(
+        sinks, {"a": _rows(spark, [("c9", 0, 9, "insert", "x")])}, "txn-3"
+    )
+    assert r3["seq"] == 3
 
     # a committed transaction re-runs as a pure skip
     r2b = log.txn_apply(sinks, {"a": a2, "b": b2}, "txn-2")
     assert r2b["skipped"]
-    assert log.current_seq() == 2
+    assert log.current_seq() == 3
 
 
 def test_txn_partial_table_participation_and_time_travel(spark, tmp_path):
@@ -116,3 +147,11 @@ def test_txn_partial_table_participation_and_time_travel(spark, tmp_path):
     at2 = log.consistent_read(sinks, at_seq=2)
     assert _state(at2["a"]) == {("c1", 0): "a2"}
     assert _state(at2["b"]) == {("d1", 0): "b1"}
+    # at_seq=0 = before ANY transaction: empty on every table, with
+    # the tables' REAL schemas (a has data → footer/read types)
+    at0 = log.consistent_read(sinks, at_seq=0)
+    assert _state(at0["a"]) == {} and _state(at0["b"]) == {}
+    assert "conv_id" in at0["a"].columns
+    # beyond the log is a loud error, not a silent head read
+    with pytest.raises(ValueError, match="no committed txn record"):
+        log.consistent_read(sinks, at_seq=99)
