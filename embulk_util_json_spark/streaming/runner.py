@@ -204,6 +204,7 @@ def route_tables(
     events: DataFrame,
     sinks: dict[str, ParquetSnapshotSink],
     batch_id: str,
+    txn_log=None,
 ) -> dict:
     """Demultiplex one micro-batch of a MULTI-TABLE change stream
     (envelopes carrying a top-level ``table`` member — Debezium topic
@@ -225,6 +226,14 @@ def route_tables(
     contract mirrors the parser's malformed-row taxonomy. Only on the
     rare all-tables-skipped replay (no apply ran a job, so the
     observation never fired) does the count run as its own job.
+
+    ``txn_log`` (a ``sinks.txn.TransactionLog``) upgrades the batch
+    from per-table exactly-once to an ATOMIC multi-table transaction:
+    all table-applies become visible together through the log's
+    ``consistent_read`` (a crash mid-batch leaves the previous
+    snapshot readable; replay converges). The per-table batch ids are
+    identical either way (``batch_id:table``), so a pipeline can turn
+    transactions on mid-stream without re-applying history.
     """
     if not sinks:
         raise ValueError("route_tables requires at least one sink")
@@ -236,14 +245,29 @@ def route_tables(
     )
     changes = changes.persist()
     try:
-        results: dict[str, dict] = {}
-        for name, sink in sinks.items():
-            sub = changes.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
-            results[name] = sink.apply(sub, f"{batch_id}:{name}")
-        if all(r.get("skipped") for r in results.values()):
-            unrouted = changes.filter(unrouted_cond).count()
+        slices = {
+            name: changes.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
+            for name in sinks
+        }
+        if txn_log is not None:
+            txn = txn_log.txn_apply(sinks, slices, batch_id)
+            results = txn.get("tables") or {
+                name: {"skipped": True, "reason": txn.get("reason")}
+                for name in sinks
+            }
+            applied_any = not txn.get("skipped") and any(
+                not r.get("skipped") for r in results.values()
+            )
         else:
+            results = {
+                name: sinks[name].apply(sub, f"{batch_id}:{name}")
+                for name, sub in slices.items()
+            }
+            applied_any = any(not r.get("skipped") for r in results.values())
+        if applied_any:
             unrouted = int(obs.get["unrouted"])
+        else:
+            unrouted = changes.filter(unrouted_cond).count()
         return {"tables": results, "unrouted_rows": unrouted}
     finally:
         changes.unpersist()
@@ -536,12 +560,16 @@ def stream_directory_multi(
     checkpoint_dir: str,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    txn_log=None,
 ):
     """Streaming tail of a MULTIPLEXED change-event directory: each
     micro-batch is demuxed by the envelope's ``table`` member into the
     per-table sinks (``route_tables`` — one parse per batch, per-table
     exactly-once batch ids, so a crash between table commits within an
-    epoch resumes per-table on redelivery)."""
+    epoch resumes per-table on redelivery). ``txn_log`` makes each
+    epoch an atomic multi-table transaction (see ``route_tables``) —
+    readers going through ``txn_log.consistent_read`` never observe an
+    epoch's tables half-committed."""
     reader = spark.readStream.schema(EVENTS_SCHEMA).format(fmt)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -549,7 +577,9 @@ def stream_directory_multi(
     stream_id = checkpoint_dir.rstrip("/").rsplit("/", 1)[-1]
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        route_tables(batch_df, sinks, f"{stream_id}-epoch-{epoch_id}")
+        route_tables(
+            batch_df, sinks, f"{stream_id}-epoch-{epoch_id}", txn_log=txn_log
+        )
 
     return _start(stream, handle, checkpoint_dir)
 

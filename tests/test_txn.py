@@ -155,3 +155,37 @@ def test_txn_partial_table_participation_and_time_travel(spark, tmp_path):
     # beyond the log is a loud error, not a silent head read
     with pytest.raises(ValueError, match="no committed txn record"):
         log.consistent_read(sinks, at_seq=99)
+
+
+def test_route_tables_with_txn_log_is_atomic(spark, tmp_path):
+    """route_tables(txn_log=...) upgrades a demuxed micro-batch to an
+    atomic multi-table transaction: both tables become visible
+    together through consistent_read, redelivery is a skip, and the
+    unrouted metric survives the txn path."""
+    from tests.test_cdc_e2e import _mt_ev
+    from embulk_util_json_spark.streaming.runner import route_tables
+
+    rows = [
+        _mt_ev(1, "a", "c1", 0, "x"),
+        _mt_ev(2, "b", "c2", 0, "y"),
+        _mt_ev(3, "nowhere", "cz", 0, "lost"),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_json string")
+    sinks = _sinks(spark, tmp_path)
+    log = TransactionLog(str(tmp_path))
+
+    out = route_tables(df, sinks, "e0", txn_log=log)
+    assert out["unrouted_rows"] == 1
+    assert not out["tables"]["a"].get("skipped")
+    snap = log.consistent_read(sinks)
+    assert _state(snap["a"]) == {("c1", 0): "x"}
+    assert _state(snap["b"]) == {("c2", 0): "y"}
+    assert log.committed_versions() == {"a": 1, "b": 1}
+
+    # redelivered epoch: txn-level skip, tables untouched, metric intact
+    out2 = route_tables(df, sinks, "e0", txn_log=log)
+    assert all(r.get("skipped") for r in out2["tables"].values())
+    assert out2["unrouted_rows"] == 1
+    assert log.current_seq() == 1
+    # same batch ids as the non-txn path → switchable mid-stream
+    assert sinks["a"].applied_batch_ids() == ["e0:a"]
