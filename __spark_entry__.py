@@ -1105,6 +1105,41 @@ _ORACLE_CHANGE_FEED = f"""
 """
 
 
+def _q_cdc_change_feed_debezium_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-OUT in a standard wire format: the same 2-batch incremental
+    change feed as ``cdc_change_feed``, exported as Debezium envelopes
+    (``to_native_json`` → ``to_debezium_json``) and parsed BACK through
+    the Debezium adapter. Hash-equality against the change-feed oracle
+    proves the export loop lossless end-to-end — a downstream system
+    consuming the published feed sees exactly the net changes
+    (µs timestamps, tombstones, payloads intact)."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.debezium import (
+        parse_debezium_events,
+        to_debezium_json,
+    )
+    from embulk_util_json_spark.sources.events import (
+        parse_change_events,
+        to_native_json,
+    )
+
+    work = _scratch("feed_out_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    cut = int(b.lo) + (int(b.hi) - int(b.lo)) // 2 + 1
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "tbl"), num_buckets=8)
+    sink.apply(parse_change_events(events.filter(F.col("seq") < cut)), "b0")
+    v1 = sink.current_version()
+    sink.apply(parse_change_events(events.filter(F.col("seq") >= cut)), "b1")
+    feed = sink.read_changes(from_version=v1).select(
+        "conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "seq"
+    )
+    wire = to_debezium_json(to_native_json(feed))
+    return parse_debezium_events(wire).select(
+        "conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "seq"
+    )
+
+
 def _q_transcript_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized view (derived-table maintenance): the
     change stream applies to the base transcripts sink in 2 seq-range
@@ -2354,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_txn_consistent_read": _q_cdc_txn_consistent_read,
+        "cdc_change_feed_debezium_export": _q_cdc_change_feed_debezium_export,
         "sim_lsh_ann_multiprobe": _q_sim_lsh_ann_multiprobe,
         "sim_ivf_ann_nprobe2": _q_sim_ivf_ann_nprobe2,
         "sim_ivf_kmeans_topk": _q_sim_ivf_kmeans_topk,
@@ -2446,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_txn_consistent_read": _ORACLE_TXN_CONSISTENT,
+        "cdc_change_feed_debezium_export": _ORACLE_CHANGE_FEED,
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
         "cdc_maxwell_final_state": _ORACLE_CDC_FINAL_SEC,
         "cdc_canal_final_state": _ORACLE_CDC_FINAL_MS,

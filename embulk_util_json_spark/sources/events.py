@@ -141,6 +141,45 @@ def parse_change_events_single_pass(
     return parsed.select(*cols)
 
 
+def to_native_json(
+    changes: DataFrame,
+    table: str | None = None,
+) -> DataFrame:
+    """Canonical change rows → ``(seq, event_json)`` native envelopes
+    — the CDC-OUT exporter closing the wire-format loop: every wire
+    writer (``debezium.to_debezium_json`` / ``to_maxwell_json`` /
+    ``canal.to_canal_json``) consumes native envelopes, so
+    ``read_changes`` → ``to_native_json`` → ``to_<format>_json``
+    publishes a table's incremental change feed in any supported
+    format, and ``parse_<format>_events`` round-trips it losslessly
+    (µs timestamps via a 6-digit fractional-second rendering).
+
+    ``changes``: op, ts, seq + the canonical data fields (extras in
+    the ``_extras`` map ride along via ``map_concat``). ``table``
+    stamps multi-table envelopes for the routing demux. Pure
+    projection — ``to_json`` over a struct, stays in codegen."""
+    pairs = []
+    for name, _ in BASE_DATA_FIELDS:
+        if name in changes.columns:
+            pairs += [F.lit(name), F.col(name).cast("string")]
+    data = F.create_map(*pairs)
+    if EXTRAS_COL in changes.columns:
+        data = F.map_concat(data, F.coalesce(
+            F.col(EXTRAS_COL), F.create_map().cast("map<string,string>")
+        ))
+    fields = [
+        F.col("op").alias("op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        data.alias("data"),
+    ]
+    if table is not None:
+        fields.insert(0, F.lit(table).alias("table"))
+    return changes.select(
+        F.col("seq").cast("long").alias("seq"),
+        F.to_json(F.struct(*fields)).alias("event_json"),
+    )
+
+
 def parse_change_events(
     events: DataFrame,
     json_col: str = "event_json",
