@@ -577,6 +577,32 @@ _ORACLE_TXN_CONSISTENT = f"""
 """
 
 
+def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 materialization of the change stream: every
+    surviving change becomes a version row with a [valid_from,
+    valid_to) interval; delete tombstones close intervals but emit no
+    row. One key-partitioned window (same hash exchange as the LWW
+    apply), no global sort."""
+    from embulk_util_json_spark.operators.history import scd2_history
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    return scd2_history(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+
+
+def _q_cdc_compact_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect batch compaction: collapse the change batch to ≤1
+    net change per key (insert…delete annihilates; the survivor
+    carries the last payload). ONE min_by/max_by hash aggregation —
+    map-side partial combine pre-reduces hot keys before the
+    exchange."""
+    from embulk_util_json_spark.operators.history import compact_net_changes
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    return compact_net_changes(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+
+
 _PATCH_MARKER = "__unchanged__"
 
 
@@ -2388,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_scd2_history": _q_cdc_scd2_history,
+        "cdc_compact_net_effect": _q_cdc_compact_net_effect,
         "cdc_txn_consistent_read": _q_cdc_txn_consistent_read,
         "cdc_change_feed_debezium_export": _q_cdc_change_feed_debezium_export,
         "sim_lsh_ann_multiprobe": _q_sim_lsh_ann_multiprobe,
@@ -2477,10 +2505,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from embulk_util_json_spark.operators import history
     from embulk_util_json_spark.pipeline import disorder, skew
 
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
+        "cdc_scd2_history": history.scd2_history_sql(
+            _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
+        ),
+        "cdc_compact_net_effect": history.compact_net_changes_sql(
+            _ORACLE_CDC_EVENTS,
+            ["conv_id", "turn_idx"],
+            ["ts", "seq", "role", "text", "tool"],
+        ),
         "cdc_txn_consistent_read": _ORACLE_TXN_CONSISTENT,
         "cdc_change_feed_debezium_export": _ORACLE_CHANGE_FEED,
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,

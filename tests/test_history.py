@@ -1,0 +1,130 @@
+"""SCD Type-2 history and net-effect compaction (operators/history.py):
+interval invariants, delete-closes-interval semantics, annihilation,
+and the MERGE-equivalence of a compacted batch vs the raw batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embulk_util_json_spark.operators.history import (
+    compact_net_changes,
+    scd2_history,
+)
+from embulk_util_json_spark.operators.lww import lww_agg
+
+KEYS = ["conv_id", "turn_idx"]
+ORDER = ["ts", "seq"]
+COLS = ["conv_id", "turn_idx", "ts", "seq", "op", "role", "text", "tool"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_scd2_versions_and_intervals(spark):
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "v1", "t"),
+        ("c1", 0, 3, 2, "update", "user", "v2", "t"),
+        ("c1", 0, 5, 3, "update", "user", "v3", "t"),
+    ]
+    out = scd2_history(_df(spark, rows), KEYS, ORDER, ts_col="ts").orderBy(
+        "valid_from_seq"
+    )
+    got = [
+        (r.text, r.valid_from_ts, r.valid_to_ts, r.is_current)
+        for r in out.collect()
+    ]
+    # each version's valid_to is the NEXT version's valid_from; last open
+    assert got == [("v1", 1, 3, 0), ("v2", 3, 5, 0), ("v3", 5, None, 1)]
+
+
+def test_scd2_delete_closes_interval_emits_no_row(spark):
+    rows = [
+        ("c1", 0, 1, 1, "insert", "user", "v1", "t"),
+        ("c1", 0, 4, 2, "delete", None, None, None),
+        # a second key whose delete is mid-stream, then re-inserted
+        ("c2", 0, 1, 3, "insert", "u", "a", "t"),
+        ("c2", 0, 2, 4, "delete", None, None, None),
+        ("c2", 0, 6, 5, "insert", "u", "b", "t"),
+    ]
+    out = scd2_history(_df(spark, rows), KEYS, ORDER, ts_col="ts")
+    rows_out = {
+        (r.conv_id, r.text): (r.valid_to_ts, r.is_current) for r in out.collect()
+    }
+    # c1's only version is CLOSED by the delete at ts=4, and not current
+    assert rows_out[("c1", "v1")] == (4, 0)
+    # c2: first version closed by the delete, re-insert is current
+    assert rows_out[("c2", "a")] == (2, 0)
+    assert rows_out[("c2", "b")] == (None, 1)
+    # deletes emit no version rows
+    assert out.count() == 3
+
+
+def test_scd2_current_rows_match_lww_final_state(spark, sf_smoke_dir):
+    """The is_current slice of the SCD2 table IS the LWW final state
+    (minus keys whose last event is a delete) — the two formulations
+    must agree on the real change stream."""
+    import __spark_entry__ as entry
+
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(entry._events_as_cdc_json(spark, sf_smoke_dir))
+    current = (
+        scd2_history(changes, KEYS, ORDER)
+        .filter(F.col("is_current") == 1)
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+    )
+    final = (
+        lww_agg(changes, KEYS, ORDER)
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+    )
+    assert current.exceptAll(final).count() == 0
+    assert final.exceptAll(current).count() == 0
+
+
+def test_compact_annihilation_and_net_ops(spark):
+    rows = [
+        # insert…delete annihilates
+        ("a", 0, 1, 1, "insert", "u", "x", "t"),
+        ("a", 0, 2, 2, "update", "u", "y", "t"),
+        ("a", 0, 3, 3, "delete", None, None, None),
+        # insert…update nets to insert with final payload
+        ("b", 0, 1, 4, "insert", "u", "p", "t"),
+        ("b", 0, 2, 5, "update", "u", "q", "t"),
+        # update-first…delete nets to delete
+        ("c", 0, 1, 6, "update", "u", "m", "t"),
+        ("c", 0, 2, 7, "delete", None, None, None),
+        # update-only nets to update
+        ("d", 0, 1, 8, "update", "u", "n", "t"),
+    ]
+    out = compact_net_changes(_df(spark, rows), KEYS, ORDER)
+    got = {r.conv_id: (r.net_op, r.text) for r in out.collect()}
+    assert "a" not in got
+    assert got["b"] == ("insert", "q")
+    assert got["c"] == ("delete", None)
+    assert got["d"] == ("update", "n")
+    assert out.count() == 3
+
+
+def test_compact_replay_equivalence(spark, sf_smoke_dir):
+    """MERGE-equivalence: applying the compacted batch to an empty
+    table yields the same final state as replaying the raw batch
+    (LWW + tombstone filter) — net_op only reclassifies the op."""
+    import __spark_entry__ as entry
+
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(entry._events_as_cdc_json(spark, sf_smoke_dir))
+    raw_final = (
+        lww_agg(changes, KEYS, ORDER)
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+    )
+    net_final = (
+        compact_net_changes(changes, KEYS, ORDER)
+        .filter(F.col("net_op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+    )
+    assert net_final.exceptAll(raw_final).count() == 0
+    assert raw_final.exceptAll(net_final).count() == 0
