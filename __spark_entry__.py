@@ -603,6 +603,53 @@ def _q_cdc_compact_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_net_changes(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
 
 
+def _q_cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read: the table state AS OF the midpoint instant
+    of the stream (epoch-microsecond midpoint — integer math so both
+    engines pin the identical instant). Spark side slices the SCD2
+    interval table (a filter — no re-aggregation); the oracle uses the
+    independent log formulation (LWW over events with ts ≤ T), so a
+    hash match cross-checks the two formulations against each other."""
+    from embulk_util_json_spark.operators.history import scd2_asof, scd2_history
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    bounds = changes.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("_t")
+    )
+    versions = scd2_history(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return scd2_asof(versions.crossJoin(F.broadcast(bounds)), F.col("_t")).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("valid_from_ts").alias("ts"),
+    )
+
+
+_ORACLE_SCD2_ASOF = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t
+        FROM changes
+    ),
+    visible AS (
+        SELECT c.* FROM changes c, bounds WHERE epoch_us(c.ts) <= t
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM visible
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 _PATCH_MARKER = "__unchanged__"
 
 
@@ -2415,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_scd2_history": _q_cdc_scd2_history,
+        "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_compact_net_effect": _q_cdc_compact_net_effect,
         "cdc_txn_consistent_read": _q_cdc_txn_consistent_read,
         "cdc_change_feed_debezium_export": _q_cdc_change_feed_debezium_export,
@@ -2513,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
         ),
+        "cdc_scd2_asof": _ORACLE_SCD2_ASOF,
         "cdc_compact_net_effect": history.compact_net_changes_sql(
             _ORACLE_CDC_EVENTS,
             ["conv_id", "turn_idx"],

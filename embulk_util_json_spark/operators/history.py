@@ -114,6 +114,33 @@ def scd2_history_sql(
     """
 
 
+def scd2_asof(
+    versions: DataFrame,
+    asof_us: "int | F.Column",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time (AS OF) read over an SCD2 version table: the one
+    version per key whose ``[valid_from, valid_to)`` interval contains
+    the pinned instant (epoch MICROSECONDS — integer, so engine and
+    oracle can agree exactly; sub-second float midpoints drift).
+
+    This is a FILTER, not a shuffle: intervals are disjoint per key by
+    construction, so at most one version survives per key and no
+    re-aggregation is needed — time travel on the history table costs
+    one scan. (The equivalent log formulation — LWW over events with
+    ts ≤ T — re-shuffles the whole log; the SCD2 table amortizes that
+    across every AS OF query, which is the point of materializing it.)
+    """
+    t = F.lit(asof_us) if isinstance(asof_us, int) else asof_us
+    return versions.filter(
+        (F.unix_micros(F.col("valid_from_ts")) <= t)
+        & (
+            F.col("valid_to_ts").isNull()
+            | (F.unix_micros(F.col("valid_to_ts")) > t)
+        )
+    )
+
+
 def compact_net_changes(
     changes: DataFrame,
     keys: list[str],
