@@ -650,6 +650,89 @@ _ORACLE_SCD2_ASOF = f"""
 """
 
 
+def _gapped_midpoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change stream with one 50-position hole at the midpoint seq —
+    the lost-WAL-segment fixture for in-order commit fencing. The
+    midpoint is integer arithmetic over max(seq) so both engines pin
+    the identical hole."""
+    ev = _events_as_cdc_json(spark, sf_dir)
+    mid = ev.agg(F.expr("max(seq) div 2").alias("_mid"))
+    return (
+        ev.crossJoin(F.broadcast(mid))
+        .filter(
+            ~((F.col("seq") >= F.col("_mid")) & (F.col("seq") < F.col("_mid") + 50))
+        )
+        .drop("_mid")
+    )
+
+
+def _q_cdc_gap_fenced_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-order commit fencing ∘ LWW apply: a stream missing a
+    50-position WAL chunk at its midpoint is applied only up to the
+    first hole — the sink never reflects a suffix of the log while
+    missing part of its prefix (the lost event could be the delete
+    between two updates). The fence derives from the range-parallel
+    gap detector and is broadcast as one row; held-back events are
+    filtered BEFORE the merge exchange."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.pipeline.disorder import fence_at_first_gap
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    fenced = fence_at_first_gap(_gapped_midpoint_events(spark, sf_dir), "seq")
+    changes = parse_change_events(fenced)
+    return (
+        lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+_ORACLE_GAP_FENCED = f"""
+    WITH ev AS ({_ORACLE_CDC_EVENTS}),
+    mid AS (SELECT MAX(seq) // 2 AS m FROM ev),
+    gapped AS (
+        SELECT ev.* FROM ev, mid
+        WHERE NOT (seq >= m AND seq < m + 50)
+    ),
+    l AS (
+        SELECT seq, LAG(seq) OVER (ORDER BY seq) AS prev
+        FROM (SELECT DISTINCT seq FROM gapped)
+    ),
+    fence AS (
+        SELECT COALESCE(MIN(prev + 1), 9223372036854775807) AS f
+        FROM l WHERE seq > prev + 1
+    ),
+    visible AS (SELECT g.* FROM gapped g, fence WHERE g.seq < f),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM visible
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica freshness report: with the applied high-watermark
+    pinned at the seq midpoint (integer arithmetic — both engines pin
+    the identical cut), report the pending backlog, the distinct keys
+    it will touch, and the event-time lag between the replica's and
+    the source's frontiers. One conditional hash aggregation, one
+    pass, no window."""
+    from embulk_util_json_spark.pipeline.disorder import replication_lag_summary
+
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    hwm = changes.agg(F.expr("(min(seq) + max(seq)) div 2").alias("_hwm"))
+    return replication_lag_summary(
+        changes.crossJoin(F.broadcast(hwm)),
+        F.col("_hwm"),
+        key_cols=["conv_id", "turn_idx"],
+    )
+
+
 _PATCH_MARKER = "__unchanged__"
 
 
@@ -2463,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
+        "cdc_gap_fenced_apply": _q_cdc_gap_fenced_apply,
+        "cdc_replication_lag": _q_cdc_replication_lag,
         "cdc_compact_net_effect": _q_cdc_compact_net_effect,
         "cdc_txn_consistent_read": _q_cdc_txn_consistent_read,
         "cdc_change_feed_debezium_export": _q_cdc_change_feed_debezium_export,
@@ -2562,6 +2647,12 @@ def oracle_sql() -> dict[str, str]:
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
         ),
         "cdc_scd2_asof": _ORACLE_SCD2_ASOF,
+        "cdc_gap_fenced_apply": _ORACLE_GAP_FENCED,
+        "cdc_replication_lag": disorder.replication_lag_summary_sql(
+            _ORACLE_CDC_EVENTS,
+            "SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events",
+            key_cols=["conv_id", "turn_idx"],
+        ),
         "cdc_compact_net_effect": history.compact_net_changes_sql(
             _ORACLE_CDC_EVENTS,
             ["conv_id", "turn_idx"],

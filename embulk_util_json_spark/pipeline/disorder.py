@@ -242,6 +242,155 @@ def seq_continuity_summary_sql(changes_sql: str, seq_col: str = "seq") -> str:
     """
 
 
+def fence_at_first_gap(
+    df: DataFrame, seq_col: str = "seq", n_ranges: int = 64
+) -> DataFrame:
+    """In-order commit fencing: keep only events strictly below the
+    first missing binlog position; everything at or past the first
+    gap is held back.
+
+    Why a CDC apply wants this: LWW merging is order-insensitive for
+    the events it HAS, but a hole in the sequence means an event was
+    lost in flight — committing past it can expose a state that a
+    late-arriving refetch of the hole would retroactively change
+    (e.g. the missing event is the delete between two updates). The
+    transactional guarantee "the sink never reflects a suffix of the
+    log while missing part of its prefix" is exactly this fence; the
+    held-back tail is applied later once the hole is refetched (or
+    explicitly abandoned, at which point the fence moves).
+
+    Scale shape: the fence value derives from :func:`seq_gaps`
+    (range-parallel LAG, never a single-task global window); the
+    1-row minimum is broadcast and the filter runs BEFORE any
+    downstream shuffle, so held-back rows never enter the merge
+    exchange. No driver collect in the data path.
+    """
+    gaps = seq_gaps(df, seq_col, n_ranges)
+    fence = gaps.agg(
+        F.coalesce(F.min("gap_start"), F.lit((1 << 63) - 1)).alias("_fence")
+    )
+    return (
+        df.crossJoin(F.broadcast(fence))
+        .filter(F.col(seq_col) < F.col("_fence"))
+        .drop("_fence")
+    )
+
+
+def fence_at_first_gap_sql(changes_sql: str, seq_col: str = "seq") -> str:
+    """DuckDB oracle twin: naive single-window LAG fence."""
+    return f"""
+        WITH src AS (SELECT * FROM ({changes_sql})),
+        l AS (
+            SELECT seq, LAG(seq) OVER (ORDER BY seq) AS prev
+            FROM (SELECT DISTINCT {seq_col} AS seq FROM src)
+        ),
+        fence AS (
+            SELECT COALESCE(MIN(prev + 1), 9223372036854775807) AS f
+            FROM l WHERE seq > prev + 1
+        )
+        SELECT src.* FROM src, fence WHERE src.{seq_col} < f
+    """
+
+
+def replication_lag_summary(
+    df: DataFrame,
+    applied_hwm_seq: "int | F.Column",
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-row freshness report for a downstream replica whose applied
+    high-watermark is ``applied_hwm_seq``: how much of the log is still
+    pending, how many keys it touches, and how stale the replica's
+    event-time frontier is relative to the source's.
+
+    Columns: ``applied_hwm_seq``, ``applied_hwm_ts`` (event-time
+    frontier of the applied prefix), ``n_pending``, ``n_keys_pending``
+    (distinct keys the backlog will touch — the write amplification of
+    catching up), ``source_hwm_ts``, ``lag_sec`` (event-time distance
+    between the two frontiers; 0 when nothing is pending).
+
+    Scale shape: one pass, one hash aggregation — conditional
+    aggregates over the seq predicate instead of two scans; the
+    distinct-key count shuffles only the (tiny) per-partition partial
+    sketches. No window, no driver collect.
+    """
+    hwm = (
+        F.lit(applied_hwm_seq)
+        if isinstance(applied_hwm_seq, int)
+        else applied_hwm_seq
+    )
+    pend = F.col(seq_col) > hwm
+    keys = key_cols or []
+    key_struct = F.struct(*[F.col(k) for k in keys]) if keys else None
+    agg = [
+        F.max(F.when(~pend, F.col(seq_col))).alias("applied_hwm_seq"),
+        F.max(F.when(~pend, F.col(ts_col))).alias("applied_hwm_ts"),
+        F.sum(F.when(pend, 1).otherwise(0)).cast("long").alias("n_pending"),
+        (
+            F.count_distinct(F.when(pend, key_struct))
+            if key_struct is not None
+            else F.lit(0).cast("long")
+        ).alias("n_keys_pending"),
+        F.max(F.col(ts_col)).alias("source_hwm_ts"),
+    ]
+    out = df.agg(*agg)
+    lag_us = F.unix_micros(F.col("source_hwm_ts")) - F.unix_micros(
+        F.col("applied_hwm_ts")
+    )
+    return out.withColumn(
+        "lag_sec",
+        F.when(F.col("n_pending") == 0, F.lit(0.0)).otherwise(
+            F.greatest(lag_us / F.lit(1e6), F.lit(0.0))
+        ),
+    )
+
+
+def replication_lag_summary_sql(
+    changes_sql: str,
+    applied_hwm_seq_sql: str,
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    key_cols: list[str] | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`replication_lag_summary`.
+    ``applied_hwm_seq_sql`` is a scalar SQL expression (may reference a
+    1-row subquery)."""
+    keys = key_cols or []
+    key_expr = (
+        "ROW(" + ", ".join(keys) + ")" if len(keys) > 1 else (keys[0] if keys else None)
+    )
+    nkeys = (
+        f"COUNT(DISTINCT CASE WHEN seq > hwm THEN {key_expr} END)"
+        if key_expr
+        else "0"
+    )
+    return f"""
+        WITH src AS (
+            SELECT *, {seq_col} AS seq, {ts_col} AS ts,
+                   ({applied_hwm_seq_sql}) AS hwm
+            FROM ({changes_sql})
+        ),
+        a AS (
+            SELECT
+                MAX(CASE WHEN seq <= hwm THEN seq END) AS applied_hwm_seq,
+                MAX(CASE WHEN seq <= hwm THEN ts END) AS applied_hwm_ts,
+                CAST(COUNT(CASE WHEN seq > hwm THEN 1 END) AS BIGINT)
+                    AS n_pending,
+                CAST({nkeys} AS BIGINT) AS n_keys_pending,
+                MAX(ts) AS source_hwm_ts
+            FROM src
+        )
+        SELECT *,
+               CASE WHEN n_pending = 0 THEN 0.0
+                    ELSE GREATEST(
+                        date_diff('microsecond', applied_hwm_ts,
+                                  source_hwm_ts) / 1e6, 0.0)
+               END AS lag_sec
+        FROM a
+    """
+
+
 def disorder_summary_sql(changes_sql: str, ts_col: str = "ts",
                          seq_col: str = "seq") -> str:
     """DuckDB oracle twin: the naive single-window prefix scan."""

@@ -123,3 +123,102 @@ def test_seq_continuity_summary_counts(spark):
     assert (r.n_rows, r.n_distinct, r.lo, r.hi) == (8, 5, 1, 9)
     assert r.n_dup_rows == 3  # one extra 1, two extra 6s
     assert (r.n_gaps, r.n_missing) == (2, 4)  # gaps 3-4 and 7-8
+
+
+# ---- in-order commit fencing (fence_at_first_gap) -------------------
+
+
+def _fence(spark, seqs, n_ranges=4):
+    from embulk_util_json_spark.pipeline.disorder import fence_at_first_gap
+
+    df = spark.createDataFrame([(s,) for s in seqs], "seq long")
+    return sorted(
+        r.seq for r in fence_at_first_gap(df, "seq", n_ranges=n_ranges).collect()
+    )
+
+
+def test_fence_holds_back_everything_past_first_gap(spark):
+    # first hole at 6-7: events 8..10 are held back even though later
+    # positions are contiguous again — the sink must never reflect a
+    # suffix of the log while missing part of its prefix
+    assert _fence(spark, [1, 2, 3, 4, 5, 8, 9, 10]) == [1, 2, 3, 4, 5]
+
+
+def test_fence_no_gap_passes_everything(spark):
+    assert _fence(spark, [3, 4, 5, 6]) == [3, 4, 5, 6]
+    # duplicates are redelivery, not holes
+    assert _fence(spark, [1, 1, 2, 2, 3]) == [1, 1, 2, 2, 3]
+
+
+def test_fence_multiple_gaps_uses_first(spark):
+    assert _fence(spark, [1, 3, 5]) == [1]
+
+
+def test_fence_empty_ok(spark):
+    assert _fence(spark, []) == []
+
+
+def test_fence_keeps_payload_columns(spark):
+    from embulk_util_json_spark.pipeline.disorder import fence_at_first_gap
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "held")], "seq long, payload string"
+    )
+    out = fence_at_first_gap(df, "seq").collect()
+    assert sorted((r.seq, r.payload) for r in out) == [(1, "a"), (2, "b")]
+    assert "_fence" not in fence_at_first_gap(df, "seq").columns
+
+
+# ---- replica freshness (replication_lag_summary) --------------------
+
+
+def _lag_stream(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, "k1", base),
+        (2, "k2", base + datetime.timedelta(seconds=10)),
+        (3, "k1", base + datetime.timedelta(seconds=20)),
+        (4, "k3", base + datetime.timedelta(seconds=40)),
+        (5, "k3", base + datetime.timedelta(seconds=30)),
+        (6, "k4", base + datetime.timedelta(seconds=60)),
+    ]
+    return spark.createDataFrame(rows, "seq long, k string, ts timestamp")
+
+
+def test_replication_lag_known_values(spark):
+    from embulk_util_json_spark.pipeline.disorder import replication_lag_summary
+
+    r = replication_lag_summary(
+        _lag_stream(spark), 3, key_cols=["k"]
+    ).collect()[0]
+    assert r.applied_hwm_seq == 3
+    assert r.n_pending == 3
+    assert r.n_keys_pending == 2  # k3, k4
+    assert r.applied_hwm_ts.second == 20
+    assert r.source_hwm_ts.second == 0 and r.source_hwm_ts.minute == 1
+    assert r.lag_sec == 40.0
+
+
+def test_replication_lag_caught_up_is_zero(spark):
+    from embulk_util_json_spark.pipeline.disorder import replication_lag_summary
+
+    r = replication_lag_summary(
+        _lag_stream(spark), 100, key_cols=["k"]
+    ).collect()[0]
+    assert (r.n_pending, r.n_keys_pending, r.lag_sec) == (0, 0, 0.0)
+    assert r.applied_hwm_seq == 6
+
+
+def test_replication_lag_single_aggregation_plan(spark):
+    """One pass: the plan must contain exactly one pair of hash
+    aggregates (partial + final for the distinct) and no window —
+    freshness monitoring must stay O(1) memory per partition."""
+    from embulk_util_json_spark.pipeline.disorder import replication_lag_summary
+
+    plan = (
+        replication_lag_summary(_lag_stream(spark), 3, key_cols=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
