@@ -713,6 +713,35 @@ _ORACLE_GAP_FENCED = f"""
 """
 
 
+def _q_cdc_fenced_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful in-order fencing end to end: batch A arrives missing a
+    50-position WAL chunk at the midpoint — the FencedApplier commits
+    only the contiguous prefix and durably holds the suffix; batch B
+    refetches the hole (plus the tail) — the pending store drains and
+    the frontier advances. Final table state must equal the plain LWW
+    apply of the WHOLE stream (the standard CDC oracle): the fence
+    delayed visibility but lost and duplicated nothing."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.fenced import FencedApplier
+
+    work = _scratch("fenced_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    mid = ev.agg(F.expr("max(seq) div 2").alias("_mid"))
+    cut = ev.agg(F.expr("(max(seq) * 2) div 3").alias("_cut"))
+    e = ev.crossJoin(F.broadcast(mid)).crossJoin(F.broadcast(cut))
+    in_hole = (F.col("seq") >= F.col("_mid")) & (F.col("seq") < F.col("_mid") + 50)
+    batch_a = e.filter((F.col("seq") < F.col("_cut")) & ~in_hole).drop("_mid", "_cut")
+    batch_b = e.filter((F.col("seq") >= F.col("_cut")) | in_hole).drop("_mid", "_cut")
+
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    fa = FencedApplier(spark, sink, os.path.join(work, "fence"))
+    r1 = fa.apply(batch_a)
+    assert r1["held_batch"], "fixture must actually hold a suffix"
+    r2 = fa.apply(batch_b)
+    assert r2["pending_rows"] == 0, "refetch must drain the pending store"
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica freshness report: with the applied high-watermark
     pinned at the seq midpoint (integer arithmetic — both engines pin
@@ -2547,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_gap_fenced_apply": _q_cdc_gap_fenced_apply,
+        "cdc_fenced_replay_final_state": _q_cdc_fenced_replay_final_state,
         "cdc_replication_lag": _q_cdc_replication_lag,
         "cdc_compact_net_effect": _q_cdc_compact_net_effect,
         "cdc_txn_consistent_read": _q_cdc_txn_consistent_read,
@@ -2648,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_scd2_asof": _ORACLE_SCD2_ASOF,
         "cdc_gap_fenced_apply": _ORACLE_GAP_FENCED,
+        "cdc_fenced_replay_final_state": _ORACLE_CDC_FINAL,
         "cdc_replication_lag": disorder.replication_lag_summary_sql(
             _ORACLE_CDC_EVENTS,
             "SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events",
