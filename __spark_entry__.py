@@ -742,6 +742,34 @@ def _q_cdc_fenced_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_chunked_bootstrap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-chunked initial load (the public DBLog / Flink-CDC
+    incremental-snapshot shape) over a RETENTION-TRUNCATED tail: the
+    replayable log starts at seq > max(seq) div 3, so a third of
+    history exists only in the (simulated) source table. Three chunk
+    selects bracketed by (lw, hw] watermark pairs interleave with
+    tail micro-batches; seeded rows pin at (their own ts, lw) and the
+    (ts, seq) LWW monoid resolves every chunk-vs-log race. The final
+    table must equal the WHOLE-log LWW oracle — the truncated prefix
+    is recovered entirely through the chunk path."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+    from embulk_util_json_spark.streaming.chunked import (
+        chunked_bootstrap_replay,
+        log_state_source,
+    )
+
+    work = _scratch("chunked_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    hi = ev.agg(F.max("seq").alias("m")).collect()[0].m
+    tail = ev.filter(F.col("seq") > int(hi) // 3)
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    src = log_state_source(parse_change_events(ev), n_chunks=3)
+    res = chunked_bootstrap_replay(spark, tail, sink, src, n_chunks=3)
+    assert res["seeded_rows"] > 0, "fixture must exercise chunk seeding"
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica freshness report: with the applied high-watermark
     pinned at the seq midpoint (integer arithmetic — both engines pin
@@ -2573,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_gap_fenced_apply": _q_cdc_gap_fenced_apply,
@@ -2679,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_asof": _ORACLE_SCD2_ASOF,
         "cdc_gap_fenced_apply": _ORACLE_GAP_FENCED,
         "cdc_fenced_replay_final_state": _ORACLE_CDC_FINAL,
+        "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_replication_lag": disorder.replication_lag_summary_sql(
             _ORACLE_CDC_EVENTS,
             "SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events",
