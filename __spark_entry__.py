@@ -770,6 +770,90 @@ def _q_cdc_chunked_bootstrap_final_state(spark: SparkSession, sf_dir: str) -> Da
     return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_sharded_fenced_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-source merge with independent per-shard commit fencing:
+    the stream is decomposed into 3 shards with dense per-shard seq
+    spaces (shard = seq % 3, shard_seq = seq div 3 — both engines
+    derive the identical decomposition), shard 1 loses a 20-position
+    WAL chunk at its midpoint, each shard is fenced at ITS OWN first
+    hole (shards 0/2 commit fully — no cross-shard stall), and the
+    deterministic merge stamp (shard_seq * 3 + shard) reconstructs
+    the global LWW order. Oracle: the naive per-shard LAG fence +
+    single-window LWW over the same decomposition."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.pipeline.shards import (
+        fence_per_shard,
+        merge_shard_seqs,
+    )
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    ev = _events_as_cdc_json(spark, sf_dir)
+    sh = ev.select(
+        (F.col("seq") % 3).cast("int").alias("shard"),
+        F.expr("seq div 3").alias("seq"),
+        "event_json",
+    )
+    mid = sh.filter("shard = 1").agg(F.expr("max(seq) div 2").alias("_mid"))
+    gapped = (
+        sh.crossJoin(F.broadcast(mid))
+        .filter(
+            ~(
+                (F.col("shard") == 1)
+                & (F.col("seq") >= F.col("_mid"))
+                & (F.col("seq") < F.col("_mid") + 20)
+            )
+        )
+        .drop("_mid")
+    )
+    merged = merge_shard_seqs(fence_per_shard(gapped), 3).drop("shard")
+    changes = parse_change_events(merged)
+    return (
+        lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+_ORACLE_SHARDED_FENCED = f"""
+    WITH ev AS ({_ORACLE_CDC_EVENTS}),
+    s AS (
+        SELECT seq % 3 AS shard, seq // 3 AS sseq,
+               op, ts, conv_id, turn_idx, role, text, tool
+        FROM ev
+    ),
+    mid AS (SELECT MAX(sseq) // 2 AS m FROM s WHERE shard = 1),
+    gapped AS (
+        SELECT s.* FROM s, mid
+        WHERE NOT (shard = 1 AND sseq >= m AND sseq < m + 20)
+    ),
+    l AS (
+        SELECT shard, sseq,
+               LAG(sseq) OVER (PARTITION BY shard ORDER BY sseq) AS prev
+        FROM (SELECT DISTINCT shard, sseq FROM gapped)
+    ),
+    fence AS (
+        SELECT shard,
+               COALESCE(MIN(CASE WHEN sseq > prev + 1 THEN prev + 1 END),
+                        9223372036854775807) AS f
+        FROM l GROUP BY shard
+    ),
+    merged AS (
+        SELECT g.sseq * 3 + g.shard AS seq,
+               g.op, g.ts, g.conv_id, g.turn_idx, g.role, g.text, g.tool
+        FROM gapped g JOIN fence ON g.shard = fence.shard
+        WHERE g.sseq < fence.f
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM merged
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica freshness report: with the applied high-watermark
     pinned at the seq midpoint (integer arithmetic — both engines pin
@@ -2602,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
+        "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_gap_fenced_apply": _q_cdc_gap_fenced_apply,
@@ -2709,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_gap_fenced_apply": _ORACLE_GAP_FENCED,
         "cdc_fenced_replay_final_state": _ORACLE_CDC_FINAL,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
+        "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_replication_lag": disorder.replication_lag_summary_sql(
             _ORACLE_CDC_EVENTS,
             "SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events",
