@@ -2019,6 +2019,80 @@ _ORACLE_CDC_EVOLUTION = """
 """
 
 
+def _q_cdc_ddl_gated_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict DDL-gated schema evolution: a schema-change envelope
+    ({"op":"ddl","ddl":{"action":"add_column","column":"model"}}) at
+    the seq midpoint authorizes the 'model' column; rows carrying the
+    member BEFORE that position keep it quarantined in _extras (it
+    must not silently become data), rows at/after materialize it.
+    The gate compiles to a pure CASE projection (no join) and runs
+    before the LWW reduction, so the winner's own position decides
+    its model value — mirrored exactly by the oracle's CASE."""
+    from embulk_util_json_spark.operators.ddl import (
+        apply_ddl_gate,
+        ddl_authorizations,
+        parse_ddl_events,
+    )
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.events import (
+        EXTRAS_COL,
+        parse_change_events_single_pass,
+    )
+
+    ev = _events_as_cdc_json_evolving(spark, sf_dir)
+    ddl_json = (
+        '{"op":"ddl","ts":"2024-01-01 00:00:00.000000",'
+        '"ddl":{"action":"add_column","column":"model"}}'
+    )
+    ddl_row = ev.agg(F.expr("max(seq) div 2").alias("seq")).select(
+        "seq", F.lit(ddl_json).alias("event_json")
+    )
+    stream = ev.unionByName(ddl_row)
+    auth = ddl_authorizations(parse_ddl_events(stream))
+    changes = parse_change_events_single_pass(stream).filter(
+        F.col("op") != "ddl"
+    )
+    gated = apply_ddl_gate(changes, auth).drop(EXTRAS_COL)
+    final = lww_agg(gated, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "model", "ts"
+    )
+
+
+_ORACLE_DDL_GATED = """
+    WITH changes AS (
+        SELECT
+            event_id AS seq,
+            CASE WHEN event_type = 'error' THEN 'delete'
+                 WHEN event_type = 'signup' THEN 'insert'
+                 ELSE 'update' END AS op,
+            ts,
+            'u' || CAST(user_id AS VARCHAR) AS conv_id,
+            CAST(event_id % 25 AS INTEGER) AS turn_idx,
+            'r' || CAST(event_id % 4 AS VARCHAR) AS role,
+            'text ' || CAST(event_id AS VARCHAR) AS text,
+            event_type AS tool,
+            CASE WHEN event_id % 5 = 0 THEN 'm-2' END AS model
+        FROM events
+    ),
+    mid AS (SELECT MAX(seq) // 2 AS m FROM changes),
+    gated AS (
+        SELECT c.seq, c.op, c.ts, c.conv_id, c.turn_idx, c.role,
+               c.text, c.tool,
+               CASE WHEN c.seq >= mid.m THEN c.model END AS model
+        FROM changes c, mid
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM gated
+    )
+    SELECT conv_id, turn_idx, role, text, tool, model, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_apply_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The literal north-star LWW formulation: row_number() over
     (conv_id, turn_idx) ordered by (ts, seq) desc — oracle-equal to
@@ -2687,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
+        "cdc_ddl_gated_evolution": _q_cdc_ddl_gated_evolution,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_gap_fenced_apply": _q_cdc_gap_fenced_apply,
@@ -2795,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fenced_replay_final_state": _ORACLE_CDC_FINAL,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
+        "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
         "cdc_replication_lag": disorder.replication_lag_summary_sql(
             _ORACLE_CDC_EVENTS,
             "SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events",
