@@ -2093,6 +2093,67 @@ _ORACLE_DDL_GATED = """
 """
 
 
+def _q_cdc_policy_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column merge policies in one hash aggregation: role/text/
+    tool/ts keep LWW, tokens (= length(text), integer so both engines
+    sum exactly) ACCUMULATES across every delivery, first_ts keeps
+    the first writer, n_events counts deliveries. Row existence is
+    still the LWW winner's op — identical tombstone semantics to the
+    plain apply. Oracle: ranked-winner join against a GROUP BY with
+    the same aggregates (SUM cast to BIGINT — DuckDB SUM returns
+    HUGEINT)."""
+    from embulk_util_json_spark.operators.lww import policy_agg
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    df = changes.select(
+        "op", "ts", "seq", "conv_id", "turn_idx", "role", "text", "tool",
+        F.length("text").cast("long").alias("tokens"),
+        F.col("ts").alias("first_ts"),
+    )
+    merged = policy_agg(
+        df,
+        ["conv_id", "turn_idx"],
+        ["ts", "seq"],
+        {
+            "role": "lww",
+            "text": "lww",
+            "tool": "lww",
+            "ts": "lww",
+            "tokens": "sum",
+            "first_ts": "first",
+            "n_events": "count",
+        },
+    )
+    return merged.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "tokens", "first_ts", "n_events",
+    )
+
+
+_ORACLE_POLICY_MERGE = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    agg AS (
+        SELECT conv_id, turn_idx,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS tokens,
+               MIN(ts) AS first_ts,
+               COUNT(*) AS n_events
+        FROM changes GROUP BY conv_id, turn_idx
+    )
+    SELECT r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts,
+           a.tokens, a.first_ts, a.n_events
+    FROM ranked r
+    JOIN agg a ON r.conv_id = a.conv_id AND r.turn_idx = a.turn_idx
+    WHERE r.rn = 1 AND r.op <> 'delete'
+"""
+
+
 def _q_cdc_apply_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The literal north-star LWW formulation: row_number() over
     (conv_id, turn_idx) ordered by (ts, seq) desc — oracle-equal to
@@ -2762,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
         "cdc_ddl_gated_evolution": _q_cdc_ddl_gated_evolution,
+        "cdc_policy_merge_final_state": _q_cdc_policy_merge_final_state,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_gap_fenced_apply": _q_cdc_gap_fenced_apply,
@@ -2871,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
+        "cdc_policy_merge_final_state": _ORACLE_POLICY_MERGE,
         "cdc_replication_lag": disorder.replication_lag_summary_sql(
             _ORACLE_CDC_EVENTS,
             "SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events",

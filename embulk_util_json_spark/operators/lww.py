@@ -336,3 +336,66 @@ def lww_salted(
         .select(*keys, *[F.col("_w")[c].alias(c) for c in payload])
     )
     return lww_agg(stage1, keys, order_cols)
+
+
+POLICY_AGGS = ("lww", "first", "sum", "max", "min", "count")
+
+
+def policy_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    policies: dict[str, str],
+) -> DataFrame:
+    """Per-column merge policies — the apply algebra beyond pure LWW.
+
+    Real CDC targets rarely want every column last-writer-wins: a
+    conversation's ``tokens_used`` accumulates across updates
+    (``sum``), ``created_at`` must keep the FIRST writer (``first``),
+    an SLA column wants the extreme (``max``/``min``), audit wants
+    the event count (``count``) — while role/text/tool stay ``lww``.
+
+    ``policies`` maps output column → one of ``POLICY_AGGS``:
+
+    - ``lww``   — value of the (order_cols)-max event (default
+      semantics of :func:`lww_agg`);
+    - ``first`` — value of the (order_cols)-min event (first-writer-
+      wins, immutable-once-set columns);
+    - ``sum``/``max``/``min`` — over ALL of the key's events
+      (deletes included: the aggregate view is the audit trail, and
+      the row's EXISTENCE is still decided by the LWW winner's op —
+      identical tombstone semantics to the rest of the engine);
+    - ``count`` — events per key (duplicate deliveries included).
+
+    Scale shape: everything compiles into ONE ``groupBy(keys).agg``
+    — max_by/min_by/sum/max/min/count are all associative and
+    commutative, so Spark's hash aggregate applies map-side partial
+    combine to every policy at once; the plan is the same single
+    exchange as ``lww_agg`` regardless of how many policies are
+    mixed. A hot key pre-reduces per input partition exactly like
+    the plain LWW path (and ``lww_salted``'s two-stage split stays
+    exact here too, for the same algebraic reason).
+    """
+    order = _order_struct(order_cols)
+    aggs = [
+        F.max_by(F.col("op"), order).alias("op")
+    ] if "op" in df.columns and "op" not in policies else []
+    for c, p in policies.items():
+        if p == "lww":
+            aggs.append(F.max_by(F.col(c), order).alias(c))
+        elif p == "first":
+            aggs.append(F.min_by(F.col(c), order).alias(c))
+        elif p == "sum":
+            aggs.append(F.sum(F.col(c)).alias(c))
+        elif p == "max":
+            aggs.append(F.max(F.col(c)).alias(c))
+        elif p == "min":
+            aggs.append(F.min(F.col(c)).alias(c))
+        elif p == "count":
+            aggs.append(F.count(F.lit(1)).alias(c))
+        else:
+            raise ValueError(
+                f"unknown merge policy {p!r} for column {c!r}; "
+                f"one of {POLICY_AGGS}"
+            )
+    return df.groupBy(*keys).agg(*aggs)
