@@ -854,6 +854,116 @@ _ORACLE_SHARDED_FENCED = f"""
 """
 
 
+def _q_cdc_txn_boundary_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-transaction atomicity (``streaming/txn_boundary``): rows
+    frame into source transactions (txid = seq div 64); commit/abort
+    markers arrive on their own feed and LAG the rows — batch A gets
+    rows up to the ⅔ seq cut but markers only up to cut_txid − 3, so
+    committed-but-unmarked transactions are durably HELD across the
+    batch boundary; batch B delivers the remaining markers and drains
+    them. Aborted transactions (txid % 11 = 5) are dropped entirely;
+    the last transaction never gets a marker and must stay invisible.
+    Final table = LWW over rows of committed transactions only."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.txn_boundary import TxnBoundaryApplier
+
+    work = _scratch("txnb_")
+    ev = _events_as_cdc_json(spark, sf_dir).withColumn(
+        "txid", F.expr("seq div 64")
+    )
+    hi = int(ev.agg(F.max("seq").alias("m")).collect()[0].m)
+    mx_txid, cut_seq = hi // 64, (hi * 2) // 3
+    cut_txid = cut_seq // 64
+    markers = (
+        ev.select("txid")
+        .distinct()
+        .filter(F.col("txid") < mx_txid)
+        .select(
+            "txid",
+            F.when(F.col("txid") % 11 == 5, F.lit("abort"))
+            .otherwise(F.lit("commit"))
+            .alias("status"),
+        )
+    )
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    ap = TxnBoundaryApplier(spark, sink, os.path.join(work, "txn"))
+    r1 = ap.apply(
+        ev.filter(F.col("seq") < cut_seq),
+        markers.filter(F.col("txid") <= cut_txid - 3),
+    )
+    assert r1["held_batch"], "fixture must hold committed-but-unmarked txns"
+    r2 = ap.apply(
+        ev.filter(F.col("seq") >= cut_seq),
+        markers.filter(F.col("txid") > cut_txid - 3),
+    )
+    assert r2["open_rows"] > 0, "the unterminated last txn must stay held"
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_TXN_BOUNDARY = f"""
+    WITH ev AS ({_ORACLE_CDC_EVENTS}),
+    t AS (SELECT ev.*, seq // 64 AS txid FROM ev),
+    mx AS (SELECT MAX(txid) AS mt FROM t),
+    vis AS (
+        SELECT t.* FROM t, mx
+        WHERE txid < mt AND txid % 11 <> 5
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM vis
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_pk_change_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key-change handling (``operators/keychange``): every
+    17th update moves its row to a new key (old_turn_idx =
+    (turn_idx + 7) % 25 rides the event, Debezium-newkey style). The
+    expansion emits a tombstone at the OLD key plus the change at the
+    new key in one inline projection, so the key-equi LWW merge leaves
+    no ghost behind at the vacated key. Oracle: the same expansion as
+    a UNION ALL over the derived stream."""
+    from embulk_util_json_spark.operators.keychange import expand_key_changes
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    movers = (F.col("op") == "update") & (F.col("seq") % 17 == 3)
+    with_old = changes.withColumn(
+        "old_turn_idx",
+        F.when(movers, ((F.col("turn_idx") + 7) % 25).cast("int")),
+    )
+    expanded = expand_key_changes(with_old, {"turn_idx": "old_turn_idx"})
+    return (
+        lww_agg(expanded, ["conv_id", "turn_idx"], ["ts", "seq"])
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+_ORACLE_PK_CHANGE = f"""
+    WITH ev AS ({_ORACLE_CDC_EVENTS}),
+    expanded AS (
+        SELECT op, ts, seq, conv_id, turn_idx, role, text, tool FROM ev
+        UNION ALL
+        SELECT 'delete' AS op, ts, seq, conv_id,
+               CAST((turn_idx + 7) % 25 AS INTEGER) AS turn_idx,
+               role, text, tool
+        FROM ev WHERE op = 'update' AND seq % 17 = 3
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM expanded
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica freshness report: with the applied high-watermark
     pinned at the seq midpoint (integer arithmetic — both engines pin
@@ -2820,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
+        "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
         "cdc_ddl_gated_evolution": _q_cdc_ddl_gated_evolution,
@@ -2930,6 +3042,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_asof": _ORACLE_SCD2_ASOF,
         "cdc_gap_fenced_apply": _ORACLE_GAP_FENCED,
         "cdc_fenced_replay_final_state": _ORACLE_CDC_FINAL,
+        "cdc_txn_boundary_final_state": _ORACLE_TXN_BOUNDARY,
+        "cdc_pk_change_final_state": _ORACLE_PK_CHANGE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
