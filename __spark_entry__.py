@@ -918,6 +918,55 @@ _ORACLE_TXN_BOUNDARY = f"""
 """
 
 
+def _q_cdc_checksum_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum reconciliation (``pipeline/reconcile`` +
+    ``sink.restore_buckets``): after a 2-batch replay + compact, one
+    bucket's data files are damaged OUT OF BAND (rows dropped, text
+    mangled in place — invisible to the exactly-once machinery). The
+    per-bucket xor-digest audit must flag exactly that bucket, and
+    the targeted restore rewrites only it from the authoritative log
+    reduction — the pt-table-checksum loop. Final state = the plain
+    whole-stream LWW oracle: the damage is fully healed."""
+    import shutil
+
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.pipeline.reconcile import verify_and_repair
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("reconcile_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    mid = ev.agg(F.expr("max(seq) div 2").alias("_m"))
+    e = ev.crossJoin(F.broadcast(mid))
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    apply_events_batch(e.filter(F.col("seq") < F.col("_m")).drop("_m"), sink, "b1")
+    apply_events_batch(e.filter(F.col("seq") >= F.col("_m")).drop("_m"), sink, "b2")
+    sink.compact(drop_tombstones=False)
+
+    man = sink.current_manifest()
+    victim = sorted(man["buckets"], key=int)[3]
+    path = os.path.join(sink.root, man["buckets"][victim][0])
+    dmg = (
+        spark.read.parquet(path)
+        .localCheckpoint()  # materialize BEFORE the in-place overwrite
+        .filter(F.col("seq") % 5 != 0)
+        .withColumn("text", F.reverse("text"))
+    )
+    tmp_out = os.path.join(work, "dmg")
+    dmg.write.mode("overwrite").parquet(tmp_out)
+    shutil.rmtree(path)
+    shutil.move(tmp_out, path)
+
+    truth = lww_agg(
+        parse_change_events(ev), ["conv_id", "turn_idx"], ["ts", "seq"]
+    )
+    rep = verify_and_repair(sink, truth)
+    assert rep["mismatched"] == [int(victim)], rep
+    assert rep["repaired"] == [int(victim)]
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_pk_change_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary-key-change handling (``operators/keychange``): every
     17th update moves its row to a new key (old_turn_idx =
@@ -2932,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
+        "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
         "cdc_ddl_gated_evolution": _q_cdc_ddl_gated_evolution,
@@ -3044,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fenced_replay_final_state": _ORACLE_CDC_FINAL,
         "cdc_txn_boundary_final_state": _ORACLE_TXN_BOUNDARY,
         "cdc_pk_change_final_state": _ORACLE_PK_CHANGE,
+        "cdc_checksum_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

@@ -1292,6 +1292,77 @@ class ParquetSnapshotSink:
             "to_num_buckets": self.num_buckets,
         }
 
+    def restore_buckets(self, truth: DataFrame, only_buckets: list[int]) -> dict:
+        """Targeted out-of-band-damage repair: replace the named
+        buckets' chains with rows from ``truth`` — the authoritative
+        REDUCED chain state (op + order cols + keys + payload, e.g.
+        the LWW reduction of the replayable log, tombstones included
+        so late replays inside the horizon still lose). The undamaged
+        buckets' files are not read, let alone rewritten — their chain
+        paths carry over into the new manifest version verbatim, so
+        the commit is O(damaged buckets), not O(table). Pair with
+        ``pipeline.reconcile.verify_and_repair`` (per-bucket checksum
+        diff → this) for the pt-table-checksum-style reconcile loop.
+
+        Row-level tables only: a patch-mode chain stores per-column
+        stamp structs that an external truth frame does not carry —
+        re-bootstrap a damaged patch table through the chunked
+        snapshot path instead."""
+        patch_cols, _ = self._patch_conf(self.current_manifest())
+        if patch_cols:
+            raise ValueError(
+                "restore_buckets supports row-level tables only; "
+                "re-bootstrap patch-mode tables via chunked snapshot"
+            )
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            raise ValueError("nothing committed yet — nothing to restore")
+        self._adopt(manifest)
+        t0 = time.time()
+        target = sorted({str(int(b)) for b in only_buckets}, key=int)
+        if not target:
+            return {"skipped": True}
+        df = truth.withColumn(BUCKET_COL, self._bucket_expr()).filter(
+            F.col(BUCKET_COL).isin([int(b) for b in target])
+        )
+        version = manifest["version"] + 1
+        out_rel = f"data/v{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+        (
+            df.repartition(min(len(target), 256), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        present = set(self._written_buckets(out_dir))
+        buckets = {
+            b: self._paths_of(manifest, b)
+            for b in manifest["buckets"]
+            if b not in set(target)
+        }
+        # a targeted bucket with no truth rows is legitimately EMPTY
+        # after the restore — it simply drops out of the manifest
+        for b in sorted(present, key=int):
+            buckets[b] = [f"{out_rel}/{BUCKET_COL}={b}"]
+        self._commit(
+            {
+                **manifest,
+                "version": version,
+                "buckets": buckets,
+                "applies": manifest["applies"]
+                + [
+                    {
+                        "restore": True,
+                        "version": version,
+                        "buckets_restored": len(target),
+                        "wall_sec": round(time.time() - t0, 3),
+                    }
+                ],
+            }
+        )
+        return {"version": version, "buckets_restored": len(target)}
+
     def evolve_patch_cols(
         self, cols: dict[str, str], unchanged_marker: str | None = None
     ) -> dict:
