@@ -918,6 +918,81 @@ _ORACLE_TXN_BOUNDARY = f"""
 """
 
 
+def _q_cdc_before_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before-image integrity audit (``operators/integrity``): the
+    stream carries row before-images derived from its own history
+    (LAG of the after image), then every 13th event's before_text is
+    drifted out of band. The detector must flag exactly the drifted
+    update/delete events — ``mismatch`` when a predecessor exists,
+    ``no_predecessor`` when the creating insert was never captured —
+    and stay silent on every clean row. Oracle: the same LAG audit in
+    SQL with null-safe column comparison."""
+    from pyspark.sql import Window
+
+    from embulk_util_json_spark.operators.integrity import (
+        detect_before_image_conflicts,
+    )
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "seq")
+    withb = (
+        changes.withColumn("before_role", F.lag("role").over(w))
+        .withColumn(
+            "before_text",
+            F.when(F.col("seq") % 13 == 4, F.lit("DRIFT")).otherwise(
+                F.lag("text").over(w)
+            ),
+        )
+        .withColumn("before_tool", F.lag("tool").over(w))
+    )
+    ann = detect_before_image_conflicts(
+        withb,
+        ["conv_id", "turn_idx"],
+        ["ts", "seq"],
+        {"role": "before_role", "text": "before_text", "tool": "before_tool"},
+    )
+    return ann.filter("conflict").select(
+        "conv_id", "turn_idx", "seq", "ts", "conflict_reason",
+        "before_text", "expected_text",
+    )
+
+
+_ORACLE_BEFORE_IMAGE = f"""
+    WITH ev AS ({_ORACLE_CDC_EVENTS}),
+    w AS (
+        SELECT ev.*,
+               LAG(role) OVER win AS p_role,
+               LAG(text) OVER win AS p_text,
+               LAG(tool) OVER win AS p_tool,
+               LAG(seq)  OVER win AS p_seq
+        FROM ev
+        WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY ts, seq)
+    ),
+    b AS (
+        SELECT *,
+               p_role AS before_role,
+               CASE WHEN seq % 13 = 4 THEN 'DRIFT' ELSE p_text END
+                   AS before_text,
+               p_tool AS before_tool
+        FROM w
+    )
+    SELECT conv_id, turn_idx, seq, ts,
+           CASE WHEN p_seq IS NULL THEN 'no_predecessor'
+                ELSE 'mismatch' END AS conflict_reason,
+           before_text,
+           p_text AS expected_text
+    FROM b
+    WHERE op IN ('update', 'delete')
+      AND (before_role IS NOT NULL OR before_text IS NOT NULL
+           OR before_tool IS NOT NULL)
+      AND (p_seq IS NULL
+           OR NOT (before_role IS NOT DISTINCT FROM p_role
+                   AND before_text IS NOT DISTINCT FROM p_text
+                   AND before_tool IS NOT DISTINCT FROM p_tool))
+"""
+
+
 def _q_cdc_checksum_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum reconciliation (``pipeline/reconcile`` +
     ``sink.restore_buckets``): after a 2-batch replay + compact, one
@@ -2982,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
+        "cdc_before_image_conflicts": _q_cdc_before_image_conflicts,
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
         "cdc_ddl_gated_evolution": _q_cdc_ddl_gated_evolution,
@@ -3095,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_txn_boundary_final_state": _ORACLE_TXN_BOUNDARY,
         "cdc_pk_change_final_state": _ORACLE_PK_CHANGE,
         "cdc_checksum_repair_final_state": _ORACLE_CDC_FINAL,
+        "cdc_before_image_conflicts": _ORACLE_BEFORE_IMAGE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
