@@ -918,6 +918,52 @@ _ORACLE_TXN_BOUNDARY = f"""
 """
 
 
+def _q_cdc_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained GROUP BY view (``pipeline/agg_view``):
+    the stream replays in 3 micro-batches; after each, the view folds
+    the sink's preimage/postimage change feed — retract the old
+    winner's contribution, add the new one — never touching the base
+    table. Final view must equal the one-shot GROUP BY over the
+    whole-stream LWW state: per conversation, the live turn count and
+    total text length."""
+    from embulk_util_json_spark.pipeline.agg_view import IncrementalAggView
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("aggview_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    mv = IncrementalAggView(
+        spark,
+        os.path.join(work, "mv"),
+        sink,
+        ["conv_id"],
+        {"n_turns": F.lit(1), "sum_len": F.length("text")},
+    )
+    for i in range(3):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])),
+            sink,
+            f"b{i}",
+        )
+        r = mv.refresh()
+        assert not r["skipped"], r
+    assert mv.refresh()["skipped"], "idempotent: nothing new to fold"
+    return mv.read()
+
+
+_ORACLE_AGG_VIEW = f"""
+    WITH final AS ({_ORACLE_CDC_FINAL})
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+    FROM final GROUP BY conv_id
+"""
+
+
 def _q_cdc_before_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Before-image integrity audit (``operators/integrity``): the
     stream carries row before-images derived from its own history
@@ -3058,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
         "cdc_before_image_conflicts": _q_cdc_before_image_conflicts,
+        "cdc_agg_view_incremental": _q_cdc_agg_view_incremental,
         "cdc_chunked_bootstrap_final_state": _q_cdc_chunked_bootstrap_final_state,
         "cdc_sharded_fenced_final_state": _q_cdc_sharded_fenced_final_state,
         "cdc_ddl_gated_evolution": _q_cdc_ddl_gated_evolution,
@@ -3172,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pk_change_final_state": _ORACLE_PK_CHANGE,
         "cdc_checksum_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_before_image_conflicts": _ORACLE_BEFORE_IMAGE,
+        "cdc_agg_view_incremental": _ORACLE_AGG_VIEW,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

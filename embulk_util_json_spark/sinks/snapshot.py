@@ -961,7 +961,10 @@ class ParquetSnapshotSink:
         return df
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Incremental change feed — the "CDC out" twin of ``apply``:
         net row-level changes between two committed versions, one row
@@ -988,6 +991,16 @@ class ParquetSnapshotSink:
         equality check filters them out, so the result stays exact —
         at the cost of scanning the rewritten buckets. ``from_version
         = 0`` returns the whole ``to`` state as inserts/upserts.
+
+        ``include_preimage=True`` adds a ``_change`` column and, for
+        every changed key that EXISTED at ``from_version``, also emits
+        the old winning row as ``_change = 'preimage'`` (new winners
+        carry ``'postimage'``) — the Delta-CDF shape that lets a
+        downstream consumer retract the old contribution and add the
+        new one (e.g. ``pipeline.agg_view.IncrementalAggView``).
+        Free by construction: step 3 already reduced the old winners
+        for exactly these keys. Row-level tables only — a patch-mode
+        feed's stamped levels have no single old "row" to retract.
         """
         to_version = to_version or self.current_version()
         if to_version < from_version:
@@ -1014,9 +1027,16 @@ class ParquetSnapshotSink:
             F.col(self.keys[0]).isNotNull()
         )
         if self._patch_conf(to_manifest)[0]:
+            if include_preimage:
+                raise ValueError(
+                    "include_preimage supports row-level tables only: a "
+                    "patch-mode feed emits stamped column levels, not a "
+                    "retractable old row"
+                )
             return self._read_changes_patch(cand, from_manifest, to_manifest, new_paths)
         cand = lww_agg(cand, self.keys, self.order_cols)
 
+        pre = None
         if from_manifest:
             # bucket-pruned old state: only chains that got new files
             new_buckets = {p.split(f"{BUCKET_COL}=")[-1] for p in new_paths}
@@ -1030,9 +1050,17 @@ class ParquetSnapshotSink:
                 old = self._read_bucket_paths(old_paths).filter(
                     F.col(self.keys[0]).isNotNull()
                 )
-                old = lww_agg(old, self.keys, self.order_cols).select(
+                old = lww_agg(old, self.keys, self.order_cols)
+                # preimage needs the whole old row; the plain feed only
+                # needs the order columns for the beats comparison
+                old_cols = (
+                    [c for c in old.columns if c not in self.keys]
+                    if include_preimage
+                    else list(self.order_cols)
+                )
+                old = old.select(
                     *self.keys,
-                    *[F.col(c).alias(f"_old_{c}") for c in self.order_cols],
+                    *[F.col(c).alias(f"_old_{c}") for c in old_cols],
                 )
                 # identical inner field names on both sides — struct
                 # comparison requires matching types including names
@@ -1048,13 +1076,33 @@ class ParquetSnapshotSink:
                 cand = cand.join(old, self.keys, "left").filter(
                     F.col(f"_old_{self.order_cols[0]}").isNull()
                     | (new_ord > old_ord)
-                ).drop(*[f"_old_{c}" for c in self.order_cols])
-        out = cand.drop(BUCKET_COL)
-        if EXTRAS_COL in out.columns:
-            for name in to_manifest.get("extra_fields", []):
-                if name not in out.columns:
-                    out = out.withColumn(name, F.col(EXTRAS_COL)[name])
-            out = out.drop(EXTRAS_COL)
+                )
+                if include_preimage:
+                    pre = cand.filter(
+                        F.col(f"_old_{self.order_cols[0]}").isNotNull()
+                    ).select(
+                        *self.keys,
+                        *[F.col(f"_old_{c}").alias(c) for c in old_cols],
+                    )
+                cand = cand.drop(*[f"_old_{c}" for c in old_cols])
+
+        def _shape(df: DataFrame) -> DataFrame:
+            df = df.drop(BUCKET_COL)
+            if EXTRAS_COL in df.columns:
+                for name in to_manifest.get("extra_fields", []):
+                    if name not in df.columns:
+                        df = df.withColumn(name, F.col(EXTRAS_COL)[name])
+                df = df.drop(EXTRAS_COL)
+            return df
+
+        out = _shape(cand)
+        if not include_preimage:
+            return out
+        out = out.withColumn("_change", F.lit("postimage"))
+        if pre is not None:
+            out = out.unionByName(
+                _shape(pre).withColumn("_change", F.lit("preimage"))
+            )
         return out
 
     def _read_changes_patch(
