@@ -964,6 +964,47 @@ _ORACLE_AGG_VIEW = f"""
 """
 
 
+def _q_cdc_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index lookup (``sinks/index``): the stream replays in
+    3 micro-batches; after each, the inverted index on the non-key
+    ``tool`` column folds the base sink's preimage/postimage feed —
+    value moves retire the old posting, tombstones retire theirs.
+    ``lookup`` then serves "all rows where tool = 'click'" through ONE
+    index bucket chain + probe-pruned base buckets, never a base scan
+    (``verify=False`` so the grade rests on the postings alone).
+    Must equal the full-scan filter of the whole-stream LWW state."""
+    from embulk_util_json_spark.sinks.index import SecondaryIndex
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("secidx_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    ix = SecondaryIndex(spark, os.path.join(work, "ix"), sink, "tool")
+    for i in range(3):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])),
+            sink,
+            f"b{i}",
+        )
+        r = ix.refresh()
+        assert not r.get("skipped"), r
+    assert ix.refresh()["reason"] == "up-to-date"
+    return ix.lookup("click", verify=False).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_ORACLE_SECONDARY_INDEX = f"""
+    WITH final AS ({_ORACLE_CDC_FINAL})
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM final WHERE tool = 'click'
+"""
+
+
 def _q_cdc_before_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Before-image integrity audit (``operators/integrity``): the
     stream carries row before-images derived from its own history
@@ -3100,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_secondary_index_lookup": _q_cdc_secondary_index_lookup,
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
@@ -3220,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_checksum_repair_final_state": _ORACLE_CDC_FINAL,
         "cdc_before_image_conflicts": _ORACLE_BEFORE_IMAGE,
         "cdc_agg_view_incremental": _ORACLE_AGG_VIEW,
+        "cdc_secondary_index_lookup": _ORACLE_SECONDARY_INDEX,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
