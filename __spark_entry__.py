@@ -1005,6 +1005,81 @@ _ORACLE_SECONDARY_INDEX = f"""
 """
 
 
+def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (``pipeline/join_view``):
+    transcripts (left, keyed conv_id+turn_idx) enriched with a per-
+    conversation profile table (right, keyed conv_id, LWW latest
+    ``plan``/``ts`` per conversation, deletes tombstone the profile).
+    Left and right batches INTERLEAVE — l, r, l, r, l — with a view
+    refresh after every one: each refresh re-joins only the affected
+    left keys from current state (probe-pruned reads both sides),
+    never re-joining the tables. Final view must equal the one-shot
+    inner join of the two whole-stream LWW states."""
+    from embulk_util_json_spark.pipeline.join_view import IncrementalJoinView
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("joinview_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    span = hi - lo + 1
+    prof = parse_change_events(ev).select(
+        "conv_id", F.col("tool").alias("plan"), "op", "ts", "seq"
+    )
+    left = ParquetSnapshotSink(spark, os.path.join(work, "l"), num_buckets=8)
+    right = ParquetSnapshotSink(
+        spark, os.path.join(work, "r"), num_buckets=8,
+        keys=["conv_id"], order_cols=["ts", "seq"],
+    )
+    jv = IncrementalJoinView(
+        spark, os.path.join(work, "v"), left, right, ["conv_id"]
+    )
+    steps = [
+        ("l", lo, lo + span // 3),
+        ("r", lo, lo + span // 2),
+        ("l", lo + span // 3, lo + (2 * span) // 3),
+        ("r", lo + span // 2, hi + 1),
+        ("l", lo + (2 * span) // 3, hi + 1),
+    ]
+    for i, (side, a, b) in enumerate(steps):
+        cut = (F.col("seq") >= a) & (F.col("seq") < b)
+        if side == "l":
+            apply_events_batch(ev.filter(cut), left, f"b{i}")
+        else:
+            right.apply(prof.filter(cut), f"rb{i}")
+        r = jv.refresh()
+        assert not r.get("skipped"), r
+    assert jv.refresh()["reason"] == "up-to-date"
+    return jv.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "r_plan", "r_ts"
+    )
+
+
+_ORACLE_JOIN_VIEW = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    lf AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    rf AS (
+        SELECT conv_id, r_plan, r_ts FROM (
+            SELECT conv_id, tool AS r_plan, ts AS r_ts, op,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY conv_id ORDER BY ts DESC, seq DESC
+                   ) AS rn FROM changes
+        ) WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT lf.conv_id, lf.turn_idx, lf.role, lf.text, lf.tool, lf.ts,
+           rf.r_plan, rf.r_ts
+    FROM lf JOIN rf USING (conv_id)
+"""
+
+
 def _q_cdc_before_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Before-image integrity audit (``operators/integrity``): the
     stream carries row before-images derived from its own history
@@ -3142,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_secondary_index_lookup": _q_cdc_secondary_index_lookup,
+        "cdc_join_view_incremental": _q_cdc_join_view_incremental,
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
@@ -3263,6 +3339,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_before_image_conflicts": _ORACLE_BEFORE_IMAGE,
         "cdc_agg_view_incremental": _ORACLE_AGG_VIEW,
         "cdc_secondary_index_lookup": _ORACLE_SECONDARY_INDEX,
+        "cdc_join_view_incremental": _ORACLE_JOIN_VIEW,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
