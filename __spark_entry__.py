@@ -1005,6 +1005,47 @@ _ORACLE_SECONDARY_INDEX = f"""
 """
 
 
+def _q_cdc_covering_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering-index lookup (``sinks/index`` ``include_cols``): same
+    3-batch replay + per-batch refresh as ``cdc_secondary_index_
+    lookup``, but the postings carry the ``text``/``role`` payload and
+    the lookup serves from the index ALONE — one posting bucket chain,
+    zero base-table I/O. Must equal the full-scan filter of the
+    whole-stream LWW state on the covered columns."""
+    from embulk_util_json_spark.sinks.index import SecondaryIndex
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("covidx_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    ix = SecondaryIndex(
+        spark, os.path.join(work, "ix"), sink, "tool",
+        include_cols=["text", "role"],
+    )
+    for i in range(3):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])),
+            sink,
+            f"b{i}",
+        )
+        r = ix.refresh()
+        assert not r.get("skipped"), r
+    return ix.lookup("click", covering=True).select(
+        "conv_id", "turn_idx", "tool", "text", "role"
+    )
+
+
+_ORACLE_COVERING_INDEX = f"""
+    WITH final AS ({_ORACLE_CDC_FINAL})
+    SELECT conv_id, turn_idx, tool, text, role
+    FROM final WHERE tool = 'click'
+"""
+
+
 def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (``pipeline/join_view``):
     transcripts (left, keyed conv_id+turn_idx) enriched with a per-
@@ -3218,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_secondary_index_lookup": _q_cdc_secondary_index_lookup,
         "cdc_join_view_incremental": _q_cdc_join_view_incremental,
+        "cdc_covering_index_lookup": _q_cdc_covering_index_lookup,
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
@@ -3340,6 +3382,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_agg_view_incremental": _ORACLE_AGG_VIEW,
         "cdc_secondary_index_lookup": _ORACLE_SECONDARY_INDEX,
         "cdc_join_view_incremental": _ORACLE_JOIN_VIEW,
+        "cdc_covering_index_lookup": _ORACLE_COVERING_INDEX,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

@@ -43,6 +43,14 @@ feed and one bucketed apply; lookup cost is O(posting chain) +
 O(probed base buckets). Nothing is proportional to table size.
 Row-level tables only (the preimage feed rejects patch mode — stamped
 column levels have no single retractable old row).
+
+``include_cols`` makes it a COVERING index (SQL Server INCLUDE /
+Postgres covering-index semantics): postings additionally carry the
+named base payload columns, captured from the postimage row at
+refresh, so ``lookup(..., covering=True)`` serves entirely from ONE
+index bucket chain — zero base-table I/O. Covered values are exact as
+of the last refresh (the same staleness contract as the posting list
+itself).
 """
 
 from __future__ import annotations
@@ -76,6 +84,7 @@ class SecondaryIndex:
         source: ParquetSnapshotSink,
         column: str,
         num_buckets: int | None = None,
+        include_cols: list[str] | None = None,
     ) -> None:
         if source.patch_cols:
             raise ValueError(
@@ -87,9 +96,17 @@ class SecondaryIndex:
                 f"{column!r} is a key column — use read(key_eq=...) "
                 "directly; a secondary index on a key is redundant"
             )
+        bad = set(include_cols or []) & {column, IDX_VAL, *source.keys}
+        if bad:
+            raise ValueError(
+                f"include_cols {sorted(bad)} are already part of the "
+                "index entry (keys and the indexed column are always "
+                "carried)"
+            )
         self.spark = spark
         self.source = source
         self.column = column
+        self.include_cols = list(include_cols or [])
         self.index = ParquetSnapshotSink(
             spark,
             root,
@@ -119,13 +136,19 @@ class SecondaryIndex:
             return {"skipped": True, "reason": "empty-window", "at_version": from_v}
         val = F.col(self.column)
 
-        def _entries(rows: DataFrame, pref: int, op: str) -> DataFrame:
+        def _entries(rows: DataFrame, pref: int, op: str, covered: bool) -> DataFrame:
+            cover = (
+                [F.col(c) for c in self.include_cols if c in rows.columns]
+                if covered
+                else []
+            )
             return rows.filter(val.isNotNull()).select(
                 val.alias(IDX_VAL),
                 *self.source.keys,
                 F.lit(to_v).cast("long").alias("src_version"),
                 F.lit(pref).cast("int").alias("pref"),
                 F.lit(op).alias("op"),
+                *cover,
             )
 
         post = _entries(
@@ -134,14 +157,21 @@ class SecondaryIndex:
             ),
             pref=1,
             op="update",
+            covered=True,
         )
         # every preimage retires its posting — including the stale
         # posting of a key whose postimage is a tombstone. A preimage
         # whose old winner was ITSELF a tombstone posts a no-op delete
-        # (nothing was live), harmless by the pref tie rule.
-        pre = _entries(feed.filter(F.col("_change") == "preimage"), pref=0, op="delete")
+        # (nothing was live), harmless by the pref tie rule. Delete
+        # entries carry no covered payload (the LWW winner is always
+        # the pref=1 upsert when the posting survives).
+        pre = _entries(
+            feed.filter(F.col("_change") == "preimage"),
+            pref=0, op="delete", covered=False,
+        )
         res = self.index.apply(
-            post.unionByName(pre), f"{INDEX_PREFIX}{from_v}-{to_v}"
+            post.unionByName(pre, allowMissingColumns=True),
+            f"{INDEX_PREFIX}{from_v}-{to_v}",
         )
         return {
             "from_version": from_v,
@@ -159,13 +189,39 @@ class SecondaryIndex:
         return self.index.read(key_eq={IDX_VAL: value}).select(*self.source.keys)
 
     def lookup(
-        self, value, verify: bool = True, columns: list[str] | None = None
+        self,
+        value,
+        verify: bool = True,
+        columns: list[str] | None = None,
+        covering: bool = False,
     ) -> DataFrame:
         """Base-table rows where ``column = value``, served through the
         index: O(posting chain) + O(probed base buckets), never a base
         scan. ``verify`` re-checks the predicate on the fetched rows
         (drops lag-induced false positives; exact no-op when the index
-        is current)."""
+        is current).
+
+        ``covering=True`` serves from the index ALONE — keys, the
+        indexed column, and the configured ``include_cols`` — with
+        zero base-table I/O (one posting chain opened). Values are as
+        of the last refresh; ``columns`` must be covered."""
+        if covering:
+            missing = [
+                c
+                for c in (columns or self.include_cols)
+                if c not in self.include_cols
+            ]
+            if missing:
+                raise ValueError(
+                    f"columns {missing} are not covered — configure "
+                    "include_cols or use a base lookup"
+                )
+            out = [c for c in (columns or self.include_cols)]
+            return self.index.read(key_eq={IDX_VAL: value}).select(
+                *self.source.keys,
+                F.col(IDX_VAL).alias(self.column),
+                *out,
+            )
         keys = self.postings(value)
         base = self.source.read(probe_keys=keys, columns=columns)
         # probe_keys prunes+semi-joins on bucket_by alone; narrow to

@@ -137,6 +137,62 @@ def test_verify_drops_lag_false_positives(spark, tmp_path):
     assert _keys(ix.lookup("search", verify=False)) == []  # caught up
 
 
+def test_covering_lookup_serves_index_only(spark, ev_parquet, tmp_path):
+    ev = spark.read.parquet(ev_parquet)
+    base = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=4)
+    ix = SecondaryIndex(
+        spark, str(tmp_path / "ix"), base, "tool", include_cols=["text", "role"]
+    )
+    for i, (a, b) in enumerate([(0, 1500), (1500, N)]):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= a) & (F.col("seq") < b)), base, f"b{i}"
+        )
+        ix.refresh()
+        # covered serving ≡ base-table serving, at every refresh point
+        cov = sorted(
+            (r.conv_id, r.turn_idx, r.tool, r.text, r.role)
+            for r in ix.lookup("search", covering=True).collect()
+        )
+        via_base = sorted(
+            (r.conv_id, r.turn_idx, r.tool, r.text, r.role)
+            for r in base.read()
+            .filter(F.col("tool") == "search")
+            .select("conv_id", "turn_idx", "tool", "text", "role")
+            .collect()
+        )
+        assert cov == via_base, i
+
+
+def test_covering_same_value_update_refreshes_payload(spark, tmp_path):
+    # tool unchanged but text changes: the pref tie keeps the posting
+    # AND the covered payload must be the NEW row's
+    base = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    ix = SecondaryIndex(
+        spark, str(tmp_path / "ix"), base, "tool", include_cols=["text"]
+    )
+    apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, "search", 1)]), base, "b1")
+    ix.refresh()
+    apply_events_batch(_mk(spark, [_ev(1, "update", "a", 1, "search", 2)]), base, "b2")
+    ix.refresh()
+    rows = ix.lookup("search", covering=True).collect()
+    assert [(r.conv_id, r.text) for r in rows] == [("a", "t1")]
+
+
+def test_covering_rejections(spark, tmp_path):
+    base = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    with pytest.raises(ValueError, match="already part"):
+        SecondaryIndex(
+            spark, str(tmp_path / "ix1"), base, "tool", include_cols=["conv_id"]
+        )
+    ix = SecondaryIndex(
+        spark, str(tmp_path / "ix2"), base, "tool", include_cols=["text"]
+    )
+    apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, "search", 1)]), base, "b1")
+    ix.refresh()
+    with pytest.raises(ValueError, match="not covered"):
+        ix.lookup("search", covering=True, columns=["role"])
+
+
 def test_config_rejections(spark, tmp_path):
     patch = ParquetSnapshotSink(
         spark, str(tmp_path / "p"), num_buckets=2, patch_cols=["text"]
