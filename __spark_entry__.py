@@ -1046,6 +1046,41 @@ _ORACLE_COVERING_INDEX = f"""
 """
 
 
+def _q_cdc_branch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy branching (``sinks/snapshot.create_branch``): main
+    replays the first ⅔ of the stream, a ``dev`` branch forks
+    (metadata-only — pre-fork data files shared by reference), and the
+    last ⅓ replays into the branch alone. Main must stay pinned at the
+    fork (asserted: no new main commits, fork state bit-stable), while
+    the branch's final state must equal the whole-stream LWW oracle."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("branch_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    main = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    for i in range(2):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])),
+            main,
+            f"b{i}",
+        )
+    dev = main.create_branch("dev")
+    v_fork = main.current_version()
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[2]) & (F.col("seq") < cuts[3])),
+        dev,
+        "b2",
+    )
+    assert main.current_version() == v_fork, "branch write leaked into main"
+    return dev.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (``pipeline/join_view``):
     transcripts (left, keyed conv_id+turn_idx) enriched with a per-
@@ -3260,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_secondary_index_lookup": _q_cdc_secondary_index_lookup,
         "cdc_join_view_incremental": _q_cdc_join_view_incremental,
         "cdc_covering_index_lookup": _q_cdc_covering_index_lookup,
+        "cdc_branch_final_state": _q_cdc_branch_final_state,
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
@@ -3383,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_secondary_index_lookup": _ORACLE_SECONDARY_INDEX,
         "cdc_join_view_incremental": _ORACLE_JOIN_VIEW,
         "cdc_covering_index_lookup": _ORACLE_COVERING_INDEX,
+        "cdc_branch_final_state": _ORACLE_CDC_FINAL,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -87,6 +88,7 @@ class ParquetSnapshotSink:
         compact_every: int = 16,
         patch_cols: list[str] | None = None,
         unchanged_marker: str | None = None,
+        branch: str = "main",
     ) -> None:
         """``patch_cols`` switches the sink to PATCH MODE: change
         events are partial updates that do not restate every column
@@ -133,7 +135,19 @@ class ParquetSnapshotSink:
         self.bucket_by = bucket_by or self.keys[0]
         self.mode = mode
         self.compact_every = compact_every
-        self._manifest_dir = os.path.join(root, "_manifests")
+        # Branches (Iceberg branch semantics, in-table): each branch
+        # owns its manifest chain under ``_manifests@<name>`` (main
+        # keeps the historical ``_manifests`` dir) and writes its new
+        # data under ``data/<name>~vN``; data files committed before
+        # the fork are SHARED zero-copy — immutable, never mutated,
+        # only superseded per-branch. ``vacuum`` protects every
+        # branch's references (see _foreign_branch_refs).
+        if branch != "main" and not re.fullmatch(r"[A-Za-z0-9._-]+", branch):
+            raise ValueError(f"invalid branch name {branch!r}")
+        self.branch = branch
+        self._manifest_dir = os.path.join(
+            root, "_manifests" if branch == "main" else f"_manifests@{branch}"
+        )
         os.makedirs(self._manifest_dir, exist_ok=True)
         current = self.current_manifest()
         self.num_buckets = current["num_buckets"] if current else num_buckets
@@ -207,6 +221,115 @@ class ParquetSnapshotSink:
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._manifest_dir, f"v{version:08d}.json")
+
+    def _data_rel(self, version: int) -> str:
+        """Root-relative data directory for a new commit. Branch
+        writes are namespaced (``data/<branch>~vN``) so two branches
+        committing the same version number never collide; pre-fork
+        dirs (``data/vN``) stay shared by reference."""
+        if self.branch == "main":
+            return f"data/v{version:08d}"
+        return f"data/{self.branch}~v{version:08d}"
+
+    # ---- branches (zero-copy snapshot branching) -----------------------
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "ParquetSnapshotSink":
+        """Fork a branch at the current (or a given committed) version
+        — metadata-only, zero data copied (Iceberg branch / Delta
+        shallow-clone semantics, but IN-table: ``vacuum`` sees every
+        branch, so shared files can never be reclaimed out from under
+        a fork). The branch starts at its own version 1 whose content
+        is the source manifest; ``batch_ids`` carry over, so replaying
+        the pre-fork stream into the branch stays a no-op. Writes to
+        either side after the fork are invisible to the other."""
+        src = (
+            self.manifest_at(at_version)
+            if at_version
+            else self.current_manifest()
+        )
+        if src is None:
+            raise ValueError("cannot branch an empty table (no commits yet)")
+        child = ParquetSnapshotSink(
+            self.spark,
+            self.root,
+            num_buckets=self.num_buckets,
+            keys=self.keys,
+            order_cols=self.order_cols,
+            bucket_by=self.bucket_by,
+            mode=self.mode,
+            compact_every=self.compact_every,
+            branch=name,
+        )
+        if child.current_version() > 0:
+            raise ValueError(f"branch {name!r} already exists")
+        child._commit(
+            {
+                **src,
+                "version": 1,
+                "branched_from": {
+                    "branch": self.branch,
+                    "version": src["version"],
+                },
+            }
+        )
+        child._adopt(child.current_manifest())
+        return child
+
+    def branches(self) -> list[str]:
+        """Branch names with at least one committed manifest
+        (``main`` included when it has commits)."""
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if d == "_manifests":
+                name = "main"
+            elif d.startswith("_manifests@"):
+                name = d[len("_manifests@"):]
+            else:
+                continue
+            if any(
+                f.startswith("v") and f.endswith(".json")
+                for f in os.listdir(os.path.join(self.root, d))
+            ):
+                out.append(name)
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's manifest chain. Its exclusively-owned
+        data directories become unreferenced and are reclaimed by the
+        next ``vacuum``; shared pre-fork files stay (still referenced
+        by the surviving branches)."""
+        import shutil
+
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        if name == self.branch:
+            raise ValueError("cannot drop the branch this handle is on")
+        d = os.path.join(self.root, f"_manifests@{name}")
+        if not os.path.isdir(d):
+            raise ValueError(f"no such branch {name!r}")
+        shutil.rmtree(d)
+
+    def _foreign_branch_refs(self) -> set[str]:
+        """Every data path referenced by ANY manifest of any OTHER
+        branch — the protected set for ``vacuum`` (metadata-only JSON
+        reads; manifests are small and per-branch chains short after
+        their own vacuums)."""
+        refs: set[str] = set()
+        own = os.path.basename(self._manifest_dir)
+        for d in os.listdir(self.root):
+            if d == own or not (
+                d == "_manifests" or d.startswith("_manifests@")
+            ):
+                continue
+            mdir = os.path.join(self.root, d)
+            for f in os.listdir(mdir):
+                if not (f.startswith("v") and f.endswith(".json")):
+                    continue
+                with open(os.path.join(mdir, f)) as fh:
+                    m = json.load(fh)
+                for b in m["buckets"]:
+                    refs.update(self._paths_of(m, b))
+        return refs
 
     def current_version(self) -> int:
         # parse every digit up to ".json" — a fixed [1:9] slice would
@@ -698,7 +821,7 @@ class ParquetSnapshotSink:
         old_paths = [
             p for b in affected for p in self._paths_of(manifest, str(b))
         ]
-        out_rel = f"data/v{version:08d}"
+        out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
 
         merged = staged
@@ -752,7 +875,7 @@ class ParquetSnapshotSink:
         combine — and append it as a delta level; never read the
         table. Write cost is O(batch) regardless of table size."""
         version = manifest["version"] + 1
-        out_rel = f"data/v{version:08d}"
+        out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
 
         delta = self._reduce(staged, self.keys + [BUCKET_COL])
@@ -1227,7 +1350,7 @@ class ParquetSnapshotSink:
                 df = df.filter(~is_del)
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
         version = manifest["version"] + 1
-        out_rel = f"data/v{version:08d}"
+        out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
         (
             df.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
@@ -1298,7 +1421,7 @@ class ParquetSnapshotSink:
         try:
             df = df.withColumn(BUCKET_COL, self._bucket_expr())
             version = manifest["version"] + 1
-            out_rel = f"data/v{version:08d}"
+            out_rel = self._data_rel(version)
             out_dir = os.path.join(self.root, out_rel)
             (
                 df.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
@@ -1374,7 +1497,7 @@ class ParquetSnapshotSink:
             F.col(BUCKET_COL).isin([int(b) for b in target])
         )
         version = manifest["version"] + 1
-        out_rel = f"data/v{version:08d}"
+        out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
         (
             df.repartition(min(len(target), 256), F.col(BUCKET_COL))
@@ -1521,7 +1644,7 @@ class ParquetSnapshotSink:
                 marker,
                 absent_if=F.col("op") == "delete",
             )
-            out_rel = f"data/v{version:08d}"
+            out_rel = self._data_rel(version)
             out_dir = os.path.join(self.root, out_rel)
             (
                 df.withColumn(BUCKET_COL, self._bucket_expr())
@@ -1593,7 +1716,7 @@ class ParquetSnapshotSink:
                 f"{sorted(set(out.columns) ^ set(df.columns))} changed"
             )
         version = manifest["version"] + 1
-        out_rel = f"data/v{version:08d}"
+        out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
         (
             out.withColumn(BUCKET_COL, self._bucket_expr())
@@ -1648,6 +1771,11 @@ class ParquetSnapshotSink:
         replayed old batch that carried the purged rows is still a
         skip, not a resurrection. (A genuinely NEW batch re-inserting
         the key is out of scope — gate upstream.)
+
+        Branch caveat: purge is PER BRANCH. Sibling branches keep
+        referencing the shared pre-fork files (vacuum protects them),
+        so full erasure requires purging every branch — or dropping
+        them — before the history vacuum can reclaim the bytes.
         """
         if (key_eq is None) == (where is None):
             raise ValueError("pass exactly one of key_eq / where")
@@ -1685,7 +1813,7 @@ class ParquetSnapshotSink:
             BUCKET_COL, self._bucket_expr()
         )
         version = manifest["version"] + 1
-        out_rel = f"data/v{version:08d}"
+        out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
         (
             kept.repartition(min(len(target), 256), F.col(BUCKET_COL))
@@ -1752,7 +1880,11 @@ class ParquetSnapshotSink:
         # the nominal keep range may already be gone, and manifest_at
         # on them would raise and abort maintenance.
         keep: set[int] = set()
-        referenced: set[str] = set()  # full "data/vN/_bucket=K" rel paths
+        # full "data/vN/_bucket=K" rel paths; seeded with every OTHER
+        # branch's references — a vacuum on one branch must never
+        # reclaim files a sibling branch still reads (zero-copy forks
+        # share pre-fork data dirs by reference)
+        referenced: set[str] = self._foreign_branch_refs()
         for v in range(max(1, current - keep_versions + 1), current + 1):
             if not os.path.exists(self._manifest_path(v)):
                 continue
