@@ -1081,6 +1081,48 @@ def _q_cdc_branch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_wap_publish_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (``sinks/snapshot.publish_from``): main
+    replays the first ⅓; the rest lands on a ``stage`` branch in two
+    batches (writes isolated from readers of main); an audit callback
+    inspects the branch's net change feed (vetoing would abort with
+    nothing committed); publish folds the post-fork delta into main —
+    O(branch writes). Main's final state must equal the whole-stream
+    LWW oracle."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("wap_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    main = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1])), main, "b0"
+    )
+    stage = main.create_branch("stage")
+    for i in (1, 2):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])),
+            stage,
+            f"b{i}",
+        )
+    audited = {}
+
+    def _audit(feed: DataFrame) -> None:
+        audited["n"] = feed.count()
+        if audited["n"] < 0:  # the veto hook a DQ gate would use
+            raise RuntimeError("audit veto")
+
+    res = main.publish_from(stage, audit=_audit)
+    assert audited["n"] > 0 and not res.get("skipped"), (audited, res)
+    assert main.publish_from(stage).get("skipped"), "redelivery must skip"
+    return main.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (``pipeline/join_view``):
     transcripts (left, keyed conv_id+turn_idx) enriched with a per-
@@ -3296,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_join_view_incremental": _q_cdc_join_view_incremental,
         "cdc_covering_index_lookup": _q_cdc_covering_index_lookup,
         "cdc_branch_final_state": _q_cdc_branch_final_state,
+        "cdc_wap_publish_final_state": _q_cdc_wap_publish_final_state,
         "cdc_txn_boundary_final_state": _q_cdc_txn_boundary_final_state,
         "cdc_pk_change_final_state": _q_cdc_pk_change_final_state,
         "cdc_checksum_repair_final_state": _q_cdc_checksum_repair_final_state,
@@ -3420,6 +3463,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_join_view_incremental": _ORACLE_JOIN_VIEW,
         "cdc_covering_index_lookup": _ORACLE_COVERING_INDEX,
         "cdc_branch_final_state": _ORACLE_CDC_FINAL,
+        "cdc_wap_publish_final_state": _ORACLE_CDC_FINAL,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

@@ -309,6 +309,33 @@ class ParquetSnapshotSink:
             raise ValueError(f"no such branch {name!r}")
         shutil.rmtree(d)
 
+    def publish_from(self, branch_sink: "ParquetSnapshotSink", audit=None) -> dict:
+        """Write-audit-publish (the Iceberg WAP workflow branching
+        exists for): fold a branch's post-fork NET changes into this
+        table. The branch's version 1 IS the fork manifest, so
+        ``read_changes(1, current)`` is exactly the post-fork delta —
+        O(branch writes), never O(table). ``audit`` (optional) gets
+        the change feed BEFORE anything is applied — raise to veto
+        (e.g. a ``pipeline.dq`` gate); nothing commits on veto.
+
+        Idempotent and incremental: the batch id encodes the branch
+        name + published-through version, so redelivery skips, and a
+        LATER publish (after more branch writes) re-folds from the
+        fork — already-published winners re-merge to themselves under
+        LWW (same stamps), only the new changes take effect."""
+        src = branch_sink.manifest_at(1) if branch_sink.current_version() else None
+        fork = (src or {}).get("branched_from")
+        if not fork or fork.get("branch") != self.branch:
+            raise ValueError(
+                f"branch {branch_sink.branch!r} was not forked from "
+                f"{self.branch!r} (publish target must be the fork parent)"
+            )
+        to_v = branch_sink.current_version()
+        feed = branch_sink.read_changes(1, to_v)
+        if audit is not None:
+            audit(feed)
+        return self.apply(feed, f"publish@{branch_sink.branch}:{to_v}")
+
     def _foreign_branch_refs(self) -> set[str]:
         """Every data path referenced by ANY manifest of any OTHER
         branch — the protected set for ``vacuum`` (metadata-only JSON

@@ -124,6 +124,71 @@ def test_branch_rejections(spark, tmp_path):
         main.drop_branch("ghost")
 
 
+def test_wap_publish_equals_direct_apply(spark, tmp_path):
+    # write-audit-publish: main + branch writes folded back must equal
+    # applying the whole stream directly to one table
+    batches = [
+        [_ev(0, "insert", "a", 1, 1), _ev(1, "insert", "b", 1, 2)],
+        [_ev(2, "update", "a", 1, 3), _ev(3, "insert", "c", 1, 4)],
+        [_ev(4, "delete", "b", 1, 5)],
+    ]
+    main = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2, mode="mor")
+    twin = ParquetSnapshotSink(spark, str(tmp_path / "d"), num_buckets=2, mode="mor")
+    apply_events_batch(_mk(spark, batches[0]), main, "b0")
+    dev = main.create_branch("dev")
+    for i, b in enumerate(batches[1:], 1):
+        apply_events_batch(_mk(spark, b), dev, f"b{i}")
+    audited = {}
+    main.publish_from(dev, audit=lambda feed: audited.update(n=feed.count()))
+    assert audited["n"] > 0  # the audit saw the net delta
+    for i, b in enumerate(batches):
+        apply_events_batch(_mk(spark, b), twin, f"b{i}")
+    assert _state(main) == _state(twin)
+
+
+def test_wap_audit_veto_commits_nothing(spark, tmp_path):
+    main = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, 1)]), main, "b0")
+    dev = main.create_branch("dev")
+    apply_events_batch(_mk(spark, [_ev(1, "insert", "b", 1, 2)]), dev, "b1")
+    before = _state(main)
+    with pytest.raises(RuntimeError, match="dq veto"):
+        main.publish_from(dev, audit=lambda feed: (_ for _ in ()).throw(
+            RuntimeError("dq veto")))
+    assert _state(main) == before
+    # nothing committed: the same publish succeeds afterwards
+    main.publish_from(dev)
+    assert _state(main) == before + [("b", 1, "t1")]
+
+
+def test_wap_incremental_and_redelivery(spark, tmp_path):
+    main = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, 1)]), main, "b0")
+    dev = main.create_branch("dev")
+    apply_events_batch(_mk(spark, [_ev(1, "insert", "b", 1, 2)]), dev, "b1")
+    r1 = main.publish_from(dev)
+    assert not r1.get("skipped")
+    assert main.publish_from(dev).get("skipped")  # redelivery = no-op
+    # later branch writes: the next publish re-folds from the fork —
+    # already-published winners merge to themselves, new ones land
+    apply_events_batch(_mk(spark, [_ev(2, "update", "b", 1, 3)]), dev, "b2")
+    assert not main.publish_from(dev).get("skipped")
+    assert _state(main) == [("a", 1, "t0"), ("b", 1, "t2")]
+
+
+def test_wap_rejects_non_child_branch(spark, tmp_path):
+    main = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
+    apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, 1)]), main, "b0")
+    dev = main.create_branch("dev")
+    grand = dev.create_branch("grand")
+    with pytest.raises(ValueError, match="fork parent"):
+        main.publish_from(grand)  # forked from dev, not main
+    # but dev CAN publish its child
+    apply_events_batch(_mk(spark, [_ev(1, "insert", "b", 1, 2)]), grand, "b1")
+    dev.publish_from(grand)
+    assert _state(dev) == [("a", 1, "t0"), ("b", 1, "t1")]
+
+
 def test_branch_at_past_version(spark, tmp_path):
     main = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=2)
     apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, 1)]), main, "b1")
