@@ -1123,6 +1123,101 @@ def _q_cdc_wap_publish_final_state(spark: SparkSession, sf_dir: str) -> DataFram
     return main.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_savepoint_resume_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable savepoint resume (``sinks/savepoint``): the first ⅔ of
+    the stream replays into a source table in two batches; a savepoint
+    of the current version is exported to a NEW root (exactly the
+    referenced files, hard-linked + self-describing layout + the
+    carried-over batch-id log); the source root is then DELETED to
+    prove the export is standalone; the savepoint imports cold and the
+    redelivered pre-savepoint batch must skip (exactly-once across the
+    export boundary) before the last ⅓ applies. Final imported state
+    must equal the whole-stream LWW oracle."""
+    import shutil
+
+    from embulk_util_json_spark.sinks.savepoint import (
+        export_savepoint,
+        import_savepoint,
+    )
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("savepoint_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    src = ParquetSnapshotSink(
+        spark, os.path.join(work, "src"), num_buckets=8, mode="mor"
+    )
+    for i in range(2):
+        apply_events_batch(
+            ev.filter((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])),
+            src,
+            f"b{i}",
+        )
+    export_savepoint(src, os.path.join(work, "sp"))
+    shutil.rmtree(os.path.join(work, "src"))  # must survive losing the source
+    dst = import_savepoint(spark, os.path.join(work, "sp"))
+    redelivered = apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[1]) & (F.col("seq") < cuts[2])), dst, "b1"
+    )
+    assert redelivered.get("skipped"), "pre-savepoint batch must skip on redelivery"
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[2]) & (F.col("seq") < cuts[3])), dst, "b2"
+    )
+    return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _q_cdc_rollback_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback-to-version (``sinks/snapshot.rollback`` — the
+    bad-batch workflow): b0 applies; a CORRUPTED b1 applies (every
+    text payload scrambled); ``rollback`` restores the b0 state with a
+    metadata-only commit (history linear, no file touched, batch_ids
+    reverted so the FIXED redelivery of b1 is not deduped away); the
+    corrected b1 and b2 then apply. Asserted along the way: the
+    corruption was really visible, and a change-feed cursor inside the
+    rolled-back range is refused. Final state must equal the
+    whole-stream LWW oracle — the detour leaves no trace."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("rollback_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + (2 * (hi - lo + 1)) // 3, hi + 1]
+    b1 = ev.filter((F.col("seq") >= cuts[1]) & (F.col("seq") < cuts[2]))
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1])), sink, "b0"
+    )
+    v_good = sink.current_version()
+    corrupt = b1.withColumn(
+        "event_json",
+        F.regexp_replace("event_json", '"text":"', '"text":"CORRUPT '),
+    )
+    apply_events_batch(corrupt, sink, "b1")
+    n_bad = sink.read().filter(F.col("text").startswith("CORRUPT")).count()
+    assert n_bad > 0, "corrupted batch must be visible before rollback"
+    v_bad = sink.current_version()
+    sink.rollback(v_good)
+    try:
+        sink.read_changes(v_bad).count()
+        raise AssertionError("cursor inside rolled-back range must be refused")
+    except ValueError:
+        pass
+    apply_events_batch(b1, sink, "b1")  # corrected redelivery must apply
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[2]) & (F.col("seq") < cuts[3])), sink, "b2"
+    )
+    final = sink.read()
+    assert final.filter(F.col("text").startswith("CORRUPT")).count() == 0
+    return final.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (``pipeline/join_view``):
     transcripts (left, keyed conv_id+turn_idx) enriched with a per-
@@ -3334,6 +3429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_savepoint_resume_final_state": _q_cdc_savepoint_resume_final_state,
+        "cdc_rollback_final_state": _q_cdc_rollback_final_state,
         "cdc_secondary_index_lookup": _q_cdc_secondary_index_lookup,
         "cdc_join_view_incremental": _q_cdc_join_view_incremental,
         "cdc_covering_index_lookup": _q_cdc_covering_index_lookup,
@@ -3464,6 +3561,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_covering_index_lookup": _ORACLE_COVERING_INDEX,
         "cdc_branch_final_state": _ORACLE_CDC_FINAL,
         "cdc_wap_publish_final_state": _ORACLE_CDC_FINAL,
+        "cdc_savepoint_resume_final_state": _ORACLE_CDC_FINAL,
+        "cdc_rollback_final_state": _ORACLE_CDC_FINAL,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

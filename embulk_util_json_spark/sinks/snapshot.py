@@ -336,6 +336,45 @@ class ParquetSnapshotSink:
             audit(feed)
         return self.apply(feed, f"publish@{branch_sink.branch}:{to_v}")
 
+    def rollback(self, to_version: int) -> dict:
+        """Restore the table to a previously committed version by
+        committing a NEW manifest whose content is the target's (the
+        Iceberg rollback-to-snapshot operation): history stays linear,
+        no data file is touched, time travel still reconstructs the
+        bad versions, and the rolled-back versions' exclusively-owned
+        files become reclaimable by the next ``vacuum``.
+
+        ``batch_ids`` revert to the target's set — deliberately: the
+        rolled-back batches' effects are GONE, so a replayer resuming
+        the stream from ``to_version``'s point must have its (possibly
+        corrected) redelivery of those batches apply, not skip. This
+        is the bad-batch workflow: apply, detect, ``rollback``,
+        re-deliver fixed.
+
+        Change-feed interaction: the rollback commit references no new
+        files, so a feed window STARTING at or before ``to_version``
+        stays exact (the rolled-back detour nets out to nothing). A
+        consumer whose cursor lies INSIDE the rolled-back range holds
+        retracted rows that no incremental feed can fix —
+        ``read_changes`` refuses such windows (re-sync from 0 or from
+        ``to_version``)."""
+        cur = self.current_version()
+        if not 0 < to_version <= cur:
+            raise ValueError(f"no committed version {to_version}")
+        target = self.manifest_at(to_version)
+        new = {
+            k: v for k, v in target.items() if k not in ("branched_from", "rolled_back")
+        }
+        new.update(
+            {
+                "version": cur + 1,
+                "rolled_back": {"from": cur, "to": to_version},
+            }
+        )
+        self._commit(new)
+        self._adopt(new)
+        return {"version": cur + 1, "restored_version": to_version}
+
     def _foreign_branch_refs(self) -> set[str]:
         """Every data path referenced by ANY manifest of any OTHER
         branch — the protected set for ``vacuum`` (metadata-only JSON
@@ -424,7 +463,10 @@ class ParquetSnapshotSink:
         seen: set[str] = set()
         current = self.current_version()
         for v in range(1, current + 1):
-            m = self.manifest_at(v)
+            try:
+                m = self.manifest_at(v)
+            except ValueError:
+                continue  # vacuumed (or savepoint-gap) version
             if not m:
                 continue
             batch = m["batch_ids"][-1] if m["batch_ids"] else None
@@ -1161,6 +1203,26 @@ class ParquetSnapshotSink:
         from_manifest = (
             self.manifest_at(from_version) if from_version > 0 else None
         )
+        # A rollback inside the window that restored a version OLDER
+        # than the consumer's cursor means the consumer holds rows
+        # that were retracted wholesale — there is no incremental fix
+        # (the file-delta plan below would mistake restored-old rows
+        # for late-losing replays). Refuse; the consumer re-syncs from
+        # the restored version (or 0). Metadata-only scan; vacuumed
+        # intermediate manifests can't hide a rollback marker because
+        # vacuum keeps the CURRENT chain and a rollback IS a commit.
+        for v in range(from_version + 1, to_version + 1):
+            try:
+                rb = (self.manifest_at(v) or {}).get("rolled_back")
+            except ValueError:
+                continue  # vacuumed intermediate version
+            if rb and from_version > int(rb["to"]):
+                raise ValueError(
+                    f"change feed from v{from_version} crosses a rollback "
+                    f"(v{v} restored v{rb['to']}): the cursor lies inside "
+                    "the rolled-back range — re-sync from "
+                    f"v{rb['to']} or 0"
+                )
         from_paths = set(self._all_paths(from_manifest)) if from_manifest else set()
         new_paths = [
             p for p in self._all_paths(to_manifest) if p not in from_paths
