@@ -133,6 +133,33 @@ _ORACLE_CDC_FINAL = f"""
 """
 
 
+_ORACLE_MERGE_INTO = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    final AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN turn_idx % 5 = 2 THEN UPPER(text) ELSE text END AS text,
+           CASE WHEN turn_idx % 5 = 2 THEN 'merged' ELSE tool END AS tool,
+           ts
+    FROM final WHERE turn_idx % 5 <> 4
+    UNION ALL
+    SELECT conv_id, CAST(turn_idx + 100 AS INTEGER) AS turn_idx,
+           'merge' AS role,
+           'ins ' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS text,
+           CAST(NULL AS VARCHAR) AS tool,
+           TIMESTAMP '2030-01-01 00:00:00' AS ts
+    FROM final WHERE turn_idx % 5 = 1
+"""
+
+
 def _wire_format_final_state(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Shared body for the wire-format adapter queries: re-wrap the
     derived native change stream into a connector wire format
@@ -1216,6 +1243,59 @@ def _q_cdc_rollback_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = sink.read()
     assert final.filter(F.col("text").startswith("CORRUPT")).count() == 0
     return final.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _q_cdc_merge_into_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative MERGE INTO (``sinks/merge``): the stream replays to
+    the LWW final state, then ONE imperative MERGE batch exercises all
+    three clauses against it — matched keys with ``turn_idx % 5 = 4``
+    are deleted, matched keys with ``% 5 = 2`` are updated (text
+    upper-cased, tool stamped 'merged'), and brand-new keys
+    (``turn_idx + 100``, derived from ``% 5 = 1`` rows) are inserted.
+    The copy-on-write touches only the buckets the source keys hash
+    into. Oracle = the same LWW CTE with the clauses applied
+    relationally (CASE + anti-filter + UNION ALL)."""
+    from embulk_util_json_spark.sinks.merge import merge_into
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("merge_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    apply_events_batch(ev, sink, "b0")
+    cur = sink.read()
+    upd = cur.filter(F.col("turn_idx") % 5 == 2).select(
+        "conv_id", "turn_idx", "role",
+        F.upper("text").alias("text"),
+        F.lit("merged").alias("tool"),
+        "ts",
+    )
+    dels = cur.filter(F.col("turn_idx") % 5 == 4).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    ins = cur.filter(F.col("turn_idx") % 5 == 1).select(
+        "conv_id",
+        (F.col("turn_idx") + 100).alias("turn_idx"),
+        F.lit("merge").alias("role"),
+        F.concat(
+            F.lit("ins "), "conv_id", F.lit("/"),
+            F.col("turn_idx").cast("string"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    res = merge_into(
+        sink,
+        upd.unionByName(dels).unionByName(ins),
+        "m1",
+        when_matched_delete="t.turn_idx % 5 = 4",
+        when_matched_update=True,
+        when_not_matched_insert=True,
+    )
+    assert res["matched_deleted"] > 0 and res["inserted"] > 0
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
 def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3429,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
         "cdc_savepoint_resume_final_state": _q_cdc_savepoint_resume_final_state,
         "cdc_rollback_final_state": _q_cdc_rollback_final_state,
         "cdc_secondary_index_lookup": _q_cdc_secondary_index_lookup,
@@ -3563,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_wap_publish_final_state": _ORACLE_CDC_FINAL,
         "cdc_savepoint_resume_final_state": _ORACLE_CDC_FINAL,
         "cdc_rollback_final_state": _ORACLE_CDC_FINAL,
+        "cdc_merge_into_final_state": _ORACLE_MERGE_INTO,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,
