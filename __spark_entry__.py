@@ -1245,6 +1245,103 @@ def _q_cdc_rollback_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+_ORACLE_RECENT_STATE = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+      AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def _q_cdc_recent_state_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness read over footer zone maps (``sinks/snapshot``
+    ``file_stats`` + ``read(min_ts=...)``): the stream replays in
+    three time-ordered batches (the real CDC shape — commits arrive
+    roughly in commit-ts order), then ``read(min_ts=cutoff)`` returns
+    keys whose LWW winner is at/after the cutoff, pruning whole chain
+    elements whose recorded [min,max] ts proves them stale BEFORE the
+    scan. The query asserts the pruning actually fired (fewer files
+    scanned than a full read) — at 100 TB this is the difference
+    between opening the last day's deltas and opening the table.
+    Lower-bound pruning is exact under LWW (see read() docstring);
+    oracle = the LWW CTE with the same residual WHERE ts >= cutoff."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("recent_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    ts_of = F.get_json_object("event_json", "$.ts").cast("timestamp")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        compact_every=64,
+    )
+    edges = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    apply_events_batch(ev.filter(ts_of < edges[0]), sink, "b0")
+    apply_events_batch(
+        ev.filter((ts_of >= edges[0]) & (ts_of < edges[1])), sink, "b1"
+    )
+    apply_events_batch(ev.filter(ts_of >= edges[1]), sink, "b2")
+    assert sink.current_manifest()["file_stats"], "zone maps must be recorded"
+    fresh = sink.read(min_ts="2024-01-20 00:00:00")
+    n_pruned = len(fresh.inputFiles())
+    n_full = len(sink.read().inputFiles())
+    assert n_pruned < n_full, f"zone maps must prune ({n_pruned} vs {n_full})"
+    return fresh.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _q_cdc_banded_compact_recent_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-banded compaction (``sinks/snapshot.compact(ts_bands=)``)
+    keeps freshness reads pruned THROUGH maintenance: the stream
+    replays in three time-ordered batches, a banded compaction
+    collapses the chains into one element per (time band, bucket) —
+    split AFTER the LWW reduction, so each key lives in exactly one
+    band and state is unchanged — and ``read(min_ts=cutoff)`` must
+    still open fewer files than a full read (a PLAIN compaction would
+    have merged all history into one element and killed the prune).
+    Oracle = the LWW CTE with the same residual; the compaction
+    detour must leave no trace in the result."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("banded_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    ts_of = F.get_json_object("event_json", "$.ts").cast("timestamp")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        compact_every=64,
+    )
+    edges = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    apply_events_batch(ev.filter(ts_of < edges[0]), sink, "b0")
+    apply_events_batch(
+        ev.filter((ts_of >= edges[0]) & (ts_of < edges[1])), sink, "b1"
+    )
+    apply_events_batch(ev.filter(ts_of >= edges[1]), sink, "b2")
+    sink.compact(drop_tombstones=False, ts_bands=edges)
+    chain_paths = [
+        p
+        for b in sink.current_manifest()["buckets"]
+        for p in sink.current_manifest()["buckets"][b]
+    ]
+    assert any("_band=" in p for p in chain_paths), "banded layout expected"
+    fresh = sink.read(min_ts="2024-01-20 00:00:00")
+    n_pruned = len(fresh.inputFiles())
+    n_full = len(sink.read().inputFiles())
+    assert n_pruned < n_full, (
+        f"bands must keep the prune alive post-compaction "
+        f"({n_pruned} vs {n_full})"
+    )
+    return fresh.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_merge_into_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative MERGE INTO (``sinks/merge``): the stream replays to
     the LWW final state, then ONE imperative MERGE batch exercises all
@@ -3509,6 +3606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_recent_state_read": _q_cdc_recent_state_read,
+        "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
         "cdc_savepoint_resume_final_state": _q_cdc_savepoint_resume_final_state,
         "cdc_rollback_final_state": _q_cdc_rollback_final_state,
@@ -3645,6 +3744,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_savepoint_resume_final_state": _ORACLE_CDC_FINAL,
         "cdc_rollback_final_state": _ORACLE_CDC_FINAL,
         "cdc_merge_into_final_state": _ORACLE_MERGE_INTO,
+        "cdc_recent_state_read": _ORACLE_RECENT_STATE,
+        "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
         "cdc_sharded_fenced_final_state": _ORACLE_SHARDED_FENCED,
         "cdc_ddl_gated_evolution": _ORACLE_DDL_GATED,

@@ -223,13 +223,13 @@ def merge_into(
 
     out_rel = sink._data_rel(version)
     out_dir = os.path.join(sink.root, out_rel)
-    (
-        merged.repartition(min(len(affected), 256), F.col(BUCKET_COL))
-        .sortWithinPartitions(*sink.keys)
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(out_dir)
-    )
+    sink._write_buckets(merged, out_dir, len(affected))
+    path_stats = {
+        f"{out_rel}/{BUCKET_COL}={b}": s
+        for b, s in sink._bucket_ts_stats(
+            out_dir, sink._written_buckets(out_dir)
+        ).items()
+    }
     buckets = dict(manifest["buckets"])
     for b in affected:
         buckets[str(b)] = [f"{out_rel}/{BUCKET_COL}={b}"]
@@ -250,5 +250,5 @@ def merge_into(
     }
     return sink._finish_commit(
         manifest, version, batch_id, buckets, merged.drop(BUCKET_COL).columns,
-        metrics,
+        metrics, path_stats=path_stats,
     )

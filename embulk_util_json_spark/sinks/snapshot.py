@@ -57,6 +57,7 @@ from ..operators.lww import (
 from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 
 BUCKET_COL = "_bucket"
+BAND_COL = "_band"  # time-band subdir written by banded compaction
 META_COLS = ["op", "seq"]  # ts doubles as payload and order column
 
 
@@ -814,6 +815,93 @@ class ParquetSnapshotSink:
             return self._apply_mor(staged, batch_id, manifest, obs, t0)
         return self._apply_mow(staged, batch_id, manifest, obs, t0)
 
+    def _write_buckets(
+        self, df: DataFrame, out_dir: str, n: int, banded: bool = False
+    ) -> None:
+        """Shared bucket-partitioned write. Timestamps are forced to
+        TIMESTAMP_MICROS for the write (session conf scoped + restored):
+        Spark's INT96 default carries NO parquet column statistics, and
+        the footer zone maps ``_bucket_ts_stats`` feeds off would be
+        empty. Readers are unaffected — Spark merges INT96 and INT64
+        timestamp files within one table transparently. ``banded``
+        additionally partitions by the ``_band`` time-band column
+        (banded compaction layout: ``_band=i/_bucket=b``)."""
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        part_cols = [BAND_COL, BUCKET_COL] if banded else [BUCKET_COL]
+        try:
+            (
+                df.repartition(min(n, 256), F.col(BUCKET_COL))
+                .sortWithinPartitions(*self.keys)
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(out_dir)
+            )
+        finally:
+            self.spark.conf.set(key, prev)
+
+    @staticmethod
+    def _ts_micros(v) -> int:
+        """Canonicalize a timestamp-ish value (ISO string, naive-UTC or
+        tz-aware datetime, pyarrow footer stat) to epoch microseconds."""
+        import datetime
+
+        if isinstance(v, str):
+            v = datetime.datetime.fromisoformat(v)
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        raise TypeError(f"not a timestamp: {v!r}")
+
+    def _bucket_ts_stats(
+        self, out_dir: str, buckets: list[str]
+    ) -> dict[str, list[int]]:
+        """Per-bucket-path zone maps — [min, max] epoch-µs of the first
+        order column (``ts``) — folded from parquet row-group footer
+        statistics, driver-side, no Spark job (the write above already
+        produced them; this is a metadata read, like
+        ``_bucket_row_counts``). Returns only buckets where EVERY row
+        group carries the stat: a missing footer stat yields no entry,
+        and an unstatted path is never pruned (fail-open = exact)."""
+        import pyarrow.parquet as pq
+
+        ts_col = self.order_cols[0]
+        out: dict[str, list[int]] = {}
+        for b in buckets:
+            d = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            lo: int | None = None
+            hi: int | None = None
+            complete = True
+            for fn in os.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(d, fn))
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    st = None
+                    for j in range(rg.num_columns):
+                        c = rg.column(j)
+                        if c.path_in_schema == ts_col:
+                            st = c.statistics
+                            break
+                    if st is None or not st.has_min_max:
+                        complete = False
+                        break
+                    try:
+                        mn, mx = self._ts_micros(st.min), self._ts_micros(st.max)
+                    except TypeError:
+                        complete = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if not complete:
+                    break
+            if complete and lo is not None:
+                out[b] = [lo, hi]
+        return out
+
     def _written_buckets(self, out_dir: str) -> list[str]:
         """Bucket partition values present under a freshly-written
         directory — a filesystem listing, no Spark job. (On an object
@@ -845,6 +933,7 @@ class ParquetSnapshotSink:
     def _finish_commit(
         self, manifest: dict, version: int, batch_id: str, buckets: dict,
         merged_cols: list[str], metrics: dict, obs=None,
+        path_stats: dict | None = None,
     ) -> dict:
         schema_fields = sorted(
             (set(manifest["schema_fields"]) | set(merged_cols)) - {BUCKET_COL}
@@ -852,6 +941,18 @@ class ParquetSnapshotSink:
         extra_fields = set(manifest.get("extra_fields", []))
         if obs is not None:
             extra_fields |= set(obs.get.get("extra_keys") or [])
+        # Zone maps: carry forward stats of still-referenced paths,
+        # adopt the writer's stats for new paths, drop the rest (a
+        # replaced chain's stats would otherwise linger forever).
+        referenced = {p for b in buckets for p in self._paths_of({"buckets": buckets}, b)}
+        file_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("file_stats", {}),
+                **(path_stats or {}),
+            }.items()
+            if p in referenced
+        }
         self._commit(
             {
                 "version": version,
@@ -864,6 +965,7 @@ class ParquetSnapshotSink:
                 "patch_cols": self.patch_cols or [],
                 "unchanged_marker": self.unchanged_marker,
                 "patch_types": self.patch_types,
+                "file_stats": file_stats,
             }
         )
         return metrics
@@ -904,19 +1006,16 @@ class ParquetSnapshotSink:
         merged = self._reduce(merged, self.keys + [BUCKET_COL])
 
         n_affected = len(affected)
-        (
-            merged.repartition(min(n_affected, 256), F.col(BUCKET_COL))
-            .sortWithinPartitions(*self.keys)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
+        self._write_buckets(merged, out_dir, n_affected)
 
         # Per-bucket lineage from parquet footers (driver-side
         # metadata read — saves one Spark job per batch).
-        bucket_counts = self._bucket_row_counts(
-            out_dir, self._written_buckets(out_dir)
-        )
+        written = self._written_buckets(out_dir)
+        bucket_counts = self._bucket_row_counts(out_dir, written)
+        path_stats = {
+            f"{out_rel}/{BUCKET_COL}={b}": s
+            for b, s in self._bucket_ts_stats(out_dir, written).items()
+        }
 
         buckets = dict(manifest["buckets"])
         for b in affected:
@@ -933,7 +1032,8 @@ class ParquetSnapshotSink:
             "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
         }
         return self._finish_commit(
-            manifest, version, batch_id, buckets, merged.columns, metrics, obs
+            manifest, version, batch_id, buckets, merged.columns, metrics, obs,
+            path_stats=path_stats,
         )
 
     def _apply_mor(
@@ -948,14 +1048,12 @@ class ParquetSnapshotSink:
         out_dir = os.path.join(self.root, out_rel)
 
         delta = self._reduce(staged, self.keys + [BUCKET_COL])
-        (
-            delta.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
-            .sortWithinPartitions(*self.keys)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
+        self._write_buckets(delta, out_dir, self.num_buckets)
         present = self._written_buckets(out_dir)
+        path_stats = {
+            f"{out_rel}/{BUCKET_COL}={b}": s
+            for b, s in self._bucket_ts_stats(out_dir, present).items()
+        }
 
         buckets = {b: self._paths_of(manifest, b) for b in manifest["buckets"]}
         for b in present:
@@ -973,7 +1071,8 @@ class ParquetSnapshotSink:
             "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
         }
         result = self._finish_commit(
-            manifest, version, batch_id, buckets, delta.columns, metrics, obs
+            manifest, version, batch_id, buckets, delta.columns, metrics, obs,
+            path_stats=path_stats,
         )
         # Bound read amplification: collapse chains that grew too deep.
         # Tombstones are KEPT — replay may still deliver older events.
@@ -993,10 +1092,27 @@ class ParquetSnapshotSink:
         probe_keys: DataFrame | None = None,
         broadcast_probe: bool = True,
         columns: list[str] | None = None,
+        min_ts: object | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
         manifests/data files).
+
+        ``min_ts`` (ISO string or datetime) — "state freshly written
+        since T": keeps only keys whose LWW winner has
+        ``order_cols[0] >= min_ts``. Beyond the residual filter, chain
+        elements whose footer zone map (``file_stats``, epoch-µs
+        min/max recorded at write) proves ``max < min_ts`` are pruned
+        BEFORE the scan — at 100 TB a freshness read opens only the
+        recent deltas, not the whole history. Pruning a lower bound is
+        EXACT under row-level LWW: every pruned row either loses to an
+        in-range row of its key, or its key's true winner is also
+        below the bound and the residual filter drops the key
+        anyway. (An upper bound would NOT be — a pruned newer winner
+        must knock its key out, so ``max_ts`` is deliberately not
+        offered.) Patch-mode tables skip pruning (carry-forward reads
+        column values from old rows) and apply only the residual
+        filter; unstatted paths are never pruned (fail-open = exact).
 
         MOR delta chains are merged here with the same LWW reduction
         the writer uses — LWW over (ts, seq) is associative, so
@@ -1047,10 +1163,25 @@ class ParquetSnapshotSink:
         # travel across evolve_patch_cols must reduce the old snapshot
         # under the column set committed at that version.
         nb = manifest.get("num_buckets", self.num_buckets)
+        lo_us = self._ts_micros(min_ts) if min_ts is not None else None
+        _patch_now, _ = self._patch_conf(manifest)
+        _zone = (
+            manifest.get("file_stats", {})
+            if lo_us is not None and not _patch_now
+            else {}
+        )
+
+        def _prune(paths: list[str]) -> list[str]:
+            if not _zone:
+                return paths
+            return [
+                p for p in paths if p not in _zone or _zone[p][1] >= lo_us
+            ]
+
         if key_eq and self.bucket_by in key_eq:
-            chain = self._paths_of(
+            chain = _prune(self._paths_of(
                 manifest, str(self.bucket_of(key_eq[self.bucket_by], nb))
-            )
+            ))
             # Prune miss: fall through with a footer-typed empty frame
             # (NOT the transcript sentinel — a re-keyed/evolved table's
             # downstream selects would crash on the wrong schema); the
@@ -1075,7 +1206,7 @@ class ParquetSnapshotSink:
                 .collect()
             )
             chains = {b: self._paths_of(manifest, str(b)) for b in hit}
-            paths = [p for c in chains.values() for p in c]
+            paths = _prune([p for c in chains.values() for p in c])
             if not paths:
                 # prune miss — same footer-typed fall-through as key_eq
                 df = self._typed_empty_from_footer(manifest)
@@ -1088,8 +1219,13 @@ class ParquetSnapshotSink:
                 )
                 depth = max(len(c) for c in chains.values())
         else:
-            df = self._read_bucket_paths(self._all_paths(manifest))
-            depth = self._chain_depth(manifest)
+            kept = _prune(self._all_paths(manifest))
+            if not kept:
+                df = self._typed_empty_from_footer(manifest)
+                depth = 1
+            else:
+                df = self._read_bucket_paths(kept)
+                depth = self._chain_depth(manifest)
         # Null-key guard: quarantined (malformed) rows are stored as a
         # null-key group rather than pre-filtered before the shuffle
         # (see runner.apply_events_batch); they never surface in reads.
@@ -1134,6 +1270,17 @@ class ParquetSnapshotSink:
             # schema must still carry evolved patch columns (typed
             # NULL for levels written before the evolution)
             df = self._align_patch(df, manifest=conf)
+        if lo_us is not None:
+            # residual freshness filter on the WINNER's ts (pruning is
+            # an optimization; this guarantees exactness either way)
+            import datetime
+
+            naive = datetime.datetime.fromtimestamp(
+                lo_us / 1e6, datetime.timezone.utc
+            ).replace(tzinfo=None)
+            ts_col = self.order_cols[0]
+            if ts_col in df.columns:
+                df = df.filter(F.col(ts_col) >= F.lit(naive))
         if not include_tombstones:
             df = df.filter(F.col("op") != "delete")
         if not include_meta:
@@ -1399,6 +1546,7 @@ class ParquetSnapshotSink:
         drop_tombstones: bool = True,
         only_buckets: list[str] | None = None,
         tombstone_watermark: str | None = None,
+        ts_bands: list[str] | int | None = None,
     ) -> dict:
         """Collapse delta chains (MOR) / coalesce small files (MOW):
         LWW-merge each targeted bucket's levels into one file set.
@@ -1417,7 +1565,21 @@ class ParquetSnapshotSink:
         (carry-forward looks through deletes), so dropping it also
         forgets those column values — safe only if a deleted key is
         ever revived by a full restatement (insert), never by a
-        partial patch. The MOR auto-compaction keeps tombstones."""
+        partial patch. The MOR auto-compaction keeps tombstones.
+
+        ``ts_bands`` — TIME-BANDED compaction: instead of one chain
+        element per bucket spanning all history (which blinds the
+        ``read(min_ts=)`` zone maps the moment maintenance runs), the
+        reduced state is split by each key's WINNER timestamp into
+        bands (``_band=i/_bucket=b`` layout) at the given ISO-string
+        edges (or ``int`` n → deciles-style quantile edges computed
+        with one ``percentile_approx`` pass). Exact by construction:
+        the split happens AFTER the LWW/patch reduction, so every key
+        lives in exactly one band and the read-side union-reduce over
+        bands is the identity on it. A freshness read then opens only
+        the recent bands — compaction stops costing you the prune.
+        At 100 TB this is the hot/cold data layout: cold bands are
+        written once and never scanned by freshness reads again."""
         manifest = self.current_manifest()
         if not manifest or not manifest["buckets"]:
             return {"skipped": True}
@@ -1441,32 +1603,95 @@ class ParquetSnapshotSink:
         version = manifest["version"] + 1
         out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
-        (
-            df.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
-            .sortWithinPartitions(*self.keys)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
-        present = set(self._written_buckets(out_dir))
+        ts_col = self.order_cols[0]
+        if ts_bands:
+            if isinstance(ts_bands, int):
+                if ts_bands < 2:
+                    raise ValueError("ts_bands int must be >= 2")
+                qs = [i / ts_bands for i in range(1, ts_bands)]
+                micros = df.select(
+                    F.unix_micros(F.col(ts_col)).alias("_us")
+                )
+                edges_us = sorted(
+                    set(
+                        int(e)
+                        for e in micros.agg(
+                            F.percentile_approx("_us", qs, 10_000).alias("e")
+                        ).collect()[0].e or []
+                        if e is not None
+                    )
+                )
+            else:
+                edges_us = sorted(self._ts_micros(e) for e in ts_bands)
+            band = F.lit(0)
+            for e in edges_us:
+                band = band + F.when(
+                    F.unix_micros(F.col(ts_col)) >= F.lit(e), 1
+                ).otherwise(0)
+            df = df.withColumn(BAND_COL, band)
+            self._write_buckets(df, out_dir, self.num_buckets, banded=True)
+        else:
+            self._write_buckets(df, out_dir, self.num_buckets)
+        # Chain paths + zone maps for what was written (flat layout:
+        # one element per bucket; banded: one per (band, bucket)).
+        new_chains: dict[str, list[str]] = {}
+        new_stats: dict[str, list[int]] = {}
+        if ts_bands:
+            band_dirs = (
+                sorted(
+                    d
+                    for d in os.listdir(out_dir)
+                    if d.startswith(f"{BAND_COL}=")
+                )
+                if os.path.isdir(out_dir)
+                else []
+            )
+            for bd in band_dirs:
+                band_dir = os.path.join(out_dir, bd)
+                bs = self._written_buckets(band_dir)
+                stats = self._bucket_ts_stats(band_dir, bs)
+                for b in bs:
+                    rel = f"{out_rel}/{bd}/{BUCKET_COL}={b}"
+                    new_chains.setdefault(b, []).append(rel)
+                    if b in stats:
+                        new_stats[rel] = stats[b]
+        else:
+            present = self._written_buckets(out_dir)
+            stats = self._bucket_ts_stats(out_dir, present)
+            for b in present:
+                rel = f"{out_rel}/{BUCKET_COL}={b}"
+                new_chains[b] = [rel]
+                if b in stats:
+                    new_stats[rel] = stats[b]
         buckets = {
             b: self._paths_of(manifest, b)
             for b in manifest["buckets"]
             if b not in set(target)
         }
-        for b in sorted(present, key=int):
-            buckets[b] = [f"{out_rel}/{BUCKET_COL}={b}"]
+        for b in sorted(new_chains, key=int):
+            buckets[b] = new_chains[b]
+        referenced = {p for b in buckets for p in self._paths_of({"buckets": buckets}, b)}
+        file_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("file_stats", {}),
+                **new_stats,
+            }.items()
+            if p in referenced
+        }
         self._commit(
             {
                 **manifest,
                 "version": version,
                 "buckets": buckets,
+                "file_stats": file_stats,
                 "applies": manifest["applies"]
                 + [
                     {
                         "compact": True,
                         "version": version,
                         "buckets_compacted": len(target),
+                        "ts_bands": (len(edges_us) + 1) if ts_bands else None,
                         "wall_sec": round(time.time() - t0, 3),
                     }
                 ],
@@ -1512,13 +1737,7 @@ class ParquetSnapshotSink:
             version = manifest["version"] + 1
             out_rel = self._data_rel(version)
             out_dir = os.path.join(self.root, out_rel)
-            (
-                df.repartition(min(self.num_buckets, 256), F.col(BUCKET_COL))
-                .sortWithinPartitions(*self.keys)
-                .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(out_dir)
-            )
+            self._write_buckets(df, out_dir, self.num_buckets)
             present = self._written_buckets(out_dir)
             self._commit(
                 {
@@ -1528,6 +1747,12 @@ class ParquetSnapshotSink:
                     "buckets": {
                         b: [f"{out_rel}/{BUCKET_COL}={b}"]
                         for b in sorted(present, key=int)
+                    },
+                    "file_stats": {
+                        f"{out_rel}/{BUCKET_COL}={b}": s
+                        for b, s in self._bucket_ts_stats(
+                            out_dir, present
+                        ).items()
                     },
                     "applies": manifest["applies"]
                     + [
@@ -2006,11 +2231,35 @@ class ParquetSnapshotSink:
                     if sub.startswith(f"{BUCKET_COL}=") and rel not in referenced:
                         shutil.rmtree(os.path.join(vdir, sub), ignore_errors=True)
                         removed_dirs += 1
+                    elif sub.startswith(f"{BAND_COL}="):
+                        # banded-compaction layout: one nesting level
+                        # deeper (_band=i/_bucket=b); reclaim per
+                        # bucket subdir, then the emptied band dir
+                        bdir = os.path.join(vdir, sub)
+                        for bb in sorted(os.listdir(bdir)):
+                            brel = f"{rel}/{bb}"
+                            if (
+                                bb.startswith(f"{BUCKET_COL}=")
+                                and brel not in referenced
+                            ):
+                                shutil.rmtree(
+                                    os.path.join(bdir, bb), ignore_errors=True
+                                )
+                                removed_dirs += 1
+                        if not any(
+                            s.startswith(f"{BUCKET_COL}=")
+                            for s in os.listdir(bdir)
+                        ):
+                            shutil.rmtree(bdir, ignore_errors=True)
                 # version dir with no referenced content left → remove
                 remaining = [
                     s
                     for s in os.listdir(vdir)
                     if s.startswith(f"{BUCKET_COL}=")
+                    or (
+                        s.startswith(f"{BAND_COL}=")
+                        and os.path.isdir(os.path.join(vdir, s))
+                    )
                 ]
                 if not remaining:
                     shutil.rmtree(vdir, ignore_errors=True)
