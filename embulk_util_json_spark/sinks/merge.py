@@ -226,7 +226,7 @@ def merge_into(
     sink._write_buckets(merged, out_dir, len(affected))
     path_stats = {
         f"{out_rel}/{BUCKET_COL}={b}": s
-        for b, s in sink._bucket_ts_stats(
+        for b, s in sink._bucket_stats(
             out_dir, sink._written_buckets(out_dir)
         ).items()
     }

@@ -821,7 +821,7 @@ class ParquetSnapshotSink:
         """Shared bucket-partitioned write. Timestamps are forced to
         TIMESTAMP_MICROS for the write (session conf scoped + restored):
         Spark's INT96 default carries NO parquet column statistics, and
-        the footer zone maps ``_bucket_ts_stats`` feeds off would be
+        the footer zone maps ``_bucket_stats`` feeds off would be
         empty. Readers are unaffected — Spark merges INT96 and INT64
         timestamp files within one table transparently. ``banded``
         additionally partitions by the ``_band`` time-band column
@@ -855,52 +855,83 @@ class ParquetSnapshotSink:
             return int(v.timestamp() * 1_000_000)
         raise TypeError(f"not a timestamp: {v!r}")
 
-    def _bucket_ts_stats(
+    def _bucket_stats(
         self, out_dir: str, buckets: list[str]
-    ) -> dict[str, list[int]]:
-        """Per-bucket-path zone maps — [min, max] epoch-µs of the first
-        order column (``ts``) — folded from parquet row-group footer
-        statistics, driver-side, no Spark job (the write above already
-        produced them; this is a metadata read, like
-        ``_bucket_row_counts``). Returns only buckets where EVERY row
-        group carries the stat: a missing footer stat yields no entry,
-        and an unstatted path is never pruned (fail-open = exact)."""
+    ) -> dict[str, dict]:
+        """Per-bucket-path zone maps folded from parquet row-group
+        footer statistics, driver-side, no Spark job (the write above
+        already produced them; this is a metadata read, like
+        ``_bucket_row_counts``):
+
+        - ``"ts"``: [min, max] epoch-µs of the first order column;
+        - ``"key"``: [min, max] of the bucket key column (files are
+          sorted by the keys within buckets, so the footer ranges are
+          tight). Strings compare soundly: parquet's BYTE_ARRAY
+          comparator is unsigned byte-wise over UTF-8, which equals
+          Python's code-point comparison — so driver-side range checks
+          against these bounds agree with the data.
+
+        A stat appears only when EVERY row group carries it: missing
+        footer statistics yield no entry, and an unstatted path is
+        never pruned (fail-open = exact)."""
         import pyarrow.parquet as pq
 
         ts_col = self.order_cols[0]
-        out: dict[str, list[int]] = {}
+        key_col = self.bucket_by
+        out: dict[str, dict] = {}
         for b in buckets:
             d = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-            lo: int | None = None
-            hi: int | None = None
-            complete = True
+            acc: dict[str, list] = {"ts": None, "key": None}
+            ok = {"ts": True, "key": True}
             for fn in os.listdir(d):
                 if not fn.endswith(".parquet"):
                     continue
                 md = pq.read_metadata(os.path.join(d, fn))
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
-                    st = None
+                    st = {"ts": None, "key": None}
                     for j in range(rg.num_columns):
                         c = rg.column(j)
                         if c.path_in_schema == ts_col:
-                            st = c.statistics
-                            break
-                    if st is None or not st.has_min_max:
-                        complete = False
-                        break
-                    try:
-                        mn, mx = self._ts_micros(st.min), self._ts_micros(st.max)
-                    except TypeError:
-                        complete = False
-                        break
-                    lo = mn if lo is None else min(lo, mn)
-                    hi = mx if hi is None else max(hi, mx)
-                if not complete:
-                    break
-            if complete and lo is not None:
-                out[b] = [lo, hi]
+                            st["ts"] = c.statistics
+                        elif c.path_in_schema == key_col:
+                            st["key"] = c.statistics
+                    for which, conv in (("ts", self._ts_micros), ("key", None)):
+                        if not ok[which]:
+                            continue
+                        s = st[which]
+                        if s is None or not s.has_min_max:
+                            ok[which] = False
+                            continue
+                        try:
+                            mn = conv(s.min) if conv else self._key_str(s.min)
+                            mx = conv(s.max) if conv else self._key_str(s.max)
+                        except (TypeError, UnicodeDecodeError):
+                            ok[which] = False
+                            continue
+                        if acc[which] is None:
+                            acc[which] = [mn, mx]
+                        else:
+                            acc[which][0] = min(acc[which][0], mn)
+                            acc[which][1] = max(acc[which][1], mx)
+            entry = {
+                which: acc[which]
+                for which in ("ts", "key")
+                if ok[which] and acc[which] is not None
+            }
+            if entry:
+                out[b] = entry
         return out
+
+    @staticmethod
+    def _key_str(v) -> str:
+        """Footer stat for a string column → str (pyarrow may hand
+        back bytes)."""
+        if isinstance(v, bytes):
+            return v.decode("utf-8")
+        if isinstance(v, str):
+            return v
+        raise TypeError(f"non-string key stat: {v!r}")
 
     def _written_buckets(self, out_dir: str) -> list[str]:
         """Bucket partition values present under a freshly-written
@@ -944,12 +975,31 @@ class ParquetSnapshotSink:
         # Zone maps: carry forward stats of still-referenced paths,
         # adopt the writer's stats for new paths, drop the rest (a
         # replaced chain's stats would otherwise linger forever).
+        # ``path_stats`` values are per-path dicts {"ts": [lo,hi],
+        # "key": [kmin,kmax]} from ``_bucket_stats``; stored as two
+        # parallel manifest maps.
         referenced = {p for b in buckets for p in self._paths_of({"buckets": buckets}, b)}
         file_stats = {
             p: s
             for p, s in {
                 **manifest.get("file_stats", {}),
-                **(path_stats or {}),
+                **{
+                    p: s["ts"]
+                    for p, s in (path_stats or {}).items()
+                    if s.get("ts")
+                },
+            }.items()
+            if p in referenced
+        }
+        key_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("key_stats", {}),
+                **{
+                    p: s["key"]
+                    for p, s in (path_stats or {}).items()
+                    if s.get("key")
+                },
             }.items()
             if p in referenced
         }
@@ -966,6 +1016,7 @@ class ParquetSnapshotSink:
                 "unchanged_marker": self.unchanged_marker,
                 "patch_types": self.patch_types,
                 "file_stats": file_stats,
+                "key_stats": key_stats,
             }
         )
         return metrics
@@ -1014,7 +1065,7 @@ class ParquetSnapshotSink:
         bucket_counts = self._bucket_row_counts(out_dir, written)
         path_stats = {
             f"{out_rel}/{BUCKET_COL}={b}": s
-            for b, s in self._bucket_ts_stats(out_dir, written).items()
+            for b, s in self._bucket_stats(out_dir, written).items()
         }
 
         buckets = dict(manifest["buckets"])
@@ -1052,7 +1103,7 @@ class ParquetSnapshotSink:
         present = self._written_buckets(out_dir)
         path_stats = {
             f"{out_rel}/{BUCKET_COL}={b}": s
-            for b, s in self._bucket_ts_stats(out_dir, present).items()
+            for b, s in self._bucket_stats(out_dir, present).items()
         }
 
         buckets = {b: self._paths_of(manifest, b) for b in manifest["buckets"]}
@@ -1179,9 +1230,26 @@ class ParquetSnapshotSink:
             ]
 
         if key_eq and self.bucket_by in key_eq:
+            probe_val = key_eq[self.bucket_by]
             chain = _prune(self._paths_of(
-                manifest, str(self.bucket_of(key_eq[self.bucket_by], nb))
+                manifest, str(self.bucket_of(probe_val, nb))
             ))
+            # Key-range skipping: within the bucket's chain, drop
+            # elements whose footer [min,max] key range provably
+            # excludes the probed key — a key updated in 2 of 40
+            # deltas opens ~2 files, not the whole chain. Exact in
+            # every mode (it removes only OTHER keys' rows; patch
+            # carry-forward for this key is untouched). Unsigned
+            # byte-wise parquet bounds == Python code-point order for
+            # UTF-8, so the comparison below is sound; unstatted paths
+            # are never pruned (fail-open).
+            kz = manifest.get("key_stats", {})
+            if kz and isinstance(probe_val, str):
+                chain = [
+                    p
+                    for p in chain
+                    if p not in kz or kz[p][0] <= probe_val <= kz[p][1]
+                ]
             # Prune miss: fall through with a footer-typed empty frame
             # (NOT the transcript sentinel — a re-keyed/evolved table's
             # downstream selects would crash on the wrong schema); the
@@ -1635,7 +1703,7 @@ class ParquetSnapshotSink:
         # Chain paths + zone maps for what was written (flat layout:
         # one element per bucket; banded: one per (band, bucket)).
         new_chains: dict[str, list[str]] = {}
-        new_stats: dict[str, list[int]] = {}
+        new_stats: dict[str, dict] = {}
         if ts_bands:
             band_dirs = (
                 sorted(
@@ -1649,7 +1717,7 @@ class ParquetSnapshotSink:
             for bd in band_dirs:
                 band_dir = os.path.join(out_dir, bd)
                 bs = self._written_buckets(band_dir)
-                stats = self._bucket_ts_stats(band_dir, bs)
+                stats = self._bucket_stats(band_dir, bs)
                 for b in bs:
                     rel = f"{out_rel}/{bd}/{BUCKET_COL}={b}"
                     new_chains.setdefault(b, []).append(rel)
@@ -1657,7 +1725,7 @@ class ParquetSnapshotSink:
                         new_stats[rel] = stats[b]
         else:
             present = self._written_buckets(out_dir)
-            stats = self._bucket_ts_stats(out_dir, present)
+            stats = self._bucket_stats(out_dir, present)
             for b in present:
                 rel = f"{out_rel}/{BUCKET_COL}={b}"
                 new_chains[b] = [rel]
@@ -1675,7 +1743,15 @@ class ParquetSnapshotSink:
             p: s
             for p, s in {
                 **manifest.get("file_stats", {}),
-                **new_stats,
+                **{p: s["ts"] for p, s in new_stats.items() if s.get("ts")},
+            }.items()
+            if p in referenced
+        }
+        key_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("key_stats", {}),
+                **{p: s["key"] for p, s in new_stats.items() if s.get("key")},
             }.items()
             if p in referenced
         }
@@ -1685,6 +1761,7 @@ class ParquetSnapshotSink:
                 "version": version,
                 "buckets": buckets,
                 "file_stats": file_stats,
+                "key_stats": key_stats,
                 "applies": manifest["applies"]
                 + [
                     {
@@ -1739,6 +1816,7 @@ class ParquetSnapshotSink:
             out_dir = os.path.join(self.root, out_rel)
             self._write_buckets(df, out_dir, self.num_buckets)
             present = self._written_buckets(out_dir)
+            stats = self._bucket_stats(out_dir, present)
             self._commit(
                 {
                     **manifest,
@@ -1749,10 +1827,14 @@ class ParquetSnapshotSink:
                         for b in sorted(present, key=int)
                     },
                     "file_stats": {
-                        f"{out_rel}/{BUCKET_COL}={b}": s
-                        for b, s in self._bucket_ts_stats(
-                            out_dir, present
-                        ).items()
+                        f"{out_rel}/{BUCKET_COL}={b}": s["ts"]
+                        for b, s in stats.items()
+                        if s.get("ts")
+                    },
+                    "key_stats": {
+                        f"{out_rel}/{BUCKET_COL}={b}": s["key"]
+                        for b, s in stats.items()
+                        if s.get("key")
                     },
                     "applies": manifest["applies"]
                     + [

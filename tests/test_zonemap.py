@@ -230,3 +230,57 @@ def test_vacuum_handles_band_layout(spark, tmp_path):
         for s in d.iterdir() if s.name.startswith("_band=")
     ]
     assert not leftover, f"superseded band dirs must be reclaimed: {leftover}"
+
+
+def test_key_range_skipping_point_lookup(spark, tmp_path):
+    """Footer key-range zone maps: a point lookup opens only the chain
+    elements whose [min,max] key range can contain the probed key —
+    deltas that touched disjoint key ranges are skipped entirely."""
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=1, mode="mor")
+    apply_events_batch(
+        _mk(spark, [_ev(0, "insert", "aa", 1, 1), _ev(1, "insert", "ab", 1, 1)]),
+        sink, "b0",
+    )
+    apply_events_batch(
+        _mk(spark, [_ev(2, "insert", "zy", 1, 2), _ev(3, "insert", "zz", 1, 2)]),
+        sink, "b1",
+    )
+    apply_events_batch(
+        _mk(spark, [_ev(4, "update", "aa", 1, 3, text="hot")]), sink, "b2"
+    )
+    assert sink.current_manifest()["key_stats"], "key zone maps recorded"
+    full = set(sink.read().inputFiles())
+    zz = sink.read(key_eq={"conv_id": "zz"})
+    assert _state(zz) == [("zz", 1, "t3")]
+    assert set(zz.inputFiles()) < full, "disjoint-key deltas must be skipped"
+    # key updated across deltas: both its elements open, result exact
+    assert _state(sink.read(key_eq={"conv_id": "aa"})) == [("aa", 1, "hot")]
+    # miss inside the bucket: skipping alone may empty the chain — the
+    # typed-empty fall-through must hold
+    assert sink.read(key_eq={"conv_id": "mm"}).count() == 0
+
+
+def test_key_skipping_exact_in_patch_mode(spark, tmp_path):
+    """Key skipping removes only OTHER keys' rows, so unlike ts
+    pruning it stays exact for patch tables: the looked-up key's
+    carry-forward columns must survive."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "p"), num_buckets=1, mode="mor",
+        patch_cols=["role", "text", "tool"],
+    )
+
+    def _patch(seq, conv, day, **cols):
+        body = ",".join(f'"{k}":"{v}"' for k, v in cols.items())
+        return (
+            seq,
+            f'{{"op":"update","ts":"2026-01-{day:02d} 00:00:00.000000",'
+            f'"data":{{"conv_id":"{conv}","turn_idx":1,{body}}}}}',
+        )
+
+    apply_events_batch(_mk(spark, [_patch(0, "aa", 1, role="r1")]), sink, "b0")
+    apply_events_batch(_mk(spark, [_patch(1, "zz", 2, role="rz")]), sink, "b1")
+    apply_events_batch(_mk(spark, [_patch(2, "aa", 3, text="late")]), sink, "b2")
+    row = sink.read(key_eq={"conv_id": "aa"}).collect()[0]
+    assert (row.role, row.text) == ("r1", "late"), "carry-forward intact"
+    zz = sink.read(key_eq={"conv_id": "zz"})
+    assert set(zz.inputFiles()) < set(sink.read().inputFiles())
