@@ -1342,6 +1342,66 @@ def _q_cdc_banded_compact_recent_read(
     return fresh.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+_ORACLE_KEY_LOOKUP = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete' AND conv_id = 'u7'
+"""
+
+
+def _q_cdc_key_skipped_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup over footer KEY-range zone maps (``sinks/snapshot``
+    ``key_stats`` + ``read(key_eq=...)``): the stream replays in three
+    batches split by conv_id RANGE (the tenant-sharded / region-backfill
+    shape — each delta touches a contiguous key slice), then a point
+    lookup of 'u7' opens only the chain elements whose recorded
+    [min,max] key range can contain it — the other slices' deltas are
+    skipped without a scan. Unlike ts pruning this is exact in every
+    mode (it removes only OTHER keys' rows), and LWW over (ts, seq) is
+    batch-order-independent, so the oracle is simply the whole-stream
+    LWW CTE filtered to the probed key. The query asserts the skip
+    actually fired: the probed bucket's chain has 3 elements but the
+    lookup opens fewer."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("keyskip_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    conv = F.get_json_object("event_json", "$.data.conv_id")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        compact_every=64,
+    )
+    # String-ordered slices (conv ids are 'u<digits>', compared as
+    # strings end-to-end — parquet BYTE_ARRAY stats, Python, and SQL
+    # agree on UTF-8 order). 'u7' lives only in the third slice.
+    apply_events_batch(ev.filter(conv < "u3"), sink, "b0")
+    apply_events_batch(ev.filter((conv >= "u3") & (conv < "u6")), sink, "b1")
+    apply_events_batch(ev.filter(conv >= "u6"), sink, "b2")
+    m = sink.current_manifest()
+    assert m["key_stats"], "key zone maps must be recorded"
+    bucket = str(sink.bucket_of("u7", int(m["num_buckets"])))
+    # chain length varies with scale (a slice with no key hashing to
+    # u7's bucket writes no element there): assert the skip whenever
+    # there is anything to skip.
+    chain_len = len(m["buckets"][bucket])
+    look = sink.read(key_eq={"conv_id": "u7"})
+    n_open = len({os.path.dirname(p) for p in look.inputFiles()})
+    if chain_len > 1:
+        assert n_open < chain_len, (
+            f"key-range skipping must drop disjoint-slice elements "
+            f"({n_open} of {chain_len} opened)"
+        )
+    return look.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_merge_into_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative MERGE INTO (``sinks/merge``): the stream replays to
     the LWW final state, then ONE imperative MERGE batch exercises all
@@ -3606,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror and pytest sweep every one.
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
+        "cdc_key_skipped_lookup": _q_cdc_key_skipped_lookup,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -3744,6 +3805,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_savepoint_resume_final_state": _ORACLE_CDC_FINAL,
         "cdc_rollback_final_state": _ORACLE_CDC_FINAL,
         "cdc_merge_into_final_state": _ORACLE_MERGE_INTO,
+        "cdc_key_skipped_lookup": _ORACLE_KEY_LOOKUP,
         "cdc_recent_state_read": _ORACLE_RECENT_STATE,
         "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
