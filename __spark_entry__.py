@@ -617,6 +617,33 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
 
 
+def _q_cdc_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal table join (``operators/temporal.
+    temporal_enrich``): a fact stream (every 7th event's key + its own
+    ts) is enriched with the transcript attributes valid AS OF each
+    fact's event time, against the SCD2 history of the same change
+    stream. Deletion gaps and pre-history facts yield NULLs — the
+    semantic a plain as-of join cannot express. Engine = union-tag
+    window walk (ONE key-hash exchange, no range join); oracle = the
+    independent interval formulation (LEFT JOIN on key + containment),
+    so a hash match cross-checks the two formulations."""
+    from embulk_util_json_spark.operators.history import scd2_history
+    from embulk_util_json_spark.operators.temporal import temporal_enrich
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    versions = scd2_history(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    facts = changes.filter(F.pmod("seq", F.lit(7)) == 3).select(
+        F.col("seq").alias("fact_id"), "conv_id", "turn_idx", "ts"
+    )
+    return temporal_enrich(
+        facts, versions, ["conv_id", "turn_idx"], attrs=["role", "text", "tool"]
+    ).select(
+        "fact_id", "conv_id", "turn_idx", "ts",
+        "role_dim", "text_dim", "tool_dim",
+    )
+
+
 def _q_cdc_compact_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Net-effect batch compaction: collapse the change batch to ≤1
     net change per key (insert…delete annihilates; the survivor
@@ -3667,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_key_skipped_lookup": _q_cdc_key_skipped_lookup,
+        "cdc_temporal_enrich": _q_cdc_temporal_enrich,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -3781,13 +3809,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from embulk_util_json_spark.operators import history
+    from embulk_util_json_spark.operators import history, temporal
     from embulk_util_json_spark.pipeline import disorder, skew
 
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
+        ),
+        "cdc_temporal_enrich": temporal.temporal_enrich_sql(
+            facts_sql=(
+                f"SELECT seq AS fact_id, conv_id, turn_idx, ts"
+                f" FROM ({_ORACLE_CDC_EVENTS}) WHERE seq % 7 = 3"
+            ),
+            versions_sql=history.scd2_history_sql(
+                _ORACLE_CDC_EVENTS,
+                ["conv_id", "turn_idx"],
+                ["role", "text", "tool"],
+            ),
+            keys=["conv_id", "turn_idx"],
+            attrs=["role", "text", "tool"],
+            fact_cols=["fact_id", "conv_id", "turn_idx", "ts"],
         ),
         "cdc_scd2_asof": _ORACLE_SCD2_ASOF,
         "cdc_gap_fenced_apply": _ORACLE_GAP_FENCED,

@@ -1,6 +1,6 @@
-"""Temporal operators: as-of join and gap sessionization.
+"""Temporal operators: as-of join, temporal table join, sessionization.
 
-Both are built on window functions only (no custom shuffle logic):
+All are built on window functions only (no custom shuffle logic):
 
 - ``asof_join`` uses the union-tag trick: tag and union both sides,
   sort within each key partition by (ts, side), and carry the latest
@@ -8,6 +8,11 @@ Both are built on window functions only (no custom shuffle logic):
   shuffle on the key — the same cost as a plain join, without a range
   condition blowing up the join planner. This is the standard Spark
   formulation of the kdb/pandas ``merge_asof``.
+- ``temporal_enrich`` is the event-time temporal table join (the
+  "dimension attributes AS OF each fact's event time" shape):
+  asof_join against an SCD2 version table's ``valid_from`` plus an
+  interval-liveness mask, so deletion gaps yield NULLs instead of a
+  stale carried payload.
 - ``sessionize`` assigns gap-based session ids per key: a new session
   starts where the gap from the previous event exceeds ``gap_sec``;
   the session id is the running count of session starts (cumulative
@@ -73,6 +78,106 @@ def asof_join(
     for c in [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in right_cols]:
         out = out.withColumn(c, F.col("_last_r")[c])
     return out.drop("_last_r")
+
+
+def temporal_enrich(
+    facts: DataFrame,
+    versions: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    attrs: list[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Temporal table join (event-time enrichment): for each fact row,
+    attach the SCD2 dimension attributes valid AS OF the fact's event
+    time — the version with ``valid_from <= ts`` and ``valid_to`` null
+    or ``> ts`` (half-open intervals, as :func:`operators.history.
+    scd2_history` builds them). Facts inside a deletion gap (interval
+    closed with no live successor) or before the key's first version
+    get NULL attributes — the semantic a plain :func:`asof_join`
+    cannot express: it would carry a deleted key's last payload
+    forward forever.
+
+    Built ON ``asof_join`` rather than a range join: pick the last
+    version with ``valid_from_ts <= ts`` (tiebreak ``valid_from_seq``,
+    so same-instant version chains resolve to the binlog-latest), then
+    mask the attributes where that version's interval closed at/before
+    the fact's ts. Intervals per key are ordered and non-overlapping
+    by construction, so the last-starting version is the only
+    containment candidate — the mask is exact, not a heuristic.
+
+    Scale: ONE hash exchange on the key (the union-tag window), the
+    same shuffle a key-equi join would pay, with no range condition to
+    push the planner toward a nested-loop join; dimension history is
+    per-key bounded (version counts in the tens) while facts are
+    unbounded, which is exactly the shape the union window handles
+    without skew amplification.
+    """
+    reserved = (
+        "valid_from_ts",
+        "valid_from_seq",
+        "valid_to_ts",
+        "valid_to_seq",
+        "is_current",
+    )
+    attrs = attrs or [
+        c for c in versions.columns if c not in on and c not in reserved
+    ]
+    rhs = versions.select(
+        *on,
+        F.col("valid_from_ts").alias(ts_col),
+        "valid_from_seq",
+        "valid_to_ts",
+        *attrs,
+    )
+    joined = asof_join(
+        facts,
+        rhs,
+        on=on,
+        ts_col=ts_col,
+        right_cols=["valid_from_seq", "valid_to_ts", *attrs],
+        suffix=suffix,
+        right_tiebreak="valid_from_seq",
+    )
+    alive = F.col(f"valid_to_ts{suffix}").isNull() | (
+        F.col(f"valid_to_ts{suffix}") > F.col(ts_col)
+    )
+    return joined.select(
+        *facts.columns,
+        *[
+            F.when(alive, F.col(f"{a}{suffix}")).alias(f"{a}{suffix}")
+            for a in attrs
+        ],
+    )
+
+
+def temporal_enrich_sql(
+    facts_sql: str,
+    versions_sql: str,
+    keys: list[str],
+    attrs: list[str],
+    fact_cols: list[str],
+    ts_col: str = "ts",
+    suffix: str = "_dim",
+) -> str:
+    """DuckDB twin of :func:`temporal_enrich` — deliberately the
+    INDEPENDENT interval formulation (LEFT JOIN on key equality +
+    containment), so a hash match cross-checks the engine's window
+    walk against the declarative range-join semantics rather than
+    re-deriving the same plan twice."""
+    onc = " AND ".join(f"f.{k} = v.{k}" for k in keys)
+    sel_f = ", ".join(f"f.{c}" for c in fact_cols)
+    sel_a = ", ".join(f"v.{a} AS {a}{suffix}" for a in attrs)
+    return f"""
+        WITH facts AS ({facts_sql}),
+        versions AS ({versions_sql})
+        SELECT {sel_f}, {sel_a}
+        FROM facts f
+        LEFT JOIN versions v
+          ON {onc}
+         AND v.valid_from_ts <= f.{ts_col}
+         AND (v.valid_to_ts IS NULL OR v.valid_to_ts > f.{ts_col})
+    """
 
 
 def sessionize(

@@ -146,3 +146,112 @@ def test_table_diff_presence_only_no_shared_payload(spark):
     right = spark.createDataFrame([("a", 2), ("b", 3)], "k string, y int")
     got = {r.k: r.diff_status for r in table_diff(left, right, ["k"]).collect()}
     assert got == {"a": "equal", "b": "only_right"}
+
+
+def _changes_df(spark, rows):
+    """(seq, op, conv, turn, ts, role, text) change rows."""
+    return spark.createDataFrame(
+        [(s, op, c, t, _t(ts), r, x) for s, op, c, t, ts, r, x in rows],
+        "seq long, op string, conv_id string, turn_idx int, "
+        "ts timestamp, role string, text string",
+    )
+
+
+def _enriched(spark, changes_rows, facts_rows, **kw):
+    from embulk_util_json_spark.operators.history import scd2_history
+    from embulk_util_json_spark.operators.temporal import temporal_enrich
+
+    versions = scd2_history(
+        _changes_df(spark, changes_rows), ["conv_id", "turn_idx"], ["ts", "seq"]
+    )
+    facts = spark.createDataFrame(
+        [(i, c, t, _t(ts)) for i, c, t, ts in facts_rows],
+        "fact_id long, conv_id string, turn_idx int, ts timestamp",
+    )
+    out = temporal_enrich(
+        facts, versions, ["conv_id", "turn_idx"], attrs=["role", "text"], **kw
+    )
+    return {r.fact_id: (r.role_dim, r.text_dim) for r in out.collect()}
+
+
+def test_temporal_enrich_versions_and_gaps(spark):
+    """Facts pick the version containing their ts; deletion gaps and
+    pre-history facts yield NULLs, not a stale carried payload."""
+    changes = [
+        (0, "insert", "c1", 1, "2024-01-01T10:00:00", "user", "v1"),
+        (1, "update", "c1", 1, "2024-01-01T12:00:00", "user", "v2"),
+        (2, "delete", "c1", 1, "2024-01-01T14:00:00", None, None),
+        (3, "insert", "c1", 1, "2024-01-01T16:00:00", "user", "v3"),
+    ]
+    facts = [
+        (1, "c1", 1, "2024-01-01T09:00:00"),  # before first version
+        (2, "c1", 1, "2024-01-01T11:00:00"),  # inside v1
+        (3, "c1", 1, "2024-01-01T12:00:00"),  # boundary → v2 (half-open)
+        (4, "c1", 1, "2024-01-01T15:00:00"),  # deletion gap
+        (5, "c1", 1, "2024-01-01T14:00:00"),  # delete instant → gone
+        (6, "c1", 1, "2024-01-01T17:00:00"),  # re-inserted, open interval
+        (7, "c9", 9, "2024-01-01T12:00:00"),  # key never existed
+    ]
+    got = _enriched(spark, changes, facts)
+    assert got[1] == (None, None)
+    assert got[2] == ("user", "v1")
+    assert got[3] == ("user", "v2")
+    assert got[4] == (None, None), "asof alone would leak v2 here"
+    assert got[5] == (None, None)
+    assert got[6] == ("user", "v3")
+    assert got[7] == (None, None)
+
+
+def test_temporal_enrich_same_instant_chain(spark):
+    """Versions sharing valid_from_ts resolve by seq: the
+    binlog-latest same-instant version is the one a fact at that
+    instant sees; zero-length (same-ts) predecessors match nothing."""
+    changes = [
+        (0, "insert", "c1", 1, "2024-01-01T10:00:00", "user", "a"),
+        (1, "update", "c1", 1, "2024-01-01T10:00:00", "user", "b"),
+        (2, "update", "c1", 1, "2024-01-01T10:00:00", "user", "c"),
+    ]
+    facts = [(1, "c1", 1, "2024-01-01T10:00:00"),
+             (2, "c1", 1, "2024-01-01T11:00:00")]
+    got = _enriched(spark, changes, facts)
+    assert got[1] == ("user", "c")
+    assert got[2] == ("user", "c")
+
+
+def test_temporal_enrich_delete_then_reinsert_same_instant(spark):
+    """delete@T then insert@T (higher seq): a fact at T sees the
+    re-inserted row; insert@T then delete@T sees nothing."""
+    changes = [
+        (0, "insert", "c1", 1, "2024-01-01T09:00:00", "user", "old"),
+        (1, "delete", "c1", 1, "2024-01-01T10:00:00", None, None),
+        (2, "insert", "c1", 1, "2024-01-01T10:00:00", "user", "new"),
+        (3, "insert", "c2", 2, "2024-01-01T10:00:00", "user", "doomed"),
+        (4, "delete", "c2", 2, "2024-01-01T10:00:00", None, None),
+    ]
+    facts = [(1, "c1", 1, "2024-01-01T10:00:00"),
+             (2, "c2", 2, "2024-01-01T10:00:00")]
+    got = _enriched(spark, changes, facts)
+    assert got[1] == ("user", "new")
+    assert got[2] == (None, None)
+
+
+def test_temporal_enrich_plan_single_exchange_no_nlj(spark):
+    """The temporal join must plan as the union-tag window — no
+    nested-loop/cartesian join a range condition would induce."""
+    from embulk_util_json_spark.operators.history import scd2_history
+    from embulk_util_json_spark.operators.temporal import temporal_enrich
+
+    changes = _changes_df(
+        spark, [(0, "insert", "c1", 1, "2024-01-01T10:00:00", "user", "v1")]
+    )
+    versions = scd2_history(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    facts = spark.createDataFrame(
+        [(1, "c1", 1, _t("2024-01-01T11:00:00"))],
+        "fact_id long, conv_id string, turn_idx int, ts timestamp",
+    )
+    plan = (
+        temporal_enrich(facts, versions, ["conv_id", "turn_idx"], attrs=["role"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in plan, f"unexpected {bad} in plan:\n{plan}"
