@@ -617,6 +617,91 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
 
 
+_ORACLE_RETENTION = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (SELECT MIN(seq) AS lo, MAX(seq) AS hi FROM changes),
+    early AS (
+        SELECT c.* FROM changes c, bounds
+        WHERE seq < lo + (4 * (hi - lo + 1)) // 5
+    ),
+    late AS (
+        SELECT c.* FROM changes c, bounds
+        WHERE seq >= lo + (4 * (hi - lo + 1)) // 5
+    ),
+    early_winners AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn FROM early
+        ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    tombs AS (
+        SELECT CAST(-1 AS BIGINT) AS seq, 'delete' AS op,
+               TIMESTAMP '2024-01-20 00:00:00' AS ts,
+               conv_id, turn_idx,
+               CAST(NULL AS VARCHAR) AS role,
+               CAST(NULL AS VARCHAR) AS text,
+               CAST(NULL AS VARCHAR) AS tool
+        FROM early_winners
+        WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    unioned AS (
+        SELECT seq, op, ts, conv_id, turn_idx, role, text, tool FROM early
+        UNION ALL
+        SELECT seq, op, ts, conv_id, turn_idx, role, text, tool FROM tombs
+        UNION ALL
+        SELECT seq, op, ts, conv_id, turn_idx, role, text, tool FROM late
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM unioned
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention as logical deletes (``sinks/snapshot.
+    retention_delete``): 4/5 of the stream applies, the retention
+    policy tombstones every key whose winner predates the cutoff (the
+    change feed must show the deletes; a same-cutoff rerun must be a
+    committed-batch skip), then the LAST fifth of the stream — which
+    carries events on BOTH sides of the cutoff — applies on top:
+    redeliveries older than the cutoff stay dead, newer events
+    resurrect their keys. Oracle derives the identical tombstone set
+    relationally (winners of the early slice below the cutoff) and
+    LWW-reduces the union, so the hash match pins the tombstone
+    ordering semantics (ts = cutoff, seq = -1), not just the happy
+    path."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("retention_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    split = lo + (4 * (hi - lo + 1)) // 5
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    apply_events_batch(ev.filter(F.col("seq") < split), sink, "b0")
+    v_pre = sink.current_version()
+    cutoff = "2024-01-20 00:00:00"
+    m = sink.retention_delete(cutoff)
+    assert not m.get("skipped"), "first retention run must apply"
+    feed = sink.read_changes(v_pre)
+    assert feed.filter(F.col("op") == "delete").count() > 0, (
+        "change feed must carry the retention tombstones"
+    )
+    assert sink.retention_delete(cutoff).get("skipped"), (
+        "same-cutoff rerun must dedupe on the derived batch_id"
+    )
+    apply_events_batch(ev.filter(F.col("seq") >= split), sink, "b1")
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time temporal table join (``operators/temporal.
     temporal_enrich``): a fact stream (every 7th event's key + its own
@@ -3695,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_key_skipped_lookup": _q_cdc_key_skipped_lookup,
         "cdc_temporal_enrich": _q_cdc_temporal_enrich,
+        "cdc_retention_delete": _q_cdc_retention_delete,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -3848,6 +3934,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollback_final_state": _ORACLE_CDC_FINAL,
         "cdc_merge_into_final_state": _ORACLE_MERGE_INTO,
         "cdc_key_skipped_lookup": _ORACLE_KEY_LOOKUP,
+        "cdc_retention_delete": _ORACLE_RETENTION,
         "cdc_recent_state_read": _ORACLE_RECENT_STATE,
         "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,

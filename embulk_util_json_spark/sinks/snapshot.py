@@ -2144,6 +2144,58 @@ class ParquetSnapshotSink:
         )
         return {"version": version, "rewritten": True}
 
+    def retention_delete(
+        self, older_than, batch_id: str | None = None
+    ) -> dict:
+        """Retention policy as LOGICAL deletes: synthesize a delete
+        tombstone for every key whose current LWW winner sits strictly
+        before ``older_than``, and apply it as one normal batch.
+        Unlike :meth:`purge` (physical compliance erasure, history
+        destroyed), the deletes are part of the log — the change feed
+        shows them, mirrors and incremental views converge on the
+        retained state, exactly-once bookkeeping is untouched, and
+        time travel to pre-retention versions still works until
+        ``vacuum``.
+
+        Tombstone position: ``ts = older_than``, ``seq = -1``. It
+        beats every expired winner (strictly greater ts) and loses to
+        any real event AT or after the cutoff instant (a cutoff-ts
+        event has ``seq > -1``), so late redeliveries older than the
+        cutoff stay dead while a genuinely newer event resurrects the
+        key — retention is a watermark, not a freeze.
+
+        Idempotent: the default ``batch_id`` is derived from the
+        cutoff, so re-running the same policy is a committed-batch
+        skip. Deterministic: the synthesized batch is a pure function
+        of (table state, cutoff). A periodic policy should pass an
+        advancing cutoff (its natural shape); to re-apply one cutoff
+        against keys that arrived AFTER the first run, pass an
+        explicit fresh ``batch_id`` — the default deliberately
+        prefers replay-safety over re-evaluation.
+
+        Scale: one merged state read + one normal apply. The read
+        cannot be zone-map pruned (an UPPER ts bound is inexact under
+        LWW — a pruned newer winner would resurrect its key), so it is
+        O(state), the same scan any full merge pays; the apply itself
+        is O(expired keys).
+        """
+        ts_col = self.order_cols[0]
+        cutoff = F.lit(older_than).cast("timestamp")
+        state = self.read()
+        expired = state.filter(F.col(ts_col) < cutoff)
+        tomb_cols: list = [*self.keys, F.lit("delete").alias("op")]
+        for f in state.schema.fields:
+            if f.name in self.keys or f.name == ts_col:
+                continue
+            tomb_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        tomb_cols.append(cutoff.alias(ts_col))
+        for oc in self.order_cols[1:]:
+            tomb_cols.append(F.lit(-1).cast("long").alias(oc))
+        tomb = expired.select(*tomb_cols)
+        bid = batch_id or f"retention<{older_than}"
+        metrics = self.apply(tomb, bid)
+        return {**metrics, "retention_cutoff": str(older_than)}
+
     def purge(
         self,
         key_eq: dict | None = None,
