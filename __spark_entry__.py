@@ -662,6 +662,50 @@ _ORACLE_RETENTION = f"""
 """
 
 
+def _q_cdc_minor_compact_final_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Minor (tiered) compaction (``sinks/snapshot.compact_minor``):
+    quarter 1 of the stream applies and MAJOR-compacts into the base;
+    quarters 2-3 apply as delta levels; ``compact_minor`` collapses the
+    deltas into ONE level while the base's data paths stay verbatim in
+    the manifest (asserted — write cost O(deltas), never O(table));
+    quarter 4 then applies on top. Final state must equal the
+    whole-stream LWW oracle — the merge detour is invisible because
+    the reduction is closed and commutative."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("minor_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo + (i * (hi - lo + 1)) // 4 for i in range(1, 4)]
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        compact_every=64,
+    )
+    apply_events_batch(ev.filter(F.col("seq") < cuts[0]), sink, "b0")
+    sink.compact(drop_tombstones=False)
+    base = {b: list(ps) for b, ps in sink.current_manifest()["buckets"].items()}
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1])), sink, "b1"
+    )
+    apply_events_batch(
+        ev.filter((F.col("seq") >= cuts[1]) & (F.col("seq") < cuts[2])), sink, "b2"
+    )
+    m = sink.compact_minor()
+    assert m["delta_levels_merged"] > 0, "deltas must have merged"
+    after = sink.current_manifest()["buckets"]
+    for b, base_chain in base.items():
+        assert after[b][: len(base_chain)] == base_chain, (
+            f"bucket {b}: base paths must be untouched by minor compaction"
+        )
+        assert len(after[b]) <= len(base_chain) + 1, "deltas collapsed to one"
+    apply_events_batch(ev.filter(F.col("seq") >= cuts[2]), sink, "b3")
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def _q_cdc_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention as logical deletes (``sinks/snapshot.
     retention_delete``): 4/5 of the stream applies, the retention
@@ -3781,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_key_skipped_lookup": _q_cdc_key_skipped_lookup,
         "cdc_temporal_enrich": _q_cdc_temporal_enrich,
         "cdc_retention_delete": _q_cdc_retention_delete,
+        "cdc_minor_compact_final_state": _q_cdc_minor_compact_final_state,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -3935,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_into_final_state": _ORACLE_MERGE_INTO,
         "cdc_key_skipped_lookup": _ORACLE_KEY_LOOKUP,
         "cdc_retention_delete": _ORACLE_RETENTION,
+        "cdc_minor_compact_final_state": _ORACLE_CDC_FINAL,
         "cdc_recent_state_read": _ORACLE_RECENT_STATE,
         "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,

@@ -1776,6 +1776,138 @@ class ParquetSnapshotSink:
         )
         return {"version": version, "buckets_compacted": len(target)}
 
+    def compact_minor(
+        self,
+        only_buckets: list[str] | None = None,
+        min_delta_levels: int = 2,
+    ) -> dict:
+        """MINOR compaction (LSM tiered-merge): collapse each targeted
+        bucket's DELTA levels into one, leaving the base level(s)
+        untouched on disk. Write cost is O(deltas), never O(table) —
+        the distinction that matters at 10^10 events, where
+        :meth:`compact` (major: rewrite the whole chain) re-pays the
+        full bucket every maintenance cycle while the per-batch deltas
+        it folds in are a sliver of it. Read amplification drops from
+        chain-depth to ~2 (base + merged delta) at delta-sized cost.
+
+        Base detection: every write lands under one ``data/vN``
+        version dir, and a (major) compaction writes ALL its chain
+        elements — including time bands — under a single version, so
+        the base is the chain's leading run sharing the first
+        element's version prefix; everything after it is per-batch
+        deltas. On a never-compacted chain the oldest delta serves as
+        the base (it is the largest survivor-carrier; merging the rest
+        above it is the same win). Banded bases keep their bands — and
+        their ``read(min_ts=)`` pruning — verbatim.
+
+        Exactness: the reduction is the same closed LWW / stamped
+        patch-merge every other path uses, and it is commutative, so
+        merging ANY subset of levels and re-entering the chain is
+        identity on the final state. Tombstones are always kept — a
+        delta-level tombstone may mask a base-level row, so only a
+        major compaction (which sees all levels) may drop them.
+
+        ``min_delta_levels`` skips buckets with fewer deltas than
+        that (nothing worth merging). Returns per-call metrics
+        including rewritten vs untouched level counts.
+        """
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return {"skipped": True}
+        self._adopt(manifest)
+        t0 = time.time()
+        target = sorted(
+            set(only_buckets) if only_buckets else set(manifest["buckets"]),
+            key=int,
+        )
+        base_of: dict[str, list[str]] = {}
+        deltas_of: dict[str, list[str]] = {}
+        for b in target:
+            chain = self._paths_of(manifest, b)
+            if not chain:
+                continue
+            v0 = chain[0].split(f"/{BAND_COL}=")[0].split(f"/{BUCKET_COL}=")[0]
+            i = 1
+            while i < len(chain) and chain[i].startswith(f"{v0}/"):
+                i += 1
+            if len(chain) - i >= min_delta_levels:
+                base_of[b] = chain[:i]
+                deltas_of[b] = chain[i:]
+        if not deltas_of:
+            return {"skipped": True, "reason": "no-chain-deep-enough"}
+        df = self._read_bucket_paths(
+            [p for ps in deltas_of.values() for p in ps]
+        )
+        df = self._reduce(df, self.keys)
+        df = df.withColumn(BUCKET_COL, self._bucket_expr())
+        version = manifest["version"] + 1
+        out_rel = self._data_rel(version)
+        out_dir = os.path.join(self.root, out_rel)
+        self._write_buckets(df, out_dir, self.num_buckets)
+        present = self._written_buckets(out_dir)
+        stats = self._bucket_stats(out_dir, present)
+        buckets = {
+            b: self._paths_of(manifest, b)
+            for b in manifest["buckets"]
+            if b not in deltas_of
+        }
+        new_stats: dict[str, dict] = {}
+        for b in sorted(deltas_of, key=int):
+            rel = f"{out_rel}/{BUCKET_COL}={b}"
+            # a delta set can reduce to zero rows only if it was all
+            # duplicates of itself — the write still emits the bucket
+            # dir when any row lands; fall back to base-only otherwise
+            buckets[b] = base_of[b] + ([rel] if b in present else [])
+            if b in stats:
+                new_stats[rel] = stats[b]
+        referenced = {
+            p for b in buckets for p in self._paths_of({"buckets": buckets}, b)
+        }
+        file_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("file_stats", {}),
+                **{p: s["ts"] for p, s in new_stats.items() if s.get("ts")},
+            }.items()
+            if p in referenced
+        }
+        key_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("key_stats", {}),
+                **{p: s["key"] for p, s in new_stats.items() if s.get("key")},
+            }.items()
+            if p in referenced
+        }
+        merged_levels = sum(len(ps) for ps in deltas_of.values())
+        kept_levels = sum(len(ps) for ps in base_of.values())
+        self._commit(
+            {
+                **manifest,
+                "version": version,
+                "buckets": buckets,
+                "file_stats": file_stats,
+                "key_stats": key_stats,
+                "applies": manifest["applies"]
+                + [
+                    {
+                        "compact_minor": True,
+                        "version": version,
+                        "buckets_compacted": len(deltas_of),
+                        "delta_levels_merged": merged_levels,
+                        "base_levels_untouched": kept_levels,
+                        "wall_sec": round(time.time() - t0, 3),
+                    }
+                ],
+            }
+        )
+        return {
+            "version": version,
+            "buckets_compacted": len(deltas_of),
+            "delta_levels_merged": merged_levels,
+            "base_levels_untouched": kept_levels,
+        }
+
     def rebucket(self, new_num_buckets: int) -> dict:
         """Bucket-layout rescaling — the partition-spec-evolution
         analogue (Iceberg rewrites partitioning the same way: new
