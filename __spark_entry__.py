@@ -662,6 +662,87 @@ _ORACLE_RETENTION = f"""
 """
 
 
+def _q_cdc_feed_cursor_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable change-feed cursors (``sinks/feed.FeedCursor``): two
+    independently-named consumers drain one source's net-change feed
+    at different paces — the fast one polls after every batch, the
+    slow one once at the end — and each folds its polled windows into
+    its own downstream sink using the window-derived batch id
+    (exactly-once: a redelivered window is asserted to dedupe). Both
+    downstream tables must equal the whole-stream LWW oracle; the
+    query returns their union tagged by consumer so the hash pins BOTH
+    fold paths."""
+    from embulk_util_json_spark.sinks.feed import FeedCursor, batch_id
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("feed_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo + (i * (hi - lo + 1)) // 3 for i in range(1, 3)]
+    src = ParquetSnapshotSink(
+        spark, os.path.join(work, "s"), num_buckets=8, mode="mor"
+    )
+    sinks = {
+        "fast": ParquetSnapshotSink(
+            spark, os.path.join(work, "fast"), num_buckets=8, mode="mor"
+        ),
+        "slow": ParquetSnapshotSink(
+            spark, os.path.join(work, "slow"), num_buckets=8, mode="mor"
+        ),
+    }
+    fast, slow = FeedCursor(src, "fast"), FeedCursor(src, "slow")
+
+    def drain(cursor, dst):
+        got = cursor.poll()
+        if got is None:
+            return
+        ch, w = got
+        folded = ch.withColumn("seq", F.lit(w["to_version"]).cast("long"))
+        dst.apply(folded, batch_id(w))
+        assert dst.apply(folded, batch_id(w)).get("skipped"), (
+            "redelivered window must dedupe downstream"
+        )
+        cursor.commit(w)
+
+    preds = [
+        F.col("seq") < cuts[0],
+        (F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1]),
+        F.col("seq") >= cuts[1],
+    ]
+    for i, p in enumerate(preds):
+        apply_events_batch(ev.filter(p), src, f"b{i}")
+        drain(fast, sinks["fast"])  # polls every batch
+    drain(slow, sinks["slow"])  # one catch-up poll at the end
+    assert fast.lag() == 0 and slow.lag() == 0
+    return (
+        sinks["fast"].read().withColumn("consumer", F.lit("fast"))
+        .unionByName(
+            sinks["slow"].read().withColumn("consumer", F.lit("slow"))
+        )
+        .select("consumer", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+_ORACLE_FEED_FANOUT = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    final AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT 'fast' AS consumer, * FROM final
+    UNION ALL
+    SELECT 'slow' AS consumer, * FROM final
+"""
+
+
 def _q_cdc_minor_compact_final_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3826,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_temporal_enrich": _q_cdc_temporal_enrich,
         "cdc_retention_delete": _q_cdc_retention_delete,
         "cdc_minor_compact_final_state": _q_cdc_minor_compact_final_state,
+        "cdc_feed_cursor_fanout": _q_cdc_feed_cursor_fanout,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -3981,6 +4063,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_skipped_lookup": _ORACLE_KEY_LOOKUP,
         "cdc_retention_delete": _ORACLE_RETENTION,
         "cdc_minor_compact_final_state": _ORACLE_CDC_FINAL,
+        "cdc_feed_cursor_fanout": _ORACLE_FEED_FANOUT,
         "cdc_recent_state_read": _ORACLE_RECENT_STATE,
         "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
