@@ -662,6 +662,109 @@ _ORACLE_RETENTION = f"""
 """
 
 
+_ALIGN_E1 = "2024-01-11 00:00:00"
+_ALIGN_E2 = "2024-01-21 00:00:00"
+
+_ORACLE_ALIGNED_READ = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    a AS (SELECT * FROM changes WHERE seq % 2 = 0),
+    b AS (SELECT * FROM changes WHERE seq % 2 = 1),
+    ef AS (
+        SELECT
+            (SELECT MAX(epoch_us(ts)) FROM a
+             WHERE ts < TIMESTAMP '{_ALIGN_E1}') AS fa1,
+            (SELECT MAX(epoch_us(ts)) FROM a
+             WHERE ts < TIMESTAMP '{_ALIGN_E2}') AS fa2,
+            (SELECT MAX(epoch_us(ts)) FROM a) AS fa3,
+            (SELECT MAX(epoch_us(ts)) FROM b
+             WHERE ts < TIMESTAMP '{_ALIGN_E1}') AS fb1,
+            (SELECT MAX(epoch_us(ts)) FROM b
+             WHERE ts < TIMESTAMP '{_ALIGN_E2}') AS fb2
+    ),
+    pick AS (
+        SELECT LEAST(fa3, fb2) AS t,
+            CASE WHEN fa3 <= LEAST(fa3, fb2) THEN 3
+                 WHEN fa2 <= LEAST(fa3, fb2) THEN 2
+                 WHEN fa1 <= LEAST(fa3, fb2) THEN 1 ELSE 0 END AS ka,
+            CASE WHEN fb2 <= LEAST(fa3, fb2) THEN 2
+                 WHEN fb1 <= LEAST(fa3, fb2) THEN 1 ELSE 0 END AS kb
+        FROM ef
+    ),
+    a_vis AS (
+        SELECT a.* FROM a, pick
+        WHERE ka = 3
+           OR (ka = 2 AND ts < TIMESTAMP '{_ALIGN_E2}')
+           OR (ka = 1 AND ts < TIMESTAMP '{_ALIGN_E1}')
+    ),
+    b_vis AS (
+        -- b only ever APPLIED events below E2 (its two batches), so
+        -- kb = 2 visibility is that applied prefix, not all of b
+        SELECT b.* FROM b, pick
+        WHERE (kb = 2 AND ts < TIMESTAMP '{_ALIGN_E2}')
+           OR (kb = 1 AND ts < TIMESTAMP '{_ALIGN_E1}')
+    ),
+    tagged AS (
+        SELECT 'a' AS tbl, * FROM a_vis
+        UNION ALL
+        SELECT 'b' AS tbl, * FROM b_vis
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY tbl, conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM tagged
+    )
+    SELECT tbl, conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_aligned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-aligned cross-table read (``sinks/align``): tables a
+    and b demux one stream by seq parity but COMMIT independently — a
+    applies three time-ordered batches, b only two, so b's applied
+    event-time frontier lags. ``aligned_read`` computes T = min of the
+    current frontiers (pure manifest-zone-map metadata, no scan) and
+    serves EACH table at its latest version whose frontier ≤ T — here
+    a must roll back to its two-batch version so no table serves rows
+    from b's future. The oracle re-derives the frontier arithmetic and
+    version choice relationally (MAX-epoch CTEs + the same CASE), so
+    the hash pins the alignment decision itself, not just the final
+    LWW."""
+    from embulk_util_json_spark.sinks.align import aligned_read, aligned_versions
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("align_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    ts_of = F.get_json_object("event_json", "$.ts").cast("timestamp")
+    a_ev = ev.filter(F.pmod("seq", F.lit(2)) == 0)
+    b_ev = ev.filter(F.pmod("seq", F.lit(2)) == 1)
+    a = ParquetSnapshotSink(spark, os.path.join(work, "a"), num_buckets=8, mode="mor")
+    b = ParquetSnapshotSink(spark, os.path.join(work, "b"), num_buckets=8, mode="mor")
+    apply_events_batch(a_ev.filter(ts_of < _ALIGN_E1), a, "a0")
+    apply_events_batch(
+        a_ev.filter((ts_of >= _ALIGN_E1) & (ts_of < _ALIGN_E2)), a, "a1"
+    )
+    apply_events_batch(a_ev.filter(ts_of >= _ALIGN_E2), a, "a2")
+    apply_events_batch(b_ev.filter(ts_of < _ALIGN_E1), b, "b0")
+    apply_events_batch(
+        b_ev.filter((ts_of >= _ALIGN_E1) & (ts_of < _ALIGN_E2)), b, "b1"
+    )
+    versions, t = aligned_versions({"a": a, "b": b})
+    frames = aligned_read({"a": a, "b": b})
+    for name, f in frames.items():
+        mx = f.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0].m
+        assert mx is None or mx <= t, (
+            f"table {name} serves rows beyond the common watermark"
+        )
+    return (
+        frames["a"].withColumn("tbl", F.lit("a"))
+        .unionByName(frames["b"].withColumn("tbl", F.lit("b")))
+        .select("tbl", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
 def _q_cdc_feed_cursor_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable change-feed cursors (``sinks/feed.FeedCursor``): two
     independently-named consumers drain one source's net-change feed
@@ -3908,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_retention_delete": _q_cdc_retention_delete,
         "cdc_minor_compact_final_state": _q_cdc_minor_compact_final_state,
         "cdc_feed_cursor_fanout": _q_cdc_feed_cursor_fanout,
+        "cdc_aligned_read": _q_cdc_aligned_read,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -4064,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_retention_delete": _ORACLE_RETENTION,
         "cdc_minor_compact_final_state": _ORACLE_CDC_FINAL,
         "cdc_feed_cursor_fanout": _ORACLE_FEED_FANOUT,
+        "cdc_aligned_read": _ORACLE_ALIGNED_READ,
         "cdc_recent_state_read": _ORACLE_RECENT_STATE,
         "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
