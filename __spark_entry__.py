@@ -662,6 +662,18 @@ _ORACLE_RETENTION = f"""
 """
 
 
+def _q_cdc_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE surface (``pipeline/stats.column_stats``): per-column
+    (n_rows, n_nulls, n_distinct, min, max) over the replayed final
+    state in ONE full-scan aggregation (exact NDV for oracle parity;
+    ``exact=False`` is the documented approx knob at scale).
+    Timestamps render fixed-width-microsecond so lexicographic equals
+    chronological; other types stringify AFTER the native min/max."""
+    from embulk_util_json_spark.pipeline.stats import column_stats
+
+    return column_stats(_final_state(spark, sf_dir))
+
+
 _ALIGN_E1 = "2024-01-11 00:00:00"
 _ALIGN_E2 = "2024-01-21 00:00:00"
 
@@ -4012,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_minor_compact_final_state": _q_cdc_minor_compact_final_state,
         "cdc_feed_cursor_fanout": _q_cdc_feed_cursor_fanout,
         "cdc_aligned_read": _q_cdc_aligned_read,
+        "cdc_table_stats": _q_cdc_table_stats,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -4127,7 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from embulk_util_json_spark.operators import history, temporal
-    from embulk_util_json_spark.pipeline import disorder, skew
+    from embulk_util_json_spark.pipeline import disorder, skew, stats
 
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
@@ -4169,6 +4182,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_minor_compact_final_state": _ORACLE_CDC_FINAL,
         "cdc_feed_cursor_fanout": _ORACLE_FEED_FANOUT,
         "cdc_aligned_read": _ORACLE_ALIGNED_READ,
+        "cdc_table_stats": stats.column_stats_sql(
+            _ORACLE_CDC_FINAL,
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            ts_cols=["ts"],
+        ),
         "cdc_recent_state_read": _ORACLE_RECENT_STATE,
         "cdc_banded_compact_recent_read": _ORACLE_RECENT_STATE,
         "cdc_chunked_bootstrap_final_state": _ORACLE_CDC_FINAL,
