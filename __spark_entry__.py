@@ -662,6 +662,33 @@ _ORACLE_RETENTION = f"""
 """
 
 
+def _q_cdc_scd2_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD2 dimension table (``pipeline/
+    scd2_view.IncrementalScd2View``): the change stream folds in three
+    SEQ-RANGE batches — so event time arrives out of order across
+    refreshes and late events must SPLIT intervals already
+    materialized — and the folded table must equal the one-shot
+    ``scd2_history`` over the whole log (the oracle). Each refresh is
+    O(affected keys' history) via probe-pruned reads, never O(log)."""
+    from embulk_util_json_spark.pipeline.scd2_view import IncrementalScd2View
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("scd2v_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo + (i * (hi - lo + 1)) // 3 for i in range(1, 3)]
+    view = IncrementalScd2View(spark, os.path.join(work, "v"), num_buckets=8)
+    preds = [
+        F.col("seq") < cuts[0],
+        (F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1]),
+        F.col("seq") >= cuts[1],
+    ]
+    for i, p in enumerate(preds):
+        view.refresh(parse_change_events(ev.filter(p)), f"b{i}")
+    return view.read()
+
+
 def _q_cdc_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE surface (``pipeline/stats.column_stats``): per-column
     (n_rows, n_nulls, n_distinct, min, max) over the replayed final
@@ -4025,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_feed_cursor_fanout": _q_cdc_feed_cursor_fanout,
         "cdc_aligned_read": _q_cdc_aligned_read,
         "cdc_table_stats": _q_cdc_table_stats,
+        "cdc_scd2_view_incremental": _q_cdc_scd2_view_incremental,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -4145,6 +4173,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
+            _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
+        ),
+        "cdc_scd2_view_incremental": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
         ),
         "cdc_temporal_enrich": temporal.temporal_enrich_sql(

@@ -51,6 +51,7 @@ def scd2_history(
     ts_col: str = "ts",
     seq_col: str = "seq",
     delete_op: str = "delete",
+    keep_delete_rows: bool = False,
 ) -> DataFrame:
     """Changes → SCD Type-2 version table.
 
@@ -60,6 +61,11 @@ def scd2_history(
     NULL for the open interval), and ``is_current`` (int 0/1; 1 iff
     the interval is open). Delete events close intervals but emit no
     version row.
+
+    ``keep_delete_rows=True`` keeps the delete events as rows (with
+    ``op_col`` retained so callers can distinguish them) — the shape
+    an INCREMENTAL materialization needs, since repairing intervals
+    after a late event requires replaying the key's deletes too.
     """
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
     closed = changes.withColumn("valid_to_ts", F.lead(ts_col).over(w)).withColumn(
@@ -70,17 +76,17 @@ def scd2_history(
         for c in changes.columns
         if c not in keys and c not in (op_col, ts_col, seq_col)
     ]
-    return (
-        closed.filter(F.col(op_col) != delete_op)
-        .select(
-            *keys,
-            *payload,
-            F.col(ts_col).alias("valid_from_ts"),
-            F.col(seq_col).alias("valid_from_seq"),
-            "valid_to_ts",
-            "valid_to_seq",
-            F.col("valid_to_ts").isNull().cast("int").alias("is_current"),
-        )
+    if not keep_delete_rows:
+        closed = closed.filter(F.col(op_col) != delete_op)
+    return closed.select(
+        *keys,
+        *([op_col] if keep_delete_rows else []),
+        *payload,
+        F.col(ts_col).alias("valid_from_ts"),
+        F.col(seq_col).alias("valid_from_seq"),
+        "valid_to_ts",
+        "valid_to_seq",
+        F.col("valid_to_ts").isNull().cast("int").alias("is_current"),
     )
 
 
