@@ -2439,13 +2439,22 @@ class ParquetSnapshotSink:
 
     # ---- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> dict:
+    def vacuum(self, keep_versions: int = 1, protect_cursors: bool = True) -> dict:
         """Expire old snapshots (the Iceberg ``expire_snapshots``
         analogue): delete manifest versions older than the newest
         ``keep_versions`` and any data directory no retained manifest
         references. Time travel remains possible to every retained
         version; anything older is gone for good (run only once
         replay/audit windows have passed).
+
+        ``protect_cursors`` (default on) widens retention so no named
+        change-feed cursor (``sinks/feed.FeedCursor``) is stranded:
+        versions after the LAGGIEST committed cursor position are kept
+        — ``read_changes(committed, ·)`` needs the committed version's
+        manifest to diff against, so a consumer mid-backlog survives
+        maintenance. Pass ``False`` to reclaim regardless (the
+        stranded consumer must then ``reset``, the documented
+        recovery).
 
         Driver-side filesystem work only — no Spark job. Safe against
         a concurrent reader of a retained version because data files
@@ -2455,6 +2464,16 @@ class ParquetSnapshotSink:
         current = self.current_version()
         if current == 0:
             return {"removed_versions": 0, "removed_dirs": 0}
+        if protect_cursors:
+            from .feed import cursors as _cursors
+
+            positions = _cursors(self)
+            if positions:
+                laggiest = min(positions.values())
+                if laggiest > 0:
+                    # keep laggiest..current INCLUSIVE — the diff reads
+                    # the committed version's own manifest
+                    keep_versions = max(keep_versions, current - laggiest + 1)
         # Build the keep set from manifests that actually EXIST: after
         # an earlier vacuum with a smaller keep_versions, versions in
         # the nominal keep range may already be gone, and manifest_at

@@ -118,3 +118,29 @@ def test_bad_names_rejected(spark, tmp_path):
     for bad in ("", "a/b", ".hidden"):
         with pytest.raises(ValueError):
             FeedCursor(src, bad)
+
+
+def test_vacuum_protects_lagging_cursor(spark, tmp_path):
+    """vacuum keeps the versions a lagging consumer still needs to
+    diff from; protect_cursors=False reclaims and strands it."""
+    src = ParquetSnapshotSink(spark, str(tmp_path / "s"), num_buckets=1, mode="mor")
+    apply_events_batch(_mk(spark, [_ev(0, "insert", "a", 1, 1)]), src, "b0")
+    c = FeedCursor(src, "slow")
+    ch, w = c.poll()
+    c.commit(w)  # committed at v1
+    for i in range(1, 4):
+        apply_events_batch(
+            _mk(spark, [_ev(i, "insert", f"k{i}", 1, i + 1)]), src, f"b{i}"
+        )
+    src.vacuum(keep_versions=1)  # cursor-aware: must keep v1..current
+    ch2, w2 = c.poll()  # still drainable after maintenance
+    assert {r.conv_id for r in ch2.collect()} == {"k1", "k2", "k3"}
+    c.commit(w2)
+    # opt out: reclaim regardless, cursor re-bases explicitly
+    c.reset(1)
+    src.vacuum(keep_versions=1, protect_cursors=False)
+    with pytest.raises(Exception):
+        c.poll()
+    c.reset(0)
+    ch3, _ = c.poll()
+    assert ch3.count() == 4
