@@ -1776,6 +1776,78 @@ class ParquetSnapshotSink:
         )
         return {"version": version, "buckets_compacted": len(target)}
 
+    def maintain(
+        self,
+        max_chain: int = 8,
+        base_delta_ratio: float = 4.0,
+        tombstone_watermark: str | None = None,
+    ) -> dict:
+        """Size-tiered auto-maintenance (the policy layer over
+        :meth:`compact` / :meth:`compact_minor`): for every bucket
+        whose chain is deeper than ``max_chain``, choose
+
+        * **minor** when the base dwarfs the deltas
+          (``base_bytes > base_delta_ratio × delta_bytes``) — merging
+          the deltas restores read amplification at O(deltas) cost and
+          the big base is left untouched;
+        * **major** otherwise — the base is small enough that a full
+          collapse costs about the same and removes a level.
+
+        Sizes come from a driver-side filesystem walk of the chain
+        dirs (metadata, no Spark job). ``tombstone_watermark`` opts
+        the MAJOR pass into watermark-gated tombstone GC (minor never
+        drops tombstones — it cannot see all levels). This is the
+        method a scheduler calls after every N batches; at 10^10
+        events it keeps hot buckets at ~2 levels while cold big
+        buckets never pay an O(table) rewrite just because they
+        accumulated a few deltas."""
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return {"skipped": True}
+        self._adopt(manifest)
+
+        def _bytes(rel_paths: list[str]) -> int:
+            total = 0
+            for rel in rel_paths:
+                d = os.path.join(self.root, rel)
+                if os.path.isdir(d):
+                    for fn in os.listdir(d):
+                        fp = os.path.join(d, fn)
+                        if os.path.isfile(fp):
+                            total += os.path.getsize(fp)
+            return total
+
+        minor_b: list[str] = []
+        major_b: list[str] = []
+        for b in manifest["buckets"]:
+            chain = self._paths_of(manifest, b)
+            if len(chain) <= max_chain:
+                continue
+            v0 = chain[0].split(f"/{BAND_COL}=")[0].split(f"/{BUCKET_COL}=")[0]
+            i = 1
+            while i < len(chain) and chain[i].startswith(f"{v0}/"):
+                i += 1
+            base_bytes = _bytes(chain[:i])
+            delta_bytes = _bytes(chain[i:])
+            if i < len(chain) and base_bytes > base_delta_ratio * max(
+                delta_bytes, 1
+            ):
+                minor_b.append(b)
+            else:
+                major_b.append(b)
+        out = {"minor_buckets": len(minor_b), "major_buckets": len(major_b)}
+        if minor_b:
+            out["minor"] = self.compact_minor(
+                only_buckets=minor_b, min_delta_levels=1
+            )
+        if major_b:
+            out["major"] = self.compact(
+                drop_tombstones=tombstone_watermark is not None,
+                only_buckets=major_b,
+                tombstone_watermark=tombstone_watermark,
+            )
+        return out
+
     def compact_minor(
         self,
         only_buckets: list[str] | None = None,

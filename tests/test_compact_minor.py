@@ -119,3 +119,45 @@ def test_minor_patch_mode_carry_forward_exact(spark, tmp_path):
     sink.compact_minor()
     row = sink.read().collect()[0]
     assert (row.role, row.text, row.tool) == ("r1", "body", "hammer")
+
+
+def test_maintain_policy_routes_minor_vs_major(spark, tmp_path):
+    """Big base + few deltas → minor (base untouched); no-base deep
+    chain → major (full collapse). Shallow chains untouched."""
+    # bucket with a BIG compacted base then small deltas
+    big = ParquetSnapshotSink(spark, str(tmp_path / "big"), num_buckets=1, mode="mor")
+    apply_events_batch(
+        _mk(spark, [_ev(i, "insert", f"c{i:04d}", 1, 1,
+                        text=f"{i:07d}" * 300)  # distinct per row: resists RLE
+                    for i in range(1000)]),
+        big, "b0",
+    )
+    big.compact(drop_tombstones=False)
+    base_paths = _chains(big)["0"]
+    for i in range(4):
+        apply_events_batch(
+            _mk(spark, [_ev(1000 + i, "update", "c0000", 1, 2 + i)]), big, f"d{i}"
+        )
+    before = _state(big.read())
+    m = big.maintain(max_chain=3)
+    assert m["minor_buckets"] == 1 and m["major_buckets"] == 0
+    chain = _chains(big)["0"]
+    assert chain[: len(base_paths)] == base_paths and len(chain) == len(base_paths) + 1
+    assert _state(big.read()) == before
+
+    # never-compacted deep chain of similar-size deltas → major
+    flat = ParquetSnapshotSink(spark, str(tmp_path / "flat"), num_buckets=1, mode="mor")
+    for i in range(5):
+        apply_events_batch(
+            _mk(spark, [_ev(i, "insert", f"k{i}", 1, i + 1)]), flat, f"b{i}"
+        )
+    before = _state(flat.read())
+    m = flat.maintain(max_chain=3)
+    assert m["major_buckets"] == 1 and m["minor_buckets"] == 0
+    assert len(_chains(flat)["0"]) == 1
+    assert _state(flat.read()) == before
+
+    # shallow chain: untouched either way
+    v = flat.current_version()
+    assert flat.maintain(max_chain=3) == {"minor_buckets": 0, "major_buckets": 0}
+    assert flat.current_version() == v
