@@ -509,6 +509,111 @@ class ParquetSnapshotSink:
             "events_per_sec double",
         )
 
+    def history(self) -> DataFrame:
+        """The Iceberg ``history``/``snapshots`` metadata-table
+        analogue: one row per entry in the current manifest's applies
+        log — data batches AND maintenance commits (compact,
+        compact_minor, rebucket, rollback, publish, ...) in commit
+        order, with a ``kind`` discriminator and the entry's
+        non-standard fields folded into a JSON ``detail`` column (the
+        log's records are heterogeneous by design; forcing one wide
+        schema would lose fields silently). Driver-side manifest JSON
+        → createDataFrame — metadata-sized, no table scan."""
+        m = self.current_manifest()
+        rows = []
+        std = ("version", "batch_id", "change_rows", "wall_sec")
+        for i, a in enumerate((m or {}).get("applies", [])):
+            kind = "apply"
+            for k in ("compact_minor", "compact", "rebucket", "rollback",
+                      "publish", "import"):
+                if a.get(k):
+                    kind = k
+                    break
+            detail = {k: v for k, v in a.items() if k not in std}
+            rows.append(
+                (
+                    i,
+                    a.get("version"),
+                    kind,
+                    a.get("batch_id"),
+                    a.get("change_rows"),
+                    float(a.get("wall_sec") or 0.0),
+                    json.dumps(detail, sort_keys=True, default=str),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "seq_no int, version int, kind string, batch_id string, "
+            "change_rows long, wall_sec double, detail string",
+        )
+
+    def files(self) -> DataFrame:
+        """The Iceberg ``files`` metadata-table analogue: one row per
+        (bucket, chain position, data path) in the CURRENT manifest,
+        joined with the footer zone maps — ts range (epoch µs) and key
+        range where recorded (NULLs where the fail-open stats are
+        absent). This is what the freshness/key pruning actually
+        consults, exposed for operators to reason about skipping
+        without reading manifests by hand. Metadata-only."""
+        m = self.current_manifest()
+        fs = (m or {}).get("file_stats", {})
+        ks = (m or {}).get("key_stats", {})
+        rows = []
+        for b in sorted((m or {}).get("buckets", {}), key=int):
+            for pos, p in enumerate(self._paths_of(m, b)):
+                t = fs.get(p)
+                k = ks.get(p)
+                rows.append(
+                    (
+                        int(b), pos, p,
+                        int(t[0]) if t else None,
+                        int(t[1]) if t else None,
+                        k[0] if k else None,
+                        k[1] if k else None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, chain_pos int, path string, ts_min_us long, "
+            "ts_max_us long, key_min string, key_max string",
+        )
+
+    def snapshots(self) -> DataFrame:
+        """One row per RETAINED manifest version (time-travel
+        surface): version, committed batch count, bucket/path counts,
+        and the applied event-time frontier where the version's zone
+        maps are complete (NULL otherwise — see ``sinks/align``).
+        Metadata-only; vacuumed versions simply don't appear."""
+        rows = []
+        for v in range(1, self.current_version() + 1):
+            try:
+                m = self.manifest_at(v)
+            except ValueError:
+                continue
+            if not m:
+                continue
+            paths = [p for ps in m["buckets"].values() for p in ps]
+            fs = m.get("file_stats", {})
+            frontier = (
+                max(fs[p][1] for p in paths)
+                if paths and all(p in fs for p in paths)
+                else None
+            )
+            rows.append(
+                (
+                    v,
+                    len(m.get("batch_ids", [])),
+                    len(m["buckets"]),
+                    len(paths),
+                    frontier,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, n_batches int, n_buckets int, n_paths int, "
+            "frontier_us long",
+        )
+
     def table_health(self, compact_threshold: int = 8) -> DataFrame:
         """Per-bucket maintenance health as a queryable DataFrame: one
         row per bucket with the current delta-chain length, live file
