@@ -689,6 +689,64 @@ def _q_cdc_scd2_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+def _q_cdc_published_feed_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once wire publishing (``sinks/publish``): the stream
+    applies in three batches, and after each one ``publish_changes``
+    drains a named cursor into a Debezium JSONL segment on disk. An
+    external consumer then re-ingests EVERY published segment through
+    the wire parser and LWW-folds (seq = the segment's to_version —
+    deterministic: each segment is net-per-key, so ties only occur
+    ACROSS segments and resolve to the later window, matching source
+    semantics). The fold must equal the whole-stream oracle — the
+    published feed loses nothing end-to-end, tombstones included."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sinks.publish import (
+        publish_changes,
+        published_segments,
+    )
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.debezium import parse_debezium_events
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("publish_")
+    out = os.path.join(work, "topic")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cuts = [lo + (i * (hi - lo + 1)) // 3 for i in range(1, 3)]
+    src = ParquetSnapshotSink(
+        spark, os.path.join(work, "s"), num_buckets=8, mode="mor"
+    )
+    preds = [
+        F.col("seq") < cuts[0],
+        (F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1]),
+        F.col("seq") >= cuts[1],
+    ]
+    for i, p in enumerate(preds):
+        apply_events_batch(ev.filter(p), src, f"b{i}")
+        publish_changes(src, "exporter", out, wire="debezium")
+    segs = published_segments(out)
+    assert len(segs) == 3, f"one segment per window, got {len(segs)}"
+    assert publish_changes(src, "exporter", out) is None, "must be caught up"
+    parts = [
+        spark.read.text(os.path.join(out, s["name"])).select(
+            F.lit(int(s["to_version"])).cast("long").alias("seq"),
+            F.col("value").alias("event_json"),
+        )
+        for s in segs
+    ]
+    raw = parts[0]
+    for p in parts[1:]:
+        raw = raw.unionByName(p)
+    parsed = parse_debezium_events(raw)
+    final = lww_agg(parsed, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def _q_cdc_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE surface (``pipeline/stats.column_stats``): per-column
     (n_rows, n_nulls, n_distinct, min, max) over the replayed final
@@ -4053,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_aligned_read": _q_cdc_aligned_read,
         "cdc_table_stats": _q_cdc_table_stats,
         "cdc_scd2_view_incremental": _q_cdc_scd2_view_incremental,
+        "cdc_published_feed_roundtrip": _q_cdc_published_feed_roundtrip,
         "cdc_recent_state_read": _q_cdc_recent_state_read,
         "cdc_banded_compact_recent_read": _q_cdc_banded_compact_recent_read,
         "cdc_merge_into_final_state": _q_cdc_merge_into_final_state,
@@ -4211,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_skipped_lookup": _ORACLE_KEY_LOOKUP,
         "cdc_retention_delete": _ORACLE_RETENTION,
         "cdc_minor_compact_final_state": _ORACLE_CDC_FINAL,
+        "cdc_published_feed_roundtrip": _ORACLE_CDC_FINAL,
         "cdc_feed_cursor_fanout": _ORACLE_FEED_FANOUT,
         "cdc_aligned_read": _ORACLE_ALIGNED_READ,
         "cdc_table_stats": stats.column_stats_sql(

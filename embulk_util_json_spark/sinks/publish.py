@@ -1,0 +1,124 @@
+"""Exactly-once wire-segment publisher — the terminal CDC-OUT piece.
+
+``FeedCursor`` gives a consumer its durable position; the wire
+exporters (``to_native_json`` → ``to_debezium_json`` / maxwell /
+canal) give it standard envelopes. This module composes them into the
+thing an external system actually ingests: a DIRECTORY OF SEGMENTS,
+one per drained window, named by the version window —
+
+    <out_dir>/segment-<from>-<to>/part-*.txt   (JSONL envelopes)
+    <out_dir>/_published.json                  (segment manifest)
+
+Exactly-once without a coordinator, by ordering writes so every crash
+point re-converges:
+
+1. the window's envelopes are written to a ``_tmp-…`` dir (Spark text
+   write — distributed, NO driver collect; a stale tmp from a crash is
+   removed first);
+2. the tmp dir is atomically renamed to its final ``segment-…`` name;
+3. the manifest is rewritten via tmp + ``os.replace``;
+4. the cursor commits.
+
+A crash before (2) leaves garbage that step (1) clears; between (2)
+and (4) the next publish re-polls the SAME window (cursor unmoved),
+recomputes the SAME content — ``read_changes(from, to)`` against a
+PINNED ``to`` version is deterministic because manifests and data
+files are immutable — and overwrite-publishes the same segment name.
+Consumers treat a segment as an unordered set; the envelope ``seq``
+carries event order (the Kafka-partition contract).
+
+Scale: each publish is O(window changes) — the feed read is
+incremental over the manifest log, the text write is distributed, and
+nothing passes through the driver but the segment name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from .feed import FeedCursor
+from .snapshot import ParquetSnapshotSink
+
+
+def _wire_writer(wire: str):
+    if wire == "debezium":
+        from ..sources.debezium import to_debezium_json
+
+        return to_debezium_json
+    if wire == "maxwell":
+        from ..sources.debezium import to_maxwell_json
+
+        return to_maxwell_json
+    if wire == "canal":
+        from ..sources.canal import to_canal_json
+
+        return to_canal_json
+    if wire == "native":
+        return lambda df: df
+    raise ValueError(f"unknown wire format {wire!r}")
+
+
+def publish_changes(
+    sink: ParquetSnapshotSink,
+    cursor_name: str,
+    out_dir: str,
+    wire: str = "debezium",
+) -> dict | None:
+    """Drain the named cursor's next window into one wire segment.
+    Returns ``None`` when caught up, else
+    ``{"segment", "from_version", "to_version"}``. Call in a loop (or
+    per micro-batch) to keep the published feed current."""
+    from ..sources.events import to_native_json
+
+    cur = FeedCursor(sink, cursor_name)
+    got = cur.poll()
+    if got is None:
+        return None
+    changes, window = got
+    lo, hi = window["from_version"], window["to_version"]
+    name = f"segment-{lo:08d}-{hi:08d}"
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp-{lo:08d}-{hi:08d}")
+    final = os.path.join(out_dir, name)
+    for stale in (tmp, final):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)  # crash leftovers / overwrite-republish
+    wire_df = _wire_writer(wire)(to_native_json(changes))
+    wire_df.select("event_json").write.mode("overwrite").text(tmp)
+    os.replace(tmp, final)
+
+    manifest_path = os.path.join(out_dir, "_published.json")
+    manifest = {"segments": [], "wire": wire}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    if name not in [s["name"] for s in manifest["segments"]]:
+        manifest["segments"].append(
+            {"name": name, "from_version": lo, "to_version": hi}
+        )
+        manifest["segments"].sort(key=lambda s: s["to_version"])
+    fd, mtmp = tempfile.mkstemp(dir=out_dir, prefix="._published~")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, manifest_path)
+    finally:
+        if os.path.exists(mtmp):
+            os.unlink(mtmp)
+    cur.commit(window)
+    return {"segment": name, "from_version": lo, "to_version": hi}
+
+
+def published_segments(out_dir: str) -> list[dict]:
+    """The publish manifest's segment list (empty when nothing
+    published yet)."""
+    p = os.path.join(out_dir, "_published.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["segments"]
