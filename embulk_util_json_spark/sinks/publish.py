@@ -122,3 +122,45 @@ def published_segments(out_dir: str) -> list[dict]:
         return []
     with open(p) as f:
         return json.load(f)["segments"]
+
+
+def read_published(spark, out_dir: str, from_version: int = 0):
+    """The consumer side: parsed canonical change rows from every
+    published segment past ``from_version``, with ``seq`` = the
+    segment's ``to_version``. Deterministic fold contract: each
+    segment is net-per-key (read_changes semantics), so same-key rows
+    only recur ACROSS segments and LWW over ``(ts, seq)`` resolves
+    ties to the later window — folding the result with ``lww_agg``
+    (or applying it to another sink with the segment name as batch id)
+    reproduces the source state exactly. Pass a consumer's own
+    committed ``from_version`` to resume mid-topic — the published
+    directory IS a resumable feed."""
+    from pyspark.sql import functions as F
+
+    manifest_path = os.path.join(out_dir, "_published.json")
+    wire = "debezium"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            wire = json.load(f).get("wire", wire)
+    if wire == "debezium":
+        from ..sources.debezium import parse_debezium_events as parse
+    elif wire == "maxwell":
+        from ..sources.debezium import parse_maxwell_events as parse
+    elif wire == "canal":
+        from ..sources.canal import parse_canal_events as parse
+    else:  # native
+        from ..sources.events import parse_change_events as parse
+    segs = [
+        s for s in published_segments(out_dir)
+        if s["to_version"] > from_version
+    ]
+    if not segs:
+        return None
+    raw = None
+    for s in segs:
+        part = spark.read.text(os.path.join(out_dir, s["name"])).select(
+            F.lit(int(s["to_version"])).cast("long").alias("seq"),
+            F.col("value").alias("event_json"),
+        )
+        raw = part if raw is None else raw.unionByName(part)
+    return parse(raw)

@@ -101,3 +101,36 @@ def test_publish_native_and_unknown_wire(spark, tmp_path):
     assert any('"op":"insert"' in l or '"op": "insert"' in l for l in lines)
     with pytest.raises(ValueError, match="unknown wire"):
         publish_changes(src, "exporter2", out, wire="avro")
+
+
+def test_read_published_resumes_and_round_trips(spark, tmp_path):
+    """read_published is the consumer library twin: full read folds to
+    source state; from_version resumes mid-topic; applying segments to
+    a second sink with segment-named batch ids mirrors via the wire."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sinks.publish import read_published
+
+    src = ParquetSnapshotSink(spark, str(tmp_path / "s"), num_buckets=1, mode="mor")
+    out = str(tmp_path / "topic")
+    batches = [
+        [_ev(0, "insert", "a", 1, 1)],
+        [_ev(1, "update", "a", 1, 2, text="v2"), _ev(2, "insert", "b", 1, 2)],
+    ]
+    for i, rows in enumerate(batches):
+        apply_events_batch(_mk(spark, rows), src, f"b{i}")
+        publish_changes(src, "exporter", out)
+    all_changes = read_published(spark, out)
+    folded = lww_agg(all_changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    assert _state(folded.filter(F.col("op") != "delete")) == _state(src.read())
+    # resume past the first segment: only the second window's keys
+    tail = read_published(spark, out, from_version=1)
+    assert {r.conv_id for r in tail.collect()} == {"a", "b"}
+    assert read_published(spark, out, from_version=99) is None
+    # wire-mirror: apply each segment to a second sink, exactly-once
+    dst = ParquetSnapshotSink(spark, str(tmp_path / "d"), num_buckets=1, mode="mor")
+    for s in published_segments(out):
+        seg = read_published(spark, out, from_version=s["to_version"] - 1)
+        seg = seg.filter(F.col("seq") == s["to_version"])
+        dst.apply(seg, s["name"])
+        assert dst.apply(seg, s["name"]).get("skipped")
+    assert _state(dst.read()) == _state(src.read())
