@@ -508,6 +508,7 @@ def stream_directory(
     max_files_per_trigger: int | None = None,
     parse_fn=None,
     view=None,
+    on_batch=None,
 ):
     """Structured Streaming tail of a growing directory of event files.
 
@@ -525,6 +526,14 @@ def stream_directory(
     makes double refreshes no-ops, and a late refresh (base already
     ahead) reads newer source state that a later refresh of the same
     keys confirms (convergence argument: ``pipeline/views.py``).
+
+    ``on_batch`` (``callable(sink, batch_id)``) runs after the apply
+    (and view refresh) of every epoch — the generic post-commit hook:
+    e.g. ``lambda s, bid: publish_changes(s, "bridge", out)`` keeps a
+    wire topic continuously exported. The hook must be idempotent /
+    self-positioned (cursors are): a crash between the apply and the
+    hook means the NEXT epoch's hook sees a wider window, never a
+    lost one.
     """
     reader = spark.readStream.schema(EVENTS_SCHEMA).format(fmt)
     if max_files_per_trigger:
@@ -549,6 +558,8 @@ def stream_directory(
             else:
                 touched = parse_change_events(batch_df)
             view.refresh(touched, f"{batch_id}:view")
+        if on_batch is not None:
+            on_batch(sink, batch_id)
 
     return _start(stream, handle, checkpoint_dir)
 

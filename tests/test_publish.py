@@ -134,3 +134,40 @@ def test_read_published_resumes_and_round_trips(spark, tmp_path):
         dst.apply(seg, s["name"])
         assert dst.apply(seg, s["name"]).get("skipped")
     assert _state(dst.read()) == _state(src.read())
+
+
+def test_streaming_on_batch_publishes_continuously(spark, tmp_path):
+    """stream_directory(on_batch=...) keeps a wire topic exported after
+    every epoch, surviving a checkpoint restart without duplicating or
+    losing a window."""
+    import pyarrow.parquet as pq
+
+    from embulk_util_json_spark.sources.generator import generate_events
+
+    events_table = generate_events(4000, n_convs=40, n_turns=30)
+
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sinks.publish import read_published
+    from embulk_util_json_spark.streaming.runner import stream_directory
+
+    events_dir = tmp_path / "stream_in"
+    events_dir.mkdir()
+    n = events_table.num_rows
+    pq.write_table(events_table.slice(0, n // 2), str(events_dir / "part-0.parquet"))
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=4)
+    out = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    hook = lambda s, bid: publish_changes(s, "bridge", out)  # noqa: E731
+    q = stream_directory(spark, str(events_dir), sink, ckpt, on_batch=hook)
+    q.awaitTermination()
+    n_seg_1 = len(published_segments(out))
+    assert n_seg_1 >= 1
+    pq.write_table(events_table.slice(n // 2), str(events_dir / "part-1.parquet"))
+    q2 = stream_directory(spark, str(events_dir), sink, ckpt, on_batch=hook)
+    q2.awaitTermination()
+    assert len(published_segments(out)) > n_seg_1
+    ch = read_published(spark, out)
+    fold = lww_agg(ch, ["conv_id", "turn_idx"], ["ts", "seq"]).filter(
+        F.col("op") != "delete"
+    )
+    assert _state(fold) == _state(sink.read())
