@@ -124,6 +124,89 @@ def published_segments(out_dir: str) -> list[dict]:
         return json.load(f)["segments"]
 
 
+def compact_published(spark, out_dir: str, keep_last: int = 1) -> dict | None:
+    """Log-compact the published topic (the Kafka-compaction
+    analogue): fold every segment EXCEPT the newest ``keep_last`` into
+    ONE net segment — LWW per key over ``(ts, segment to_version)``,
+    delete winners re-emitted as tombstone envelopes so a from-zero
+    consumer still drops those keys. Old segment dirs are removed
+    AFTER the manifest replace; a crash at any point re-converges
+    (the compacted segment's name and content are pure functions of
+    its input windows, and dirs absent from the manifest are swept on
+    the next run).
+
+    Consumer contract: folding [compacted ∪ tail] equals folding the
+    original segments (LWW is associative), so from-zero consumers and
+    consumers positioned at/after the compacted range's end are
+    unaffected. A consumer positioned INSIDE the compacted range loses
+    per-window granularity — exactly Kafka's compaction trade — so
+    size ``keep_last`` to cover active consumer lag (``feed.cursors``
+    is the dashboard)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lww import lww_agg
+    from ..sources.events import to_native_json
+
+    manifest_path = os.path.join(out_dir, "_published.json")
+    if not os.path.exists(manifest_path):
+        return None
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    segs = manifest["segments"]
+    if len(segs) - keep_last < 2:
+        return None  # nothing worth folding
+    head, tail = segs[: len(segs) - keep_last], segs[len(segs) - keep_last:]
+    lo = head[0]["from_version"]
+    hi = head[-1]["to_version"]
+    parsed = None
+    for s in head:
+        part = spark.read.text(os.path.join(out_dir, s["name"])).select(
+            F.lit(int(s["to_version"])).cast("long").alias("seq"),
+            F.col("value").alias("event_json"),
+        )
+        parsed = part if parsed is None else parsed.unionByName(part)
+    wire = manifest.get("wire", "debezium")
+    if wire == "debezium":
+        from ..sources.debezium import parse_debezium_events as parse
+    elif wire == "maxwell":
+        from ..sources.debezium import parse_maxwell_events as parse
+    elif wire == "canal":
+        from ..sources.canal import parse_canal_events as parse
+    else:
+        from ..sources.events import parse_change_events as parse
+    net = lww_agg(parse(parsed), ["conv_id", "turn_idx"], ["ts", "seq"])
+    name = f"segment-{lo:08d}-{hi:08d}"
+    tmp = os.path.join(out_dir, f"_tmp-{lo:08d}-{hi:08d}")
+    final = os.path.join(out_dir, name)
+    for stale in (tmp, final):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    _wire_writer(wire)(to_native_json(net)).select("event_json").write.mode(
+        "overwrite"
+    ).text(tmp)
+    os.replace(tmp, final)
+    manifest["segments"] = [
+        {"name": name, "from_version": lo, "to_version": hi, "compacted": True}
+    ] + tail
+    fd, mtmp = tempfile.mkstemp(dir=out_dir, prefix="._published~")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, manifest_path)
+    finally:
+        if os.path.exists(mtmp):
+            os.unlink(mtmp)
+    live = {s["name"] for s in manifest["segments"]}
+    removed = 0
+    for d in os.listdir(out_dir):
+        if d.startswith("segment-") and d not in live:
+            shutil.rmtree(os.path.join(out_dir, d))
+            removed += 1
+    return {"segment": name, "folded": len(head), "removed_dirs": removed}
+
+
 def read_published(spark, out_dir: str, from_version: int = 0):
     """The consumer side: parsed canonical change rows from every
     published segment past ``from_version``, with ``seq`` = the

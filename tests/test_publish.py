@@ -171,3 +171,45 @@ def test_streaming_on_batch_publishes_continuously(spark, tmp_path):
         F.col("op") != "delete"
     )
     assert _state(fold) == _state(sink.read())
+
+
+def test_compact_published_folds_and_preserves_consumers(spark, tmp_path):
+    """Topic compaction: old segments fold into one net segment
+    (tombstones preserved), newest windows untouched, consume-from-zero
+    still equals source state, orphan dirs swept."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sinks.publish import (
+        compact_published,
+        read_published,
+    )
+
+    src = ParquetSnapshotSink(spark, str(tmp_path / "s"), num_buckets=1, mode="mor")
+    out = str(tmp_path / "topic")
+    batches = [
+        [_ev(0, "insert", "a", 1, 1), _ev(1, "insert", "b", 1, 1)],
+        [_ev(2, "delete", "b", 1, 2)],
+        [_ev(3, "update", "a", 1, 3, text="v3")],
+        [_ev(4, "insert", "c", 1, 4)],
+    ]
+    for i, rows in enumerate(batches):
+        apply_events_batch(_mk(spark, rows), src, f"b{i}")
+        publish_changes(src, "exporter", out)
+    assert len(published_segments(out)) == 4
+    m = compact_published(spark, out, keep_last=1)
+    assert m["folded"] == 3 and m["removed_dirs"] == 3
+    segs = published_segments(out)
+    assert len(segs) == 2 and segs[0].get("compacted")
+    assert segs[0]["from_version"] == 0 and segs[0]["to_version"] == 3
+    # tombstone for 'b' must survive the fold for from-zero consumers
+    folded_raw = read_published(spark, out)
+    ops = {(r.conv_id, r.op) for r in folded_raw.collect()}
+    assert ("b", "delete") in ops
+    fold = lww_agg(folded_raw, ["conv_id", "turn_idx"], ["ts", "seq"]).filter(
+        F.col("op") != "delete"
+    )
+    assert _state(fold) == _state(src.read()) == [("a", 1, "v3"), ("c", 1, "t4")]
+    # nothing worth folding twice
+    assert compact_published(spark, out, keep_last=1) is None
+    # on-disk dirs match the manifest exactly
+    dirs = {d for d in os.listdir(out) if d.startswith("segment-")}
+    assert dirs == {s["name"] for s in segs}
