@@ -1915,10 +1915,12 @@ def _q_cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = parse_change_events(ev).select(
         "conv_id", F.col("tool").alias("plan"), "op", "ts", "seq"
     )
-    left = ParquetSnapshotSink(spark, os.path.join(work, "l"), num_buckets=8)
+    left = ParquetSnapshotSink(
+        spark, os.path.join(work, "l"), num_buckets=8, mode="mor"
+    )
     right = ParquetSnapshotSink(
         spark, os.path.join(work, "r"), num_buckets=8,
-        keys=["conv_id"], order_cols=["ts", "seq"],
+        keys=["conv_id"], order_cols=["ts", "seq"], mode="mor",
     )
     jv = IncrementalJoinView(
         spark, os.path.join(work, "v"), left, right, ["conv_id"]

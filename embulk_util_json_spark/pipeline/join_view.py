@@ -143,11 +143,16 @@ class IncrementalJoinView:
             return {"skipped": True, "reason": "up-to-date",
                     "at": (from_lv, from_rv)}
 
+        # changed_keys, not read_changes: the affected-key recompute
+        # only needs a SUPERSET of the changed keys (re-deriving an
+        # unchanged key from current state is idempotent), and the
+        # superset feed skips the old-state read + beats comparison —
+        # the dominant cost of an exact net-change feed per refresh.
         dl = (
-            self.left.read_changes(from_lv, to_lv) if to_lv > from_lv else None
+            self.left.changed_keys(from_lv, to_lv) if to_lv > from_lv else None
         )
         dr = (
-            self.right.read_changes(from_rv, to_rv) if to_rv > from_rv else None
+            self.right.changed_keys(from_rv, to_rv) if to_rv > from_rv else None
         )
         parts = []
         lk = self._delta_keys(dl, self.left.keys)
@@ -157,9 +162,16 @@ class IncrementalJoinView:
         if rk is not None:
             # left rows currently pointing at a changed right key: one
             # bucket-pruned probe read of L (on[0] == left.bucket_by),
-            # narrowed to the full on-tuple, projected to the left keys
+            # narrowed to the full on-tuple, projected to the left keys.
+            # pin_probe materializes rk AND collects its bucket set in
+            # ONE job — rk is consumed again by the semi-join inside
+            # the job that materializes `aff`, and each lazy
+            # consumption would re-run the right feed's chain read.
+            rk, rk_buckets = self.left.pin_probe(rk, self.on[0])
             extra = [c for c in self.on if c not in self.left.keys]
-            touched = self.left.read(probe_keys=rk, columns=extra)
+            touched = self.left.read(
+                probe_keys=rk, probe_buckets=rk_buckets, columns=extra
+            )
             if len(self.on) > 1 or extra:
                 touched = touched.join(F.broadcast(rk), self.on, "left_semi")
             parts.append(touched.select(*self.left.keys))
@@ -177,14 +189,49 @@ class IncrementalJoinView:
         aff = parts[0]
         for p in parts[1:]:
             aff = aff.unionByName(p)
-        # pinned once: reused as probe source, semi-join build side and
-        # tombstone anti-join probe — O(delta) rows
-        aff = aff.distinct().localCheckpoint(eager=True)
-
-        cur_l = self.left.read(probe_keys=aff).join(
-            F.broadcast(aff), self.left.keys, "left_semi"
-        )
-        cur_r = self.right.read(probe_keys=cur_l.select(*self.on).distinct())
+        # Each expensive subplan below is pinned exactly once, and
+        # every pin doubles as the NEXT step's bucket collect
+        # (pin_probe): without the pins a single refresh recomputes
+        # the probe-pruned chain merges 3-4× — cur_l's merge re-runs
+        # inside cur_r's probe collect AND inside the apply's write
+        # job, and `joined` is consumed by ups, dels and the write
+        # (measured ~30 Spark jobs/refresh at toy scale; ~10 with the
+        # pins). All pinned frames are O(affected keys), never
+        # O(table). `aff` is reused as probe source, semi-join build
+        # side and tombstone anti-join probe.
+        pinned_cur_l = None
+        if all(c in self.left.keys for c in self.on):
+            # on ⊆ left keys: the affected-key set already carries the
+            # join values, so probe R from pinned `aff` directly — a
+            # SUPERSET of cur_l's on-values (exact: unmatched right
+            # rows drop in the join below), and one fewer
+            # materialization per refresh. Both sides' bucket sets
+            # come out of aff's single pin job.
+            aff, aff_buckets, [r_buckets] = self.left.pin_probe(
+                aff.distinct(), also=[(self.right, self.on[0])]
+            )
+            cur_l = self.left.read(
+                probe_keys=aff, probe_buckets=aff_buckets
+            ).join(F.broadcast(aff), self.left.keys, "left_semi")
+            cur_r = self.right.read(
+                probe_keys=aff.select(*self.on).distinct(),
+                probe_buckets=r_buckets,
+            )
+        else:
+            aff, aff_buckets = self.left.pin_probe(aff.distinct())
+            cur_l = self.left.read(
+                probe_keys=aff, probe_buckets=aff_buckets
+            ).join(F.broadcast(aff), self.left.keys, "left_semi")
+            # on carries left PAYLOAD columns: cur_l must materialize
+            # before its on-values can probe R
+            pinned_cur_l, on_buckets = self.right.pin_probe(
+                cur_l, self.on[0]
+            )
+            cur_l = pinned_cur_l
+            cur_r = self.right.read(
+                probe_keys=cur_l.select(*self.on).distinct(),
+                probe_buckets=on_buckets,
+            )
         cur_r = cur_r.select(
             *self.on,
             *[
@@ -193,19 +240,41 @@ class IncrementalJoinView:
                 if c not in self.on
             ],
         )
-        joined = cur_l.join(cur_r, self.on, self.how)
+        # upserts and tombstones in ONE pass: affected keys LEFT JOIN
+        # the recomputed join rows — a match is the key's new view row,
+        # a miss means the true join no longer has the key (left row
+        # tombstoned / inner partner gone) and becomes a view
+        # tombstone. One consumer of `joined` means the whole refresh
+        # pipeline evaluates lazily inside the apply's single write
+        # job — no extra materialization action for the join.
+        joined = cur_l.join(cur_r, self.on, self.how).withColumn(
+            "_m", F.lit(1)
+        )
         stamp = [
             F.lit(to_lv).cast("long").alias("src_lv"),
             F.lit(to_rv).cast("long").alias("src_rv"),
         ]
-        ups = joined.select("*", F.lit("upsert").alias("op"), *stamp)
-        dels = aff.join(
-            joined.select(*self.left.keys), self.left.keys, "left_anti"
-        ).select(*self.left.keys, F.lit("delete").alias("op"), *stamp)
-        batch = ups.unionByName(dels, allowMissingColumns=True)
-        res = self.view.apply(
-            batch, self._batch_id(from_lv, from_rv, to_lv, to_rv)
+        batch = (
+            aff.join(joined, self.left.keys, "left")
+            .select(
+                "*",
+                F.when(F.col("_m").isNull(), F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("op"),
+                *stamp,
+            )
+            .drop("_m")
         )
+        try:
+            res = self.view.apply(
+                batch, self._batch_id(from_lv, from_rv, to_lv, to_rv)
+            )
+        finally:
+            # the pins are per-refresh scratch; don't let them pile up
+            # in the block manager across a long refresh loop
+            for pinned in (rk, aff, pinned_cur_l):
+                if pinned is not None:
+                    pinned.unpersist()
         return {
             "skipped": bool(res.get("skipped")),
             "window": (from_lv, from_rv, to_lv, to_rv),

@@ -149,6 +149,12 @@ class ParquetSnapshotSink:
         self._manifest_dir = os.path.join(
             root, "_manifests" if branch == "main" else f"_manifests@{branch}"
         )
+        # version -> raw JSON of the committed (immutable) manifest;
+        # see manifest_at for the safety argument
+        self._manifest_cache: dict[int, str] = {}
+        # rel data path -> Spark StructType (immutable paths, see
+        # _path_schema)
+        self._path_schema_cache: dict[str, object] = {}
         os.makedirs(self._manifest_dir, exist_ok=True)
         current = self.current_manifest()
         self.num_buckets = current["num_buckets"] if current else num_buckets
@@ -416,14 +422,37 @@ class ParquetSnapshotSink:
         """Committed manifest for a specific version (time travel —
         manifests are immutable; any past version reconstructs its
         exact table state because data files are never mutated, only
-        superseded, exactly like Iceberg snapshots)."""
+        superseded, exactly like Iceberg snapshots).
+
+        Cached per handle: committed manifests never change content
+        (only vacuum DELETES old ones, and a cached copy of a vacuumed
+        manifest is still the manifest that was committed), so a small
+        LRU avoids re-reading + re-parsing the JSON on every
+        apply/read/feed call — on an object store each miss is a GET,
+        and the incremental-view refresh loop hits the same few
+        versions dozens of times per micro-batch. Staleness is
+        impossible by construction; CURRENCY still comes from
+        ``current_version()``'s listing, which is never cached."""
         if version <= 0:
             return None
         path = self._manifest_path(version)
         if not os.path.exists(path):
+            # checked even on a cache hit: vacuum DELETES expired
+            # manifests, and time travel to an expired version must
+            # keep raising after the delete (content never changes,
+            # but existence does)
+            self._manifest_cache.pop(version, None)
             raise ValueError(f"no committed version {version}")
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return json.loads(cached)
         with open(path) as fh:
-            return json.load(fh)
+            raw = fh.read()
+        m = json.loads(raw)
+        self._manifest_cache[version] = raw
+        while len(self._manifest_cache) > 16:
+            self._manifest_cache.pop(next(iter(self._manifest_cache)))
+        return m
 
     def _commit(self, manifest: dict) -> None:
         """Atomic optimistic publish: write tmp, fsync, then
@@ -436,8 +465,9 @@ class ParquetSnapshotSink:
         misconfigured second writer)."""
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex}"
+        raw = json.dumps(manifest)
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            fh.write(raw)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -449,6 +479,9 @@ class ParquetSnapshotSink:
             ) from None
         finally:
             os.unlink(tmp)
+        # seed the read cache — the very next current_manifest() is
+        # almost always for the version just committed
+        self._manifest_cache[manifest["version"]] = raw
 
     def applied_batch_ids(self) -> list[str]:
         m = self.current_manifest()
@@ -664,10 +697,69 @@ class ParquetSnapshotSink:
             "patch_types": self.patch_types,
         }
 
+    def _path_schema(self, rel_path: str):
+        """Spark schema of one committed data directory, from its
+        parquet footer (driver-side pyarrow read, no Spark job). Data
+        paths are immutable — written once under a fresh versioned
+        directory, only ever deleted — so the per-handle cache never
+        goes stale. All files under one path come from one write, so
+        one footer describes the directory."""
+        sch = self._path_schema_cache.get(rel_path)
+        if sch is not None:
+            return sch
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        d = os.path.join(self.root, rel_path)
+        for base, _dirs, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    sch = from_arrow_schema(
+                        pq.read_schema(os.path.join(base, fn))
+                    )
+                    self._path_schema_cache[rel_path] = sch
+                    return sch
+        raise FileNotFoundError(f"no parquet files under {d}")
+
     def _read_bucket_paths(self, rel_paths: list[str]) -> DataFrame:
+        """Read a set of committed data directories as one frame.
+
+        Schema is merged DRIVER-side from cached footers and passed
+        explicitly: ``mergeSchema=true`` on every chain read costs a
+        distributed footer-scan job per call, and the incremental-view
+        refresh loop issues several chain reads per micro-batch — at
+        toy scale that inference job was the single largest share of
+        the fixed per-refresh floor. Exactness: the sink's own writer
+        keeps column types stable per name (evolution ADDS columns;
+        patch levels align to recorded ``patch_types``), so a union of
+        per-path fields in first-seen order IS the merged schema; any
+        same-name type conflict — foreign files, hand-built fixtures —
+        falls back to Spark's distributed merge (fail-open, exact)."""
+        full = [os.path.join(self.root, p) for p in rel_paths]
+        try:
+            by_name: dict[str, object] = {}
+            order: list[str] = []
+            for p in rel_paths:
+                for f in self._path_schema(p).fields:
+                    prev = by_name.get(f.name)
+                    if prev is None:
+                        by_name[f.name] = f.dataType
+                        order.append(f.name)
+                    elif prev != f.dataType:
+                        raise ValueError(
+                            f"type conflict on {f.name}: {prev} vs {f.dataType}"
+                        )
+            merged = T.StructType(
+                [T.StructField(n, by_name[n], True) for n in order]
+            )
+        except Exception:
+            return (
+                self.spark.read.option("mergeSchema", "true").parquet(*full)
+            )
         return (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.root, p) for p in rel_paths])
+            self.spark.read.schema(merged)
+            .option("mergeSchema", "false")
+            .parquet(*full)
         )
 
     def _patch_conf(self, manifest: dict | None) -> tuple[list[str] | None, dict]:
@@ -851,6 +943,61 @@ class ParquetSnapshotSink:
             .collect()[0].b
         )
 
+    def pin_probe(
+        self,
+        probe: DataFrame,
+        col: str | None = None,
+        also: list[tuple["ParquetSnapshotSink", str]] | None = None,
+    ):
+        """Materialize a probe frame and collect its bucket set in ONE
+        Spark job: returns ``(pinned, (bucket_ids, num_buckets))`` to
+        feed ``read(probe_keys=pinned, probe_buckets=...)``. Without
+        this, a probe-pruned read costs two actions — the caller's
+        checkpoint of the probe plus read()'s own bucket collect — and
+        the incremental-view refresh loop pays that floor three times
+        per micro-batch. ``col`` is the probe column carrying
+        ``bucket_by`` values (default ``bucket_by`` itself). The probe
+        is persisted (it is metadata-small relative to the table: a
+        batch's affected-key set), and the bucket ids are stamped with
+        the bucket count they were hashed under so a concurrent
+        rebucket falls back to an exact recollect inside read().
+
+        ``also`` — extra ``(sink, probe_col)`` pairs whose bucket sets
+        are collected IN THE SAME JOB (the pinned frame will probe
+        several tables, e.g. a join view probing both sides): returns
+        ``(pinned, first_probe_buckets, [probe_buckets_i, ...])``.
+        The aggregation is a ``collect_set`` per sink — one row out,
+        ≤ num_buckets entries each, however large the probe is."""
+        nb = (self.current_manifest() or {}).get(
+            "num_buckets", self.num_buckets
+        )
+        col = col or self.bucket_by
+        pairs = [(self, col, nb)]
+        for s, c in also or []:
+            pairs.append(
+                (
+                    s,
+                    c,
+                    (s.current_manifest() or {}).get(
+                        "num_buckets", s.num_buckets
+                    ),
+                )
+            )
+        pinned = probe.persist()
+        row = pinned.agg(
+            *[
+                F.collect_set(s._bucket_expr(F.col(c), n)).alias(f"b{i}")
+                for i, (s, c, n) in enumerate(pairs)
+            ]
+        ).collect()[0]
+        outs = [
+            (sorted(int(b) for b in row[f"b{i}"]), n)
+            for i, (_s, _c, n) in enumerate(pairs)
+        ]
+        if also is None:
+            return pinned, outs[0]
+        return pinned, outs[0], outs[1:]
+
     def apply_with_retry(
         self, changes: DataFrame, batch_id: str, max_retries: int = 3
     ) -> dict:
@@ -921,7 +1068,12 @@ class ParquetSnapshotSink:
         return self._apply_mow(staged, batch_id, manifest, obs, t0)
 
     def _write_buckets(
-        self, df: DataFrame, out_dir: str, n: int, banded: bool = False
+        self,
+        df: DataFrame,
+        out_dir: str,
+        n: int,
+        banded: bool = False,
+        pre_partitioned: bool = False,
     ) -> None:
         """Shared bucket-partitioned write. Timestamps are forced to
         TIMESTAMP_MICROS for the write (session conf scoped + restored):
@@ -936,15 +1088,37 @@ class ParquetSnapshotSink:
         self.spark.conf.set(key, "TIMESTAMP_MICROS")
         part_cols = [BAND_COL, BUCKET_COL] if banded else [BUCKET_COL]
         try:
+            if not pre_partitioned:
+                # ``pre_partitioned``: the caller already hash-
+                # partitioned by _bucket (the fused reduce+write path —
+                # see _partitioned_reduce), so a second full-data
+                # shuffle here would be pure waste.
+                df = df.repartition(min(n, 256), F.col(BUCKET_COL))
             (
-                df.repartition(min(n, 256), F.col(BUCKET_COL))
-                .sortWithinPartitions(*self.keys)
+                df.sortWithinPartitions(*self.keys)
                 .write.mode("overwrite")
                 .partitionBy(*part_cols)
                 .parquet(out_dir)
             )
         finally:
             self.spark.conf.set(key, prev)
+
+    def _partitioned_reduce(self, df: DataFrame, n: int) -> DataFrame:
+        """Fused shuffle for the apply/compact hot path: hash-
+        partition by ``_bucket`` once, then run THE reduce on top.
+        ``_bucket`` is a member of the grouping keys, so Catalyst
+        reuses the exchange for the aggregation (hashpartitioning on a
+        subset of the grouping keys satisfies its ClusteredDistribution)
+        — ONE shuffle of the data instead of reduce-by-key THEN
+        repartition-by-bucket. The output stays partitioned by bucket,
+        so ``_write_buckets(..., pre_partitioned=True)`` writes it
+        directly. At 10^10-event scale this halves the shuffled bytes
+        of every apply and compaction; plan-asserted in tests (single
+        Exchange)."""
+        return self._reduce(
+            df.repartition(min(n, 256), F.col(BUCKET_COL)),
+            self.keys + [BUCKET_COL],
+        )
 
     @staticmethod
     def _ts_micros(v) -> int:
@@ -960,8 +1134,19 @@ class ParquetSnapshotSink:
             return int(v.timestamp() * 1_000_000)
         raise TypeError(f"not a timestamp: {v!r}")
 
-    def _bucket_stats(
+    def _bucket_footer_info(
         self, out_dir: str, buckets: list[str]
+    ) -> tuple[dict[str, int], dict[str, dict]]:
+        """One footer pass serving both per-bucket lineage row counts
+        and zone-map stats — the apply path needs both, and reading
+        every file's metadata twice doubled the driver-side footer I/O
+        per commit."""
+        counts: dict[str, int] = {}
+        stats = self._bucket_stats(out_dir, buckets, _counts_out=counts)
+        return counts, stats
+
+    def _bucket_stats(
+        self, out_dir: str, buckets: list[str], _counts_out: dict | None = None
     ) -> dict[str, dict]:
         """Per-bucket-path zone maps folded from parquet row-group
         footer statistics, driver-side, no Spark job (the write above
@@ -988,10 +1173,12 @@ class ParquetSnapshotSink:
             d = os.path.join(out_dir, f"{BUCKET_COL}={b}")
             acc: dict[str, list] = {"ts": None, "key": None}
             ok = {"ts": True, "key": True}
+            n_rows = 0
             for fn in os.listdir(d):
                 if not fn.endswith(".parquet"):
                     continue
                 md = pq.read_metadata(os.path.join(d, fn))
+                n_rows += md.num_rows
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
                     st = {"ts": None, "key": None}
@@ -1019,6 +1206,8 @@ class ParquetSnapshotSink:
                         else:
                             acc[which][0] = min(acc[which][0], mn)
                             acc[which][1] = max(acc[which][1], mx)
+            if _counts_out is not None:
+                _counts_out[b] = n_rows
             entry = {
                 which: acc[which]
                 for which in ("ts", "key")
@@ -1130,6 +1319,20 @@ class ParquetSnapshotSink:
         self, staged: DataFrame, batch_id: str, manifest: dict, obs, t0: float
     ) -> dict:
         """Copy-on-write MERGE: rewrite affected buckets fully merged."""
+        # Pin the batch: it is consumed twice (the affected-bucket
+        # collect below, then the merge+write job), and its lineage is
+        # the upstream parse — without the pin every MOW apply parses
+        # the micro-batch twice. Micro-batches are bounded by
+        # definition; unpersisted before return.
+        staged = staged.persist()
+        try:
+            return self._apply_mow_pinned(staged, batch_id, manifest, obs, t0)
+        finally:
+            staged.unpersist()
+
+    def _apply_mow_pinned(
+        self, staged: DataFrame, batch_id: str, manifest: dict, obs, t0: float
+    ) -> dict:
         # Affected buckets: tiny driver-side list (≤ num_buckets).
         affected = sorted(
             r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
@@ -1159,18 +1362,17 @@ class ParquetSnapshotSink:
                 BUCKET_COL, self._bucket_expr()
             )
             merged = staged.unionByName(old, allowMissingColumns=True)
-        merged = self._reduce(merged, self.keys + [BUCKET_COL])
-
         n_affected = len(affected)
-        self._write_buckets(merged, out_dir, n_affected)
+        merged = self._partitioned_reduce(merged, n_affected)
+        self._write_buckets(merged, out_dir, n_affected, pre_partitioned=True)
 
         # Per-bucket lineage from parquet footers (driver-side
-        # metadata read — saves one Spark job per batch).
+        # metadata read — saves one Spark job per batch; one fused
+        # footer pass serves both counts and zone maps).
         written = self._written_buckets(out_dir)
-        bucket_counts = self._bucket_row_counts(out_dir, written)
+        bucket_counts, stats = self._bucket_footer_info(out_dir, written)
         path_stats = {
-            f"{out_rel}/{BUCKET_COL}={b}": s
-            for b, s in self._bucket_stats(out_dir, written).items()
+            f"{out_rel}/{BUCKET_COL}={b}": s for b, s in stats.items()
         }
 
         buckets = dict(manifest["buckets"])
@@ -1203,12 +1405,12 @@ class ParquetSnapshotSink:
         out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
 
-        delta = self._reduce(staged, self.keys + [BUCKET_COL])
-        self._write_buckets(delta, out_dir, self.num_buckets)
+        delta = self._partitioned_reduce(staged, self.num_buckets)
+        self._write_buckets(delta, out_dir, self.num_buckets, pre_partitioned=True)
         present = self._written_buckets(out_dir)
+        bucket_counts, stats = self._bucket_footer_info(out_dir, present)
         path_stats = {
-            f"{out_rel}/{BUCKET_COL}={b}": s
-            for b, s in self._bucket_stats(out_dir, present).items()
+            f"{out_rel}/{BUCKET_COL}={b}": s for b, s in stats.items()
         }
 
         buckets = {b: self._paths_of(manifest, b) for b in manifest["buckets"]}
@@ -1221,7 +1423,7 @@ class ParquetSnapshotSink:
             "change_rows": obs.get["change_rows"],
             "malformed_rows": int(obs.get.get("malformed_rows") or 0),
             "affected_buckets": len(present),
-            "rows_per_bucket": self._bucket_row_counts(out_dir, present),
+            "rows_per_bucket": bucket_counts,
             "chain_depth": max((len(v) for v in buckets.values()), default=0),
             "wall_sec": round(time.time() - t0, 3),
             "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
@@ -1249,6 +1451,7 @@ class ParquetSnapshotSink:
         broadcast_probe: bool = True,
         columns: list[str] | None = None,
         min_ts: object | None = None,
+        probe_buckets: tuple[list[int], int] | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -1370,14 +1573,23 @@ class ParquetSnapshotSink:
             probe = probe_keys.select(self.bucket_by).filter(
                 F.col(self.bucket_by).isNotNull()
             ).distinct()
-            hit = sorted(
-                int(r.b)
-                for r in probe.select(
-                    self._bucket_expr(F.col(self.bucket_by), nb).alias("b")
+            if probe_buckets is not None and probe_buckets[1] == nb:
+                # caller precomputed the probe's bucket set (pin_probe:
+                # one job materializes the probe AND collects its
+                # buckets) — skip this call's collect job. Guarded on
+                # the bucket count it was computed under: a concurrent
+                # rebucket invalidates it and we fall through to the
+                # exact recollect.
+                hit = sorted(int(b) for b in probe_buckets[0])
+            else:
+                hit = sorted(
+                    int(r.b)
+                    for r in probe.select(
+                        self._bucket_expr(F.col(self.bucket_by), nb).alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
             chains = {b: self._paths_of(manifest, str(b)) for b in hit}
             paths = _prune([p for c in chains.values() for p in c])
             if not paths:
@@ -1472,6 +1684,65 @@ class ParquetSnapshotSink:
             df = df.select(*[c for c in out_cols if c in df.columns])
         return df
 
+    def _guard_rollback_window(self, from_version: int, to_version: int) -> None:
+        """Refuse incremental windows that cross a rollback restoring
+        a version OLDER than the consumer's cursor — see read_changes.
+        Shared by every incremental feed (net changes, changed keys):
+        a file-delta plan cannot see keys whose change IS the
+        reversion to old files."""
+        for v in range(from_version + 1, to_version + 1):
+            try:
+                rb = (self.manifest_at(v) or {}).get("rolled_back")
+            except ValueError:
+                continue  # vacuumed intermediate version
+            if rb and from_version > int(rb["to"]):
+                raise ValueError(
+                    f"change feed from v{from_version} crosses a rollback "
+                    f"(v{v} restored v{rb['to']}): the cursor lies inside "
+                    "the rolled-back range — re-sync from "
+                    f"v{rb['to']} or 0"
+                )
+
+    def changed_keys(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Keys POSSIBLY changed between two committed versions: the
+        distinct keys present in data files ADDED in the window. A
+        SUPERSET of ``read_changes``' net-change key set (late-losing
+        replays and rewritten-by-compaction rows included) at a
+        fraction of the cost — no old-state read, no beats comparison,
+        one column-pruned scan of O(new files).
+
+        This is exactly the contract an affected-key recompute
+        consumer needs (``pipeline.join_view``, ``pipeline.scd2_view``
+        probes): re-deriving an unchanged key from current state is
+        idempotent, so a superset costs only the extra recompute,
+        never correctness. Consumers that must retract old
+        contributions (``pipeline.agg_view``) still need the exact
+        preimage feed."""
+        to_version = to_version or self.current_version()
+        if to_version < from_version:
+            raise ValueError("to_version must be >= from_version")
+        to_manifest = self.manifest_at(to_version)
+        if not to_manifest or not to_manifest["buckets"]:
+            return self._empty_state_frame().select(*self.keys)
+        from_manifest = (
+            self.manifest_at(from_version) if from_version > 0 else None
+        )
+        self._guard_rollback_window(from_version, to_version)
+        from_paths = set(self._all_paths(from_manifest)) if from_manifest else set()
+        new_paths = [
+            p for p in self._all_paths(to_manifest) if p not in from_paths
+        ]
+        if not new_paths:
+            return self._typed_empty_from_footer(to_manifest).select(*self.keys)
+        return (
+            self._read_bucket_paths(new_paths)
+            .filter(F.col(self.keys[0]).isNotNull())
+            .select(*self.keys)
+            .distinct()
+        )
+
     def read_changes(
         self,
         from_version: int,
@@ -1531,18 +1802,7 @@ class ParquetSnapshotSink:
         # the restored version (or 0). Metadata-only scan; vacuumed
         # intermediate manifests can't hide a rollback marker because
         # vacuum keeps the CURRENT chain and a rollback IS a commit.
-        for v in range(from_version + 1, to_version + 1):
-            try:
-                rb = (self.manifest_at(v) or {}).get("rolled_back")
-            except ValueError:
-                continue  # vacuumed intermediate version
-            if rb and from_version > int(rb["to"]):
-                raise ValueError(
-                    f"change feed from v{from_version} crosses a rollback "
-                    f"(v{v} restored v{rb['to']}): the cursor lies inside "
-                    "the rolled-back range — re-sync from "
-                    f"v{rb['to']} or 0"
-                )
+        self._guard_rollback_window(from_version, to_version)
         from_paths = set(self._all_paths(from_manifest)) if from_manifest else set()
         new_paths = [
             p for p in self._all_paths(to_manifest) if p not in from_paths
@@ -1763,7 +2023,11 @@ class ParquetSnapshotSink:
         )
         paths = [p for b in target for p in self._paths_of(manifest, b)]
         df = self._read_bucket_paths(paths)
-        df = self._reduce(df, self.keys)
+        # bucket BEFORE the reduce (deterministic function of the key,
+        # so adding it to the grouping keys is a no-op) — the fused
+        # single-shuffle reduce+write path, same as apply
+        df = df.withColumn(BUCKET_COL, self._bucket_expr())
+        df = self._partitioned_reduce(df, self.num_buckets)
         if drop_tombstones:
             is_del = F.col("op") == "delete"
             if tombstone_watermark is not None:
@@ -1772,7 +2036,6 @@ class ParquetSnapshotSink:
                 )
             else:
                 df = df.filter(~is_del)
-        df = df.withColumn(BUCKET_COL, self._bucket_expr())
         version = manifest["version"] + 1
         out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
@@ -1802,9 +2065,13 @@ class ParquetSnapshotSink:
                     F.unix_micros(F.col(ts_col)) >= F.lit(e), 1
                 ).otherwise(0)
             df = df.withColumn(BAND_COL, band)
-            self._write_buckets(df, out_dir, self.num_buckets, banded=True)
+            self._write_buckets(
+                df, out_dir, self.num_buckets, banded=True, pre_partitioned=True
+            )
         else:
-            self._write_buckets(df, out_dir, self.num_buckets)
+            self._write_buckets(
+                df, out_dir, self.num_buckets, pre_partitioned=True
+            )
         # Chain paths + zone maps for what was written (flat layout:
         # one element per bucket; banded: one per (band, bucket)).
         new_chains: dict[str, list[str]] = {}
@@ -2015,12 +2282,12 @@ class ParquetSnapshotSink:
         df = self._read_bucket_paths(
             [p for ps in deltas_of.values() for p in ps]
         )
-        df = self._reduce(df, self.keys)
         df = df.withColumn(BUCKET_COL, self._bucket_expr())
+        df = self._partitioned_reduce(df, self.num_buckets)
         version = manifest["version"] + 1
         out_rel = self._data_rel(version)
         out_dir = os.path.join(self.root, out_rel)
-        self._write_buckets(df, out_dir, self.num_buckets)
+        self._write_buckets(df, out_dir, self.num_buckets, pre_partitioned=True)
         present = self._written_buckets(out_dir)
         stats = self._bucket_stats(out_dir, present)
         buckets = {
@@ -2115,15 +2382,18 @@ class ParquetSnapshotSink:
         self._adopt(manifest)
         t0 = time.time()
         df = self._read_bucket_paths(self._all_paths(manifest))
-        df = self._reduce(df, self.keys)
         old_n = self.num_buckets
         self.num_buckets = int(new_num_buckets)
         try:
+            # hash under the NEW layout before the reduce — the new
+            # bucket is as much a function of the key as the old one,
+            # so the fused single-shuffle path applies here too
             df = df.withColumn(BUCKET_COL, self._bucket_expr())
+            df = self._partitioned_reduce(df, self.num_buckets)
             version = manifest["version"] + 1
             out_rel = self._data_rel(version)
             out_dir = os.path.join(self.root, out_rel)
-            self._write_buckets(df, out_dir, self.num_buckets)
+            self._write_buckets(df, out_dir, self.num_buckets, pre_partitioned=True)
             present = self._written_buckets(out_dir)
             stats = self._bucket_stats(out_dir, present)
             self._commit(
