@@ -88,18 +88,31 @@ class IncrementalScd2View:
             F.col("op").alias("ev_op"),
             "role", "text", "tool", "ts",
         )
-        ids = new.select("conv_id").distinct().localCheckpoint()
-        touched = new.select(*self.keys).distinct().localCheckpoint()
-        if self.sink.current_version() > 0:
-            stored = (
-                self.sink.read(probe_keys=ids)
-                .join(F.broadcast(touched), self.keys, "left_semi")
-                .select(*_EVENT_COLS)
-            )
-            events = stored.unionByName(new)
-        else:
-            events = new
-        events = events.dropDuplicates(["conv_id", "turn_idx", "ev_seq"])
+        # ONE materialization of the batch serves everything below:
+        # pin_probe persists `new` and collects its bucket set in the
+        # same job; ids/touched are lazy projections of the pinned
+        # frame, and the probe-pruned read skips its own bucket
+        # collect. (Two eager checkpoints + a probe collect —
+        # 3 actions, each re-running the batch lineage — before.)
+        new, new_buckets = self.sink.pin_probe(new, "conv_id")
+        try:
+            ids = new.select("conv_id").distinct()
+            touched = new.select(*self.keys).distinct()
+            if self.sink.current_version() > 0:
+                stored = (
+                    self.sink.read(probe_keys=ids, probe_buckets=new_buckets)
+                    .join(F.broadcast(touched), self.keys, "left_semi")
+                    .select(*_EVENT_COLS)
+                )
+                events = stored.unionByName(new)
+            else:
+                events = new
+            events = events.dropDuplicates(["conv_id", "turn_idx", "ev_seq"])
+            return self._apply_versions(events, batch_id)
+        finally:
+            new.unpersist()
+
+    def _apply_versions(self, events: DataFrame, batch_id: str) -> dict:
         versions = scd2_history(
             events,
             self.keys,
