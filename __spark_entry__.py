@@ -2246,6 +2246,47 @@ _ORACLE_CDC_PATCH_FINAL = f"""
 """
 
 
+_ORACLE_PATCH_STATE_TTL = f"""
+    WITH changes0 AS ({_ORACLE_CDC_EVENTS}),
+    changes AS (
+        SELECT seq, op, conv_id, turn_idx, role, text, tool,
+            TIMESTAMP '2025-01-01 00:00:00'
+                + (INTERVAL 1 SECOND) * ((turn_idx % 3) * 3600 + (seq % 3000))
+                AS ts
+        FROM changes0
+    ),
+    patched AS (
+        SELECT seq, op, ts, conv_id, turn_idx,
+            {_ORACLE_PATCH_CASES}
+        FROM changes
+    ),
+    resolved AS (
+        SELECT conv_id, turn_idx,
+            (last_value(CASE WHEN role IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': role}} END IGNORE NULLS) OVER w).v AS role,
+            (last_value(CASE WHEN text IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': text}} END IGNORE NULLS) OVER w).v AS text,
+            (last_value(CASE WHEN tool IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': tool}} END IGNORE NULLS) OVER w).v AS tool,
+            last_value(op) OVER w AS op,
+            last_value(ts) OVER w AS ts,
+            ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+        FROM patched
+        WINDOW w AS (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM resolved WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_patch_final_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage patch merge (``lww_patch_salted``): the
     hot-conversation skew split applied to the COLUMN-level LWW path.
@@ -2374,6 +2415,189 @@ _ORACLE_CDC_PATCH_EVOLUTION = f"""
     SELECT conv_id, turn_idx, role, text, tool, ts
     FROM resolved WHERE rn = 1 AND op <> 'delete'
 """
+
+
+def _q_cdc_patch_state_ttl_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING column-level LWW with event-time state TTL, driven as
+    a real Structured Streaming query (``streaming/patch_state.
+    resolved_patch_state`` → applyInPandasWithState, EventTimeTimeout,
+    availableNow drain into a memory sink) — not a batch emulation.
+
+    Fixture: events are RE-CLOCKED into disjoint per-key-lifetime time
+    regions — ``ts = 2025-01-01 + (turn_idx % 3) hours + (seq % 3000)
+    seconds``, a pure-arithmetic derivation both engines compute — and
+    streamed as one micro-batch file per region, so (a) batches are
+    event-time-ordered (a watermark with 0 delay drops nothing as
+    late) and (b) a key's FULL history lives in one region: once its
+    region's hour passes, the 1800-second TTL EVICTS it from the state
+    store (asserted via the query's state-operator metrics) and it is
+    never patched again, so eviction bounds state without changing
+    output. Final per-key snapshot must equal the one-shot
+    full-history column-level LWW over the re-clocked stream."""
+    import glob
+    import shutil
+
+    from embulk_util_json_spark.sources.events import parse_change_events
+    from embulk_util_json_spark.streaming.patch_state import resolved_patch_state
+
+    work = _scratch("pst_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir)).withColumn(
+        "ts",
+        F.expr(
+            "timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, "
+            "(turn_idx % 3) * 3600 + (seq % 3000))"
+        ),
+    )
+    patched = _patchify(changes)
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = os.path.join(work, f"tmp{i}")
+        patched.filter(F.col("turn_idx") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        # distinct ascending mtimes pin the file->micro-batch order
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(patched.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    resolved = resolved_patch_state(
+        stream,
+        ["role", "text", "tool"],
+        keys=["conv_id", "turn_idx"],
+        order_cols=["ts", "seq"],
+        unchanged_marker=_PATCH_MARKER,
+        state_ttl_sec=1800.0,
+        watermark_delay_sec=0.0,
+    )
+    name = "pst_" + os.path.basename(work).replace("pst_", "")
+    q = (
+        resolved.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    n_keys = patched.select("conv_id", "turn_idx").distinct().count()
+    assert state_rows < n_keys, (
+        f"fixture must exercise TTL eviction: state holds {state_rows} "
+        f"of {n_keys} keys"
+    )
+    snap = spark.table(name)
+    final = (
+        snap.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max_by(
+                F.struct("op", "ts", "role", "text", "tool"),
+                F.struct("ts", "seq"),
+            ).alias("s")
+        )
+        .select("conv_id", "turn_idx", "s.*")
+    )
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_cdc_txn_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-transaction atomicity driven through a REAL Structured
+    Streaming drain: a multiplexed directory stream (row events +
+    commit/abort markers in one feed, demuxed per micro-batch by a
+    ``kind`` column) feeds ``TxnBoundaryApplier`` from inside
+    ``foreachBatch`` with an availableNow trigger — the durable
+    pending/marker stores carry open transactions ACROSS streaming
+    epochs. Markers lag the rows by one file, so batch 0 must hold
+    committed-but-unmarked transactions; the final file delivers the
+    remaining markers and drains them. Aborts (txid % 11 = 5) drop;
+    the last transaction never gets a marker and stays invisible.
+    Final table = LWW over rows of committed transactions only —
+    the same oracle as the batch-mode twin."""
+    import glob
+    import shutil
+
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.txn_boundary import TxnBoundaryApplier
+
+    work = _scratch("txs_")
+    ev = _events_as_cdc_json(spark, sf_dir).withColumn(
+        "txid", F.expr("seq div 64")
+    )
+    hi = int(ev.agg(F.max("seq").alias("m")).collect()[0].m)
+    mx_txid, cut_seq = hi // 64, (hi * 2) // 3
+    cut_txid = cut_seq // 64
+    markers = (
+        ev.select("txid")
+        .distinct()
+        .filter(F.col("txid") < mx_txid)
+        .select(
+            "txid",
+            F.when(F.col("txid") % 11 == 5, F.lit("abort"))
+            .otherwise(F.lit("commit"))
+            .alias("status"),
+        )
+    )
+    rows_part = ev.select(
+        F.lit("row").alias("kind"), "seq", "event_json", "txid",
+        F.lit(None).cast("string").alias("status"),
+    )
+    mk_part = markers.select(
+        F.lit("marker").alias("kind"),
+        F.lit(None).cast("long").alias("seq"),
+        F.lit(None).cast("string").alias("event_json"),
+        "txid", "status",
+    )
+    feed_schema = rows_part.schema
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    files = [
+        rows_part.filter(F.col("seq") < cut_seq).unionByName(
+            mk_part.filter(F.col("txid") <= cut_txid - 3)
+        ),
+        rows_part.filter(F.col("seq") >= cut_seq).unionByName(
+            mk_part.filter(F.col("txid") > cut_txid - 3)
+        ),
+    ]
+    for i, part_df in enumerate(files):
+        tmp = os.path.join(work, f"tmp{i}")
+        part_df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    ap = TxnBoundaryApplier(spark, sink, os.path.join(work, "txn"))
+    seen = {"held": False}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.filter(F.col("kind") == "row").select(
+            "seq", "event_json", "txid"
+        )
+        mks = batch_df.filter(F.col("kind") == "marker").select(
+            "txid", "status"
+        )
+        r = ap.apply(rows, mks)
+        if r.get("held_batch"):
+            seen["held"] = True
+
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen["held"], "fixture must hold committed-but-unmarked txns"
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
 def _q_cdc_patch_promote_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4104,6 +4328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in an earlier round's record. ALL entries stay registered — the
     # local mirror and pytest sweep every one.
     return {
+        # -- round-5 additions (must record) ---------------------------
+        "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
+        "cdc_txn_stream_final": _q_cdc_txn_stream_final,
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_key_skipped_lookup": _q_cdc_key_skipped_lookup,
         "cdc_temporal_enrich": _q_cdc_temporal_enrich,
@@ -4232,6 +4459,8 @@ def oracle_sql() -> dict[str, str]:
     from embulk_util_json_spark.pipeline import disorder, skew, stats
 
     return {
+        "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,
+        "cdc_txn_stream_final": _ORACLE_TXN_BOUNDARY,
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]
