@@ -230,13 +230,24 @@ class ParquetSnapshotSink:
         return os.path.join(self._manifest_dir, f"v{version:08d}.json")
 
     def _data_rel(self, version: int) -> str:
-        """Root-relative data directory for a new commit. Branch
-        writes are namespaced (``data/<branch>~vN``) so two branches
-        committing the same version number never collide; pre-fork
-        dirs (``data/vN``) stay shared by reference."""
+        """Root-relative data directory for a new commit attempt.
+        Branch writes are namespaced (``data/<branch>~vN-…``) so two
+        branches committing the same version number never collide;
+        pre-fork dirs stay shared by reference.
+
+        The random suffix makes the directory unique PER ATTEMPT (the
+        Iceberg unique-filename discipline): two optimistic writers
+        racing the same next version must stage into disjoint
+        directories — with a deterministic name, the commit loser's
+        ``mode("overwrite")`` write would clobber the winner's
+        already-committed files before the loser even reaches the
+        manifest race. The loser's orphaned directory is never
+        referenced and is reclaimed by ``vacuum`` (which walks actual
+        directories against the referenced-path set, not names)."""
+        tag = uuid.uuid4().hex[:8]
         if self.branch == "main":
-            return f"data/v{version:08d}"
-        return f"data/{self.branch}~v{version:08d}"
+            return f"data/v{version:08d}-{tag}"
+        return f"data/{self.branch}~v{version:08d}-{tag}"
 
     # ---- branches (zero-copy snapshot branching) -----------------------
 
@@ -1436,7 +1447,14 @@ class ParquetSnapshotSink:
         # Tombstones are KEPT — replay may still deliver older events.
         deep = [b for b, v in buckets.items() if len(v) > self.compact_every]
         if deep:
-            self.compact(drop_tombstones=False, only_buckets=deep)
+            try:
+                self.compact(drop_tombstones=False, only_buckets=deep)
+            except ConcurrentCommitError:
+                # the batch itself committed above; a competing writer
+                # won the maintenance commit slot — the chain is still
+                # deep, so the NEXT apply re-triggers compaction. Never
+                # surface a maintenance race as an apply failure.
+                pass
         return result
 
     # ---- read ----------------------------------------------------------
