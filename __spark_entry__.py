@@ -2246,6 +2246,74 @@ _ORACLE_CDC_PATCH_FINAL = f"""
 """
 
 
+def _q_cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized payload file-skipping (``read(where=...)`` over
+    declared ``stats_cols`` footer bounds — the Iceberg lower/upper_
+    bounds shape; reference anchor: R2's token-level skip,
+    JsonValueParser.java:176-185, lifted to the storage layer).
+
+    Fixture: a tenant-sharded transcripts table (tenant = user id mod
+    8 = the bucket key) with a ``score`` column whose range is a
+    function of the tenant — the layout where a payload predicate
+    aligns with bucket chains. Three MOR applies build per-bucket
+    delta chains; ``read(where=[("score", "<", 1000)])`` must (a)
+    PROVABLY skip whole chains via the committed manifest bounds
+    (asserted against the skip decision on real stats — chain-level
+    skipping is the exactness boundary for payload predicates under
+    LWW) and (b) hash-match the independent oracle: whole-stream LWW
+    winners WHERE score < 1000."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("wherescan_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    uid = F.substring("conv_id", 2, 18).cast("long")
+    rows = changes.select(
+        F.concat(F.lit("t"), (uid % 8).cast("string")).alias("tenant"),
+        "conv_id", "turn_idx", "role", "text",
+        ((uid % 8) * 1000 + F.col("seq") % 500).cast("long").alias("score"),
+        "ts", "op", "seq",
+    )
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8,
+        keys=["tenant", "conv_id", "turn_idx"], order_cols=["ts", "seq"],
+        mode="mor", stats_cols=["score"],
+    )
+    for i in range(3):
+        sink.apply(rows.filter(F.col("seq") % 3 == i), f"b{i}")
+    m = sink.current_manifest()
+    conjs = sink._where_conjuncts([("score", "<", 1000)])
+    skipped = [
+        b
+        for b in m["buckets"]
+        if sink._where_skips_chain(sink._paths_of(m, b), conjs, m, False)
+    ]
+    assert skipped, "tenant-sharded fixture must prove whole-chain skips"
+    return sink.read(where=[("score", "<", 1000)]).select(
+        "tenant", "conv_id", "turn_idx", "role", "text", "score", "ts"
+    )
+
+
+_ORACLE_STATS_PRUNED = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    t AS (
+        SELECT *,
+            't' || CAST(CAST(SUBSTR(conv_id, 2) AS BIGINT) % 8 AS VARCHAR)
+                AS tenant,
+            CAST((CAST(SUBSTR(conv_id, 2) AS BIGINT) % 8) * 1000
+                 + seq % 500 AS BIGINT) AS score
+        FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM t
+    )
+    SELECT tenant, conv_id, turn_idx, role, text, score, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete' AND score < 1000
+"""
+
+
 _ORACLE_PATCH_STATE_TTL = f"""
     WITH changes0 AS ({_ORACLE_CDC_EVENTS}),
     changes AS (
@@ -4331,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (must record) ---------------------------
         "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
         "cdc_txn_stream_final": _q_cdc_txn_stream_final,
+        "cdc_stats_pruned_scan": _q_cdc_stats_pruned_scan,
         # -- round-4 additions + never-driver-recorded (must record) --
         "cdc_key_skipped_lookup": _q_cdc_key_skipped_lookup,
         "cdc_temporal_enrich": _q_cdc_temporal_enrich,
@@ -4461,6 +4530,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,
         "cdc_txn_stream_final": _ORACLE_TXN_BOUNDARY,
+        "cdc_stats_pruned_scan": _ORACLE_STATS_PRUNED,
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]

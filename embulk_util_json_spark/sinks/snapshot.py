@@ -90,6 +90,7 @@ class ParquetSnapshotSink:
         patch_cols: list[str] | None = None,
         unchanged_marker: str | None = None,
         branch: str = "main",
+        stats_cols: list[str] | None = None,
     ) -> None:
         """``patch_cols`` switches the sink to PATCH MODE: change
         events are partial updates that do not restate every column
@@ -161,6 +162,12 @@ class ParquetSnapshotSink:
         # Patch config is table state, not caller state: once the
         # first manifest commits it, later writers/readers adopt it
         # (merging a patch chain row-level would corrupt the table).
+        # Declared payload stats columns: per-path [min,max] footer
+        # bounds are folded into the manifest at every commit (the
+        # Iceberg lower/upper_bounds shape) and serve read(where=...)
+        # chain skipping. A layout knob like patch config — recorded
+        # on first commit, re-adopted by later handles.
+        self.stats_cols: list[str] = list(stats_cols or [])
         if current is not None and "patch_cols" in current:
             self._adopt(current)
         else:
@@ -181,6 +188,8 @@ class ParquetSnapshotSink:
         chain and silently miss rows."""
         if "num_buckets" in manifest:
             self.num_buckets = int(manifest["num_buckets"])
+        if manifest.get("stats_cols"):
+            self.stats_cols = list(manifest["stats_cols"])
         if "patch_cols" not in manifest:
             return
         self.patch_cols = list(manifest["patch_cols"]) or None
@@ -732,6 +741,86 @@ class ParquetSnapshotSink:
                     return sch
         raise FileNotFoundError(f"no parquet files under {d}")
 
+    _WHERE_OPS = ("=", "<", "<=", ">", ">=")
+
+    def _where_conjuncts(self, where) -> list[tuple[str, str, str, object]]:
+        """Canonicalize ``read(where=...)`` conjuncts to
+        ``(col, op, tag, value)`` — value in the same canonical space
+        ``_bucket_stats`` stores (epoch-µs / native number /
+        code-point string)."""
+        import datetime
+
+        out = []
+        for col, op, val in where:
+            if op not in self._WHERE_OPS:
+                raise ValueError(f"unsupported where op {op!r}")
+            if isinstance(val, bool) or val is None:
+                raise ValueError(f"unsupported where value {val!r}")
+            if isinstance(val, (int, float)):
+                out.append((col, op, "num", val))
+            elif isinstance(val, datetime.datetime):
+                out.append((col, op, "ts", self._ts_micros(val)))
+            elif isinstance(val, str):
+                out.append((col, op, "str", val))
+            else:
+                raise ValueError(f"unsupported where value type: {val!r}")
+        return out
+
+    @staticmethod
+    def _bounds_refute(bounds: list, op: str, val) -> bool:
+        """True iff NO value in [lo, hi] can satisfy ``x <op> val`` —
+        then no non-NULL stored value satisfies the conjunct, and NULLs
+        never satisfy a comparison, so the element carries no
+        satisfying row at all."""
+        lo, hi = bounds
+        if op == "=":
+            return val < lo or val > hi
+        if op == "<":
+            return lo >= val
+        if op == "<=":
+            return lo > val
+        if op == ">":
+            return hi <= val
+        return hi < val  # ">="
+
+    def _where_skips_chain(
+        self,
+        chain: list[str],
+        conjs: list[tuple[str, str, str, object]],
+        manifest: dict,
+        patch: bool,
+    ) -> bool:
+        """Whole-CHAIN skip decision for read(where=...). Element-level
+        skipping is NOT exact for payload predicates under LWW (a
+        pruned element may hold the key's true winner, and an older
+        surviving row could then falsely match) — but dropping an
+        entire bucket chain is:
+
+        - row-level: if EVERY element refutes at least one conjunct,
+          then any key's winning row (it lives in some element) fails
+          that element's refuted conjunct, so the residual filter
+          would drop every key of this bucket anyway;
+        - patch mode (stricter): carry-forward can source each COLUMN
+          of the resolved row from a different element, so the skip
+          needs ONE conjunct refuted by EVERY element — then that
+          column's resolved value, wherever it came from, fails it.
+
+        Unstatted paths/columns refute nothing (fail-open = exact)."""
+        if not chain:
+            return False
+        cs = manifest.get("col_stats", {})
+
+        def refutes(p: str, c) -> bool:
+            col, op, tag, val = c
+            st = cs.get(p, {}).get(col)
+            if not st or st.get("t") != tag:
+                return False
+            return self._bounds_refute(st["b"], op, val)
+
+        if patch:
+            return any(all(refutes(p, c) for p in chain) for c in conjs)
+        return all(any(refutes(p, c) for c in conjs) for p in chain)
+
     def _read_bucket_paths(self, rel_paths: list[str]) -> DataFrame:
         """Read a set of committed data directories as one frame.
 
@@ -1174,16 +1263,42 @@ class ParquetSnapshotSink:
 
         A stat appears only when EVERY row group carries it: missing
         footer statistics yield no entry, and an unstatted path is
-        never pruned (fail-open = exact)."""
+        never pruned (fail-open = exact).
+
+        Declared ``stats_cols`` are folded the same way under
+        ``"cols"`` — per column a typed bound ``{"t": "ts"|"num"|
+        "str", "b": [lo, hi]}`` (timestamps canonicalized to epoch-µs,
+        numbers kept native, strings code-point-ordered = parquet's
+        unsigned-byte order over UTF-8) — the Iceberg lower/upper_
+        bounds shape that backs ``read(where=...)``."""
+        import datetime
+
         import pyarrow.parquet as pq
 
         ts_col = self.order_cols[0]
         key_col = self.bucket_by
+
+        def _stat_val(v):
+            """(tag, canonical value) for a footer stat of any
+            supported type; raises on anything else (fail-open)."""
+            if isinstance(v, bool):
+                raise TypeError("boolean stats not supported")
+            if isinstance(v, (int, float)):
+                return "num", v
+            if isinstance(v, (bytes, str)):
+                return "str", self._key_str(v)
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return "ts", self._ts_micros(v)
+            raise TypeError(f"unsupported stat type: {v!r}")
+
+        watch = {"ts": ts_col, "key": key_col}
+        watch.update({f"c:{c}": c for c in self.stats_cols})
         out: dict[str, dict] = {}
         for b in buckets:
             d = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-            acc: dict[str, list] = {"ts": None, "key": None}
-            ok = {"ts": True, "key": True}
+            acc: dict[str, list] = {w: None for w in watch}
+            tag: dict[str, str] = {}
+            ok = {w: True for w in watch}
             n_rows = 0
             for fn in os.listdir(d):
                 if not fn.endswith(".parquet"):
@@ -1192,38 +1307,51 @@ class ParquetSnapshotSink:
                 n_rows += md.num_rows
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
-                    st = {"ts": None, "key": None}
+                    st = {w: None for w in watch}
                     for j in range(rg.num_columns):
                         c = rg.column(j)
-                        if c.path_in_schema == ts_col:
-                            st["ts"] = c.statistics
-                        elif c.path_in_schema == key_col:
-                            st["key"] = c.statistics
-                    for which, conv in (("ts", self._ts_micros), ("key", None)):
-                        if not ok[which]:
+                        for w, name in watch.items():
+                            if c.path_in_schema == name:
+                                st[w] = c.statistics
+                    for w in watch:
+                        if not ok[w]:
                             continue
-                        s = st[which]
+                        s = st[w]
                         if s is None or not s.has_min_max:
-                            ok[which] = False
+                            ok[w] = False
                             continue
                         try:
-                            mn = conv(s.min) if conv else self._key_str(s.min)
-                            mx = conv(s.max) if conv else self._key_str(s.max)
+                            if w == "ts":
+                                mn, mx = self._ts_micros(s.min), self._ts_micros(s.max)
+                            elif w == "key":
+                                mn, mx = self._key_str(s.min), self._key_str(s.max)
+                            else:
+                                t1, mn = _stat_val(s.min)
+                                t2, mx = _stat_val(s.max)
+                                if t1 != t2 or tag.setdefault(w, t1) != t1:
+                                    raise TypeError("mixed stat types")
                         except (TypeError, UnicodeDecodeError):
-                            ok[which] = False
+                            ok[w] = False
                             continue
-                        if acc[which] is None:
-                            acc[which] = [mn, mx]
+                        if acc[w] is None:
+                            acc[w] = [mn, mx]
                         else:
-                            acc[which][0] = min(acc[which][0], mn)
-                            acc[which][1] = max(acc[which][1], mx)
+                            acc[w][0] = min(acc[w][0], mn)
+                            acc[w][1] = max(acc[w][1], mx)
             if _counts_out is not None:
                 _counts_out[b] = n_rows
             entry = {
-                which: acc[which]
-                for which in ("ts", "key")
-                if ok[which] and acc[which] is not None
+                w: acc[w]
+                for w in ("ts", "key")
+                if ok[w] and acc[w] is not None
             }
+            cols = {
+                watch[w]: {"t": tag[w], "b": acc[w]}
+                for w in watch
+                if w.startswith("c:") and ok[w] and acc[w] is not None
+            }
+            if cols:
+                entry["cols"] = cols
             if entry:
                 out[b] = entry
         return out
@@ -1308,6 +1436,18 @@ class ParquetSnapshotSink:
             }.items()
             if p in referenced
         }
+        col_stats = {
+            p: s
+            for p, s in {
+                **manifest.get("col_stats", {}),
+                **{
+                    p: s["cols"]
+                    for p, s in (path_stats or {}).items()
+                    if s.get("cols")
+                },
+            }.items()
+            if p in referenced
+        }
         self._commit(
             {
                 "version": version,
@@ -1320,8 +1460,10 @@ class ParquetSnapshotSink:
                 "patch_cols": self.patch_cols or [],
                 "unchanged_marker": self.unchanged_marker,
                 "patch_types": self.patch_types,
+                "stats_cols": self.stats_cols,
                 "file_stats": file_stats,
                 "key_stats": key_stats,
+                "col_stats": col_stats,
             }
         )
         return metrics
@@ -1470,6 +1612,7 @@ class ParquetSnapshotSink:
         columns: list[str] | None = None,
         min_ts: object | None = None,
         probe_buckets: tuple[list[int], int] | None = None,
+        where: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -1555,11 +1698,24 @@ class ParquetSnapshotSink:
                 p for p in paths if p not in _zone or _zone[p][1] >= lo_us
             ]
 
+        # read(where=...): conjunctive payload predicates on declared
+        # stats columns. Chain-level skip only (see _where_skips_chain
+        # for the exactness argument); the residual filter below
+        # guarantees exactness regardless of what the skip catches.
+        conjs = self._where_conjuncts(where) if where else None
+
+        def _chain_skipped(chain: list[str]) -> bool:
+            return bool(conjs) and self._where_skips_chain(
+                chain, conjs, manifest, bool(_patch_now)
+            )
+
         if key_eq and self.bucket_by in key_eq:
             probe_val = key_eq[self.bucket_by]
             chain = _prune(self._paths_of(
                 manifest, str(self.bucket_of(probe_val, nb))
             ))
+            if _chain_skipped(chain):
+                chain = []
             # Key-range skipping: within the bucket's chain, drop
             # elements whose footer [min,max] key range provably
             # excludes the probed key — a key updated in 2 of 40
@@ -1608,7 +1764,11 @@ class ParquetSnapshotSink:
                     .distinct()
                     .collect()
                 )
-            chains = {b: self._paths_of(manifest, str(b)) for b in hit}
+            chains = {
+                b: c
+                for b in hit
+                if not _chain_skipped(c := self._paths_of(manifest, str(b)))
+            }
             paths = _prune([p for c in chains.values() for p in c])
             if not paths:
                 # prune miss — same footer-typed fall-through as key_eq
@@ -1622,13 +1782,18 @@ class ParquetSnapshotSink:
                 )
                 depth = max(len(c) for c in chains.values())
         else:
-            kept = _prune(self._all_paths(manifest))
+            kept_chains = [
+                c
+                for b in manifest["buckets"]
+                if not _chain_skipped(c := self._paths_of(manifest, b))
+            ]
+            kept = _prune([p for c in kept_chains for p in c])
             if not kept:
                 df = self._typed_empty_from_footer(manifest)
                 depth = 1
             else:
                 df = self._read_bucket_paths(kept)
-                depth = self._chain_depth(manifest)
+                depth = max((len(c) for c in kept_chains), default=1)
         # Null-key guard: quarantined (malformed) rows are stored as a
         # null-key group rather than pre-filtered before the shuffle
         # (see runner.apply_events_batch); they never surface in reads.
@@ -1652,9 +1817,14 @@ class ParquetSnapshotSink:
                     f"meta columns {meta_req} require include_meta=True "
                     "(they would otherwise be silently dropped)"
                 )
-            kept_patch = [c for c in (conf_patch or []) if c in columns]
+            kept_patch = [
+                c
+                for c in (conf_patch or [])
+                if c in columns or any(w[0] == c for w in conjs or [])
+            ]
             keep = list(dict.fromkeys(
                 [*self.keys, *self.order_cols, "op", *columns]
+                + [w[0] for w in conjs or []]
             ))
             keep += [PATCH_ORD_PREFIX + c for c in kept_patch]
             if EXTRAS_COL in df.columns and any(
@@ -1697,6 +1867,33 @@ class ParquetSnapshotSink:
                 ):
                     df = df.withColumn(name, F.col(EXTRAS_COL)[name])
             df = df.drop(EXTRAS_COL)
+        if conjs:
+            # residual WHERE on the RESOLVED rows — chain skipping is
+            # an optimization, this filter is what defines the result
+            # (and guarantees exactness whatever the skip caught).
+            import datetime as _dt
+
+            for col, op, tag, val in conjs:
+                if col not in df.columns:
+                    raise ValueError(
+                        f"where column {col!r} not in the read frame "
+                        "(project it via columns=..., and declare it in "
+                        "stats_cols for file skipping)"
+                    )
+                if tag == "ts":
+                    val = _dt.datetime.fromtimestamp(
+                        val / 1e6, _dt.timezone.utc
+                    ).replace(tzinfo=None)
+                c = F.col(col)
+                df = df.filter(
+                    {
+                        "=": c == F.lit(val),
+                        "<": c < F.lit(val),
+                        "<=": c <= F.lit(val),
+                        ">": c > F.lit(val),
+                        ">=": c >= F.lit(val),
+                    }[op]
+                )
         if columns is not None and not include_meta:
             out_cols = list(dict.fromkeys([*self.keys, *columns]))
             df = df.select(*[c for c in out_cols if c in df.columns])
