@@ -76,6 +76,28 @@ EMPTY_SCHEMA = T.StructType(
 )
 
 
+def _obs_metrics(obs) -> dict | None:
+    """The Observation's metrics row as a dict, or ``None`` when the
+    row never resolved usably. A plan whose source scan has zero
+    partitions (e.g. a change-feed window holding only config commits,
+    so zero data files) runs its write job with ZERO tasks — the
+    CollectMetrics node never executes and the JVM future resolves to
+    an empty, schema-less row that ``Observation.get`` cannot convert
+    (``toPyRow`` assertion). Probe non-blockingly and never raise;
+    callers fall back to empty-batch semantics (the only way a
+    completed sink action leaves the row unresolved)."""
+    try:
+        # Option[Row]: None ⟹ the metric never resolved — obs.get
+        # would BLOCK forever, so probe first. A resolved-but-
+        # schema-less row makes obs.get raise (py4j toPyRow assert);
+        # the except treats it as unresolved too.
+        if obs._jo.getRowOrEmpty().isEmpty():
+            return None
+        return dict(obs.get)
+    except Exception:
+        return None
+
+
 class ParquetSnapshotSink:
     def __init__(
         self,
@@ -1159,13 +1181,12 @@ class ParquetSnapshotSink:
                     F.flatten(F.collect_set(F.map_keys(F.col(EXTRAS_COL))))
                 ).alias("extra_keys")
             )
-        staged = changes.withColumn(BUCKET_COL, self._bucket_expr()).observe(
-            obs, *metrics_exprs
-        )
-        staged = self._stamp(staged)
+        staged = self._stamp(changes.withColumn(BUCKET_COL, self._bucket_expr()))
         if self.mode == "mor":
-            return self._apply_mor(staged, batch_id, manifest, obs, t0)
-        return self._apply_mow(staged, batch_id, manifest, obs, t0)
+            return self._apply_mor(
+                staged.observe(obs, *metrics_exprs), batch_id, manifest, obs, t0
+            )
+        return self._apply_mow(staged, metrics_exprs, batch_id, manifest, obs, t0)
 
     def _write_buckets(
         self,
@@ -1404,7 +1425,7 @@ class ParquetSnapshotSink:
         )
         extra_fields = set(manifest.get("extra_fields", []))
         if obs is not None:
-            extra_fields |= set(obs.get.get("extra_keys") or [])
+            extra_fields |= set((_obs_metrics(obs) or {}).get("extra_keys") or [])
         # Zone maps: carry forward stats of still-referenced paths,
         # adopt the writer's stats for new paths, drop the rest (a
         # replaced chain's stats would otherwise linger forever).
@@ -1469,7 +1490,13 @@ class ParquetSnapshotSink:
         return metrics
 
     def _apply_mow(
-        self, staged: DataFrame, batch_id: str, manifest: dict, obs, t0: float
+        self,
+        staged: DataFrame,
+        metrics_exprs: list,
+        batch_id: str,
+        manifest: dict,
+        obs,
+        t0: float,
     ) -> dict:
         """Copy-on-write MERGE: rewrite affected buckets fully merged."""
         # Pin the batch: it is consumed twice (the affected-bucket
@@ -1477,18 +1504,39 @@ class ParquetSnapshotSink:
         # the upstream parse — without the pin every MOW apply parses
         # the micro-batch twice. Micro-batches are bounded by
         # definition; unpersisted before return.
+        #
+        # The observe node goes ON TOP of the pinned frame, not under
+        # it: a CollectMetrics node buried inside an InMemoryRelation
+        # resolves only via the cache-build, which is flaky when that
+        # build itself runs nested inside another cache's build (the
+        # demux path persists the parsed batch too) — Spark can hand
+        # back a schema-less metrics row. Above the pin, the node sits
+        # in the write job's executed-plan TREE, the shape every round
+        # has proven exact.
         staged = staged.persist()
         try:
-            return self._apply_mow_pinned(staged, batch_id, manifest, obs, t0)
+            return self._apply_mow_pinned(
+                staged, staged.observe(obs, *metrics_exprs), batch_id,
+                manifest, obs, t0,
+            )
         finally:
             staged.unpersist()
 
     def _apply_mow_pinned(
-        self, staged: DataFrame, batch_id: str, manifest: dict, obs, t0: float
+        self,
+        staged_pinned: DataFrame,
+        staged: DataFrame,
+        batch_id: str,
+        manifest: dict,
+        obs,
+        t0: float,
     ) -> dict:
         # Affected buckets: tiny driver-side list (≤ num_buckets).
+        # Collected off the UNOBSERVED pinned frame so the metrics'
+        # first-action remains the write job below.
         affected = sorted(
-            r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()
+            r[BUCKET_COL]
+            for r in staged_pinned.select(BUCKET_COL).distinct().collect()
         )
         version = manifest["version"] + 1
         if not affected:  # empty batch still commits its batch_id
@@ -1532,15 +1580,19 @@ class ParquetSnapshotSink:
         for b in affected:
             buckets[str(b)] = [f"{out_rel}/{BUCKET_COL}={b}"]
 
+        m = _obs_metrics(obs)
+        # unresolved row ⟹ zero-task plan ⟹ empty batch; the pinned
+        # frame's count (one cache-hit job) is the exact backstop
+        change_rows = int(m["change_rows"]) if m else int(staged_pinned.count())
         metrics = {
             "batch_id": batch_id,
             "version": version,
-            "change_rows": obs.get["change_rows"],
-            "malformed_rows": int(obs.get.get("malformed_rows") or 0),
+            "change_rows": change_rows,
+            "malformed_rows": int((m or {}).get("malformed_rows") or 0),
             "affected_buckets": n_affected,
             "rows_per_bucket": bucket_counts,
             "wall_sec": round(time.time() - t0, 3),
-            "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
+            "events_per_sec": round(change_rows / max(time.time() - t0, 1e-9), 1),
         }
         return self._finish_commit(
             manifest, version, batch_id, buckets, merged.columns, metrics, obs,
@@ -1570,16 +1622,23 @@ class ParquetSnapshotSink:
         for b in present:
             buckets[b] = buckets.get(b, []) + [f"{out_rel}/{BUCKET_COL}={b}"]
 
+        m = _obs_metrics(obs)
+        # unresolved row ⟹ the write ran zero tasks ⟹ empty batch.
+        # Defense in depth: if files WERE written, the delta footer
+        # counts are a (post-reduce) lower bound beating a re-parse.
+        change_rows = (
+            int(m["change_rows"]) if m else sum(bucket_counts.values())
+        )
         metrics = {
             "batch_id": batch_id,
             "version": version,
-            "change_rows": obs.get["change_rows"],
-            "malformed_rows": int(obs.get.get("malformed_rows") or 0),
+            "change_rows": change_rows,
+            "malformed_rows": int((m or {}).get("malformed_rows") or 0),
             "affected_buckets": len(present),
             "rows_per_bucket": bucket_counts,
             "chain_depth": max((len(v) for v in buckets.values()), default=0),
             "wall_sec": round(time.time() - t0, 3),
-            "events_per_sec": round(obs.get["change_rows"] / max(time.time() - t0, 1e-9), 1),
+            "events_per_sec": round(change_rows / max(time.time() - t0, 1e-9), 1),
         }
         result = self._finish_commit(
             manifest, version, batch_id, buckets, delta.columns, metrics, obs,
@@ -3072,7 +3131,7 @@ class ParquetSnapshotSink:
         }
         for b in sorted(present, key=int):
             buckets[b] = [f"{out_rel}/{BUCKET_COL}={b}"]
-        purged = int(obs.get["purged_rows"] or 0)
+        purged = int((_obs_metrics(obs) or {}).get("purged_rows") or 0)
         self._commit(
             {
                 **manifest,

@@ -200,6 +200,26 @@ def replay_quarantine(
     }
 
 
+def _observed_long(obs: Observation, name: str, fallback) -> int:
+    """Read one long metric off an Observation without blocking and
+    without trusting the metrics row's shape. The zero-extra-job
+    pattern resolves the metric during the first apply's write job in
+    the common case, but a degenerate epoch (a table's slice empty, so
+    the first action over the batch is a cache-building collect
+    nested inside another cache's build) can leave the JVM future
+    unresolved — or resolved with a schema-less row that the py4j
+    bridge rejects. Any such miss falls back to ``fallback()`` — here
+    a count over the already-persisted batch: one cache-hit job on a
+    rare path, never a re-parse."""
+    try:
+        # Option[Row] probe — None means obs.get would block forever
+        if obs._jo.getRowOrEmpty().isEmpty():
+            return int(fallback())
+        return int(obs.get[name])
+    except Exception:
+        return int(fallback())
+
+
 def route_tables(
     events: DataFrame,
     sinks: dict[str, ParquetSnapshotSink],
@@ -265,7 +285,9 @@ def route_tables(
             }
             applied_any = any(not r.get("skipped") for r in results.values())
         if applied_any:
-            unrouted = int(obs.get["unrouted"])
+            unrouted = _observed_long(
+                obs, "unrouted", lambda: changes.filter(unrouted_cond).count()
+            )
         else:
             unrouted = changes.filter(unrouted_cond).count()
         return {"tables": results, "unrouted_rows": unrouted}

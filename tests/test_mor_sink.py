@@ -858,3 +858,31 @@ def test_empty_and_prune_miss_reads_carry_real_schema(spark, tmp_path):
     probe = spark.createDataFrame([("no-such-conv",)], "conv_id string")
     pm = sink.read(probe_keys=probe)
     assert pm.count() == 0 and "extra" in pm.columns
+
+
+def test_zero_partition_scan_apply_commits_both_modes(spark, tmp_path):
+    """An apply whose source SCAN has zero partitions (a change-feed
+    window holding only config commits reads zero data files) runs its
+    write job with ZERO tasks, so the CollectMetrics node never
+    executes and the Observation resolves schema-less. The apply must
+    still commit the batch id with change_rows=0 — regression pin for
+    the py4j toPyRow assertion (round-5 fused-shuffle plans expose it
+    deterministically; see _obs_metrics in sinks/snapshot.py)."""
+    schema = (
+        "conv_id string, turn_idx int, ts long, seq long, "
+        "op string, role string, text string, tool string"
+    )
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    feed = spark.read.schema(schema).parquet(empty_src)
+    assert feed.rdd.getNumPartitions() == 0  # the degenerate shape
+    for mode in ("mor", "mow"):
+        sink = ParquetSnapshotSink(
+            spark, str(tmp_path / f"zp_{mode}"), num_buckets=4, mode=mode
+        )
+        r = sink.apply(feed, "b-empty")
+        assert r["change_rows"] == 0, r
+        assert sink.current_version() == 1
+        # exactly-once bookkeeping: the empty batch is remembered
+        assert sink.apply(feed, "b-empty").get("skipped")
+        assert sink.read().count() == 0
