@@ -1331,6 +1331,97 @@ _ORACLE_STATS_PRUNED = f"""
 """
 
 
+def _q_cdc_bloom_skipped_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter equality file skipping (``analyze_blooms`` +
+    ``read(where=[(col,'=',v)])``): the pruning source for
+    HIGH-CARDINALITY SCATTERED columns where min/max bounds refute
+    nothing — every chain element's ``text`` range overlaps every
+    probe (the stream interleaves seq mod 3 into each element), so the
+    ``cdc_stats_pruned_scan`` mechanism is structurally blind here.
+    ``analyze_blooms`` (one Spark job over unbloomed elements,
+    metadata-only commit — apply keeps its 2-job floor) records
+    per-element membership; the point lookup then opens only chains
+    whose bloom admits the value. The query asserts the bloom refuted
+    STRICTLY more chains than bounds alone, then hash-matches the
+    oracle: LWW winners WHERE text equals the winner text of a fixed
+    probe key, both sides deriving the probe via the same subquery.
+    Reference anchor: JsonValueParser.java:176-185 token skipping,
+    lifted to Iceberg-style write-path bloom metadata."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("bloomskip_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        stats_cols=["text"], compact_every=64,
+    )
+    for i in range(3):
+        apply_events_batch(
+            ev.filter(F.col("seq") % 3 == i), sink, f"b{i}"
+        )
+    sink.analyze_blooms()
+
+    # probe = the winner text of conv 'u7' at its smallest live turn
+    # (the oracle derives the same value with a scalar subquery)
+    k = (
+        sink.read(key_eq={"conv_id": "u7"})
+        .orderBy("turn_idx")
+        .select("text")
+        .take(1)
+    )
+    probe = k[0]["text"] if k else "__absent__"
+    where = [("text", "=", probe)]
+
+    m = sink.current_manifest()
+    conjs = sink._where_conjuncts(where)
+    pos = sink._bloom_probe_positions(m, where, conjs)
+
+    def _skipped(bloom_pos):
+        return {
+            b
+            for b in m["buckets"]
+            if sink._where_skips_chain(
+                sink._paths_of(m, b), conjs, m, False, bloom_pos
+            )
+        }
+
+    bounds_only, with_bloom = _skipped(None), _skipped(pos)
+    assert bounds_only <= with_bloom
+    if len(m["buckets"]) > 1 and k:
+        assert len(with_bloom) > len(bounds_only), (
+            f"blooms must refute chains bounds cannot "
+            f"({len(bounds_only)} -> {len(with_bloom)} of {len(m['buckets'])})"
+        )
+    return sink.read(where=where).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_ORACLE_BLOOM_LOOKUP = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM changes
+    ),
+    win AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    ),
+    probe AS (
+        SELECT COALESCE(MAX(text), '__absent__') AS t
+        FROM win
+        WHERE conv_id = 'u7'
+          AND turn_idx = (
+              SELECT MIN(turn_idx) FROM win WHERE conv_id = 'u7'
+          )
+    )
+    SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts
+    FROM win w, probe p WHERE w.text = p.t
+"""
+
+
 def _q_cdc_mirror_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream mirror maintenance: the change stream replays into a
     SOURCE sink in 3 interleaved micro-batches with ``sync_mirror``
@@ -1575,6 +1666,8 @@ __all__ = [
     "_q_cdc_checksum_repair_final_state",
     "_q_cdc_stats_pruned_scan",
     "_ORACLE_STATS_PRUNED",
+    "_q_cdc_bloom_skipped_lookup",
+    "_ORACLE_BLOOM_LOOKUP",
     "_q_cdc_mirror_final_state",
     "_q_cdc_projected_read",
     "_ORACLE_CDC_PROJECTED",

@@ -59,6 +59,7 @@ from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 BUCKET_COL = "_bucket"
 BAND_COL = "_band"  # time-band subdir written by banded compaction
 META_COLS = ["op", "seq"]  # ts doubles as payload and order column
+BLOOM_SEED = 0x9747B28C  # 2nd xxhash64 stream for double-hash blooms
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -505,6 +506,25 @@ class ParquetSnapshotSink:
         Iceberg optimistic-concurrency protocol; the engine's runners
         are single-writer, so a conflict here always means a
         misconfigured second writer)."""
+        # Bound auxiliary per-path metadata: blooms for paths the new
+        # version no longer references are dead weight in every later
+        # manifest (paths are never reused), so drop them here — ONE
+        # place covers every commit site. New paths simply have no
+        # bloom until the next analyze_blooms (fail-open = exact).
+        if manifest.get("blooms"):
+            referenced = {
+                p
+                for b in manifest.get("buckets", {})
+                for p in self._paths_of(manifest, b)
+            }
+            manifest = {
+                **manifest,
+                "blooms": {
+                    p: v
+                    for p, v in manifest["blooms"].items()
+                    if p in referenced
+                },
+            }
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         raw = json.dumps(manifest)
@@ -811,6 +831,7 @@ class ParquetSnapshotSink:
         conjs: list[tuple[str, str, str, object]],
         manifest: dict,
         patch: bool,
+        bloom_pos: dict | None = None,
     ) -> bool:
         """Whole-CHAIN skip decision for read(where=...). Element-level
         skipping is NOT exact for payload predicates under LWW (a
@@ -827,17 +848,46 @@ class ParquetSnapshotSink:
           needs ONE conjunct refuted by EVERY element — then that
           column's resolved value, wherever it came from, fails it.
 
-        Unstatted paths/columns refute nothing (fail-open = exact)."""
+        Unstatted paths/columns refute nothing (fail-open = exact).
+
+        ``bloom_pos`` — probe bit positions for the ``=`` conjuncts,
+        keyed ``(col, m, k, dt)`` (computed once per read in the same
+        JVM hash space the blooms were built in). A bloom with ANY
+        probe position unset proves the element stores NO row with
+        that value (no false negatives: the bloom covered every
+        non-NULL value, and NULL never satisfies ``=``) — a second,
+        independent refutation source for equality predicates that
+        min/max bounds cannot prune (high-cardinality scattered
+        values whose ranges all overlap)."""
         if not chain:
             return False
         cs = manifest.get("col_stats", {})
+        blooms = manifest.get("blooms", {}) if bloom_pos else {}
+        _bitmap_memo: dict[tuple[str, str], bytes] = {}
+
+        def _bloom_refutes(p: str, col: str, op: str) -> bool:
+            if op != "=" or not blooms:
+                return False
+            rec = blooms.get(p, {}).get(col)
+            if not rec:
+                return False
+            pos = bloom_pos.get((col, rec["m"], rec["k"], rec["dt"]))
+            if pos is None:
+                return False
+            bm = _bitmap_memo.get((p, col))
+            if bm is None:
+                import base64
+
+                bm = base64.b64decode(rec["b64"])
+                _bitmap_memo[(p, col)] = bm
+            return any(not (bm[q >> 3] >> (q & 7)) & 1 for q in pos)
 
         def refutes(p: str, c) -> bool:
             col, op, tag, val = c
             st = cs.get(p, {}).get(col)
-            if not st or st.get("t") != tag:
-                return False
-            return self._bounds_refute(st["b"], op, val)
+            if st and st.get("t") == tag and self._bounds_refute(st["b"], op, val):
+                return True
+            return _bloom_refutes(p, col, op)
 
         if patch:
             return any(all(refutes(p, c) for p in chain) for c in conjs)
@@ -1485,6 +1535,7 @@ class ParquetSnapshotSink:
                 "file_stats": file_stats,
                 "key_stats": key_stats,
                 "col_stats": col_stats,
+                "blooms": manifest.get("blooms", {}),
             }
         )
         return metrics
@@ -1762,10 +1813,15 @@ class ParquetSnapshotSink:
         # for the exactness argument); the residual filter below
         # guarantees exactness regardless of what the skip catches.
         conjs = self._where_conjuncts(where) if where else None
+        bloom_pos = (
+            self._bloom_probe_positions(manifest, where, conjs)
+            if conjs
+            else None
+        )
 
         def _chain_skipped(chain: list[str]) -> bool:
             return bool(conjs) and self._where_skips_chain(
-                chain, conjs, manifest, bool(_patch_now)
+                chain, conjs, manifest, bool(_patch_now), bloom_pos
             )
 
         if key_eq and self.bucket_by in key_eq:
@@ -3159,6 +3215,180 @@ class ParquetSnapshotSink:
         return out
 
     # ---- maintenance ----------------------------------------------------
+
+    @staticmethod
+    def _bloom_pos_expr(col_expr, m: int, k: int):
+        """The k bloom bit positions of a value as a JVM array
+        expression — Kirsch-Mitzenmacher double hashing over TWO
+        xxhash64 streams (``h1 + i*h2 mod m``; the second stream keys
+        on an extra literal, Java long overflow wraps identically on
+        build and probe). Shared verbatim by the build job and the
+        probe job, so hash-space agreement is by construction, not by
+        a Python reimplementation of Spark's xxhash64."""
+        # reduce each stream mod m BEFORE combining: (h1 + i·h2) mod m
+        # == (h1 mod m + i·(h2 mod m)) mod m in exact arithmetic, and
+        # the left side overflows int64 under ANSI mode while the
+        # right side stays < (k+1)·m
+        h1 = F.pmod(F.xxhash64(col_expr), F.lit(m))
+        h2 = F.pmod(F.xxhash64(col_expr, F.lit(BLOOM_SEED)), F.lit(m))
+        return F.array(
+            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+        )
+
+    def analyze_blooms(
+        self,
+        columns: list[str] | None = None,
+        bits: int = 8192,
+        hashes: int = 5,
+    ) -> dict:
+        """Build per-chain-element bloom filters for equality file
+        skipping — the maintenance half of ``read(where=...)`` pruning
+        (Iceberg's write-time bloom properties, run as a post-commit
+        ANALYZE so ``apply`` keeps its 2-job floor).
+
+        Min/max ``col_stats`` bounds cannot refute ``col = v`` on
+        high-cardinality scattered columns (every element's range
+        overlaps every probe). A bloom can: membership is recorded at
+        build over every non-NULL value of the element, so an unset
+        probe bit PROVES absence — no false negatives, and a false
+        positive merely fails to prune (the residual filter defines
+        the result either way; same fail-open exactness contract as
+        the bounds).
+
+        One Spark job scans only elements LACKING a bloom for a
+        requested column (elements are immutable, so blooms never go
+        stale; compaction's new elements are simply unbloomed until
+        the next run). The collected state is metadata-sized by
+        construction — ≤ ``bits`` distinct positions per (element,
+        column), packed to ``bits/8`` bytes of base64 in the manifest.
+        Publishing is a metadata-only commit (no data file touched;
+        the version bump carries no new paths, so change-feed windows
+        across it net to zero — the ``rollback``/config-commit shape).
+        """
+        cols = list(columns or self.stats_cols)
+        if not cols:
+            raise ValueError(
+                "analyze_blooms needs columns (or declared stats_cols)"
+            )
+        if bits < 64 or bits % 8:
+            raise ValueError("bits must be a multiple of 8, >= 64")
+        manifest = self.current_manifest()
+        if not manifest or not manifest["buckets"]:
+            return {"skipped": True}
+        self._adopt(manifest)
+        existing = manifest.get("blooms", {})
+        todo: list[tuple[str, list[str]]] = []
+        for b in manifest["buckets"]:
+            for p in self._paths_of(manifest, b):
+                missing = [c for c in cols if c not in existing.get(p, {})]
+                if missing:
+                    todo.append((p, missing))
+        if not todo:
+            return {"skipped": True, "reason": "up-to-date"}
+        t0 = time.time()
+        frames = []
+        dt_of: dict[tuple[str, str], str] = {}
+        for p, missing in todo:
+            try:
+                fields = {f.name: f.dataType for f in self._path_schema(p).fields}
+            except Exception:
+                continue  # unreadable footer: fail-open, no bloom
+            df = None
+            for c in missing:
+                if c not in fields:
+                    continue
+                dt = fields[c].simpleString()
+                dt_of[(p, c)] = dt
+                if df is None:
+                    df = self.spark.read.schema(
+                        self._path_schema(p)
+                    ).parquet(os.path.join(self.root, p))
+                frames.append(
+                    df.filter(F.col(c).isNotNull()).select(
+                        F.lit(p).alias("_p"),
+                        F.lit(c).alias("_c"),
+                        F.explode(
+                            self._bloom_pos_expr(F.col(c), bits, hashes)
+                        ).alias("_q"),
+                    )
+                )
+        if not frames:
+            return {"skipped": True, "reason": "no-readable-columns"}
+        allpos = frames[0]
+        for fr in frames[1:]:
+            allpos = allpos.unionByName(fr)
+        # ONE job; result is metadata-sized (≤ elements × cols × bits)
+        rows = allpos.distinct().collect()
+        import base64
+        from collections import defaultdict
+
+        sets: dict[tuple[str, str], set] = defaultdict(set)
+        for r in rows:
+            sets[(r["_p"], r["_c"])].add(int(r["_q"]))
+        blooms = {p: dict(v) for p, v in existing.items()}
+        # record every SCANNED (element, column) — an all-NULL column
+        # yields zero positions, and its empty bitmap is the correct,
+        # maximally-refuting bloom (no row can satisfy ``=``)
+        for (p, c), dt in dt_of.items():
+            ba = bytearray(bits // 8)
+            for q in sets.get((p, c), ()):
+                ba[q >> 3] |= 1 << (q & 7)
+            blooms.setdefault(p, {})[c] = {
+                "m": bits,
+                "k": hashes,
+                "dt": dt,
+                "b64": base64.b64encode(bytes(ba)).decode(),
+            }
+        new = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("branched_from", "rolled_back")
+        }
+        new.update({"version": manifest["version"] + 1, "blooms": blooms})
+        self._commit(new)
+        self._adopt(new)
+        return {
+            "version": new["version"],
+            "elements_bloomed": len(sets),
+            "bits": bits,
+            "hashes": hashes,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+
+    def _bloom_probe_positions(
+        self, manifest: dict, where, conjs
+    ) -> dict | None:
+        """Probe positions for the read's ``=`` conjuncts under every
+        bloom config present in the manifest — ONE local 1-row job
+        (`spark.range(1)`), so build and probe hash in the same JVM
+        space. Returns ``{(col, m, k, dt): [pos,...]}``; a literal the
+        element dtype cannot represent (CAST → NULL) is dropped
+        (fail-open — a null hash would fabricate refutations)."""
+        blooms = manifest.get("blooms") or {}
+        if not blooms or not conjs:
+            return None
+        raw_eq = {c: v for c, op, v in where if op == "="}
+        configs: set[tuple[str, int, int, str]] = set()
+        for d in blooms.values():
+            for col, rec in d.items():
+                if col in raw_eq:
+                    configs.add((col, rec["m"], rec["k"], rec["dt"]))
+        if not configs:
+            return None
+        keys = sorted(configs)
+        exprs = []
+        for i, (col, m, k, dt) in enumerate(keys):
+            lit = F.lit(raw_eq[col]).cast(dt)
+            exprs.append(
+                F.when(lit.isNotNull(), self._bloom_pos_expr(lit, m, k))
+                .alias(f"a{i}")
+            )
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        return {
+            keys[i]: [int(q) for q in row[f"a{i}"]]
+            for i in range(len(keys))
+            if row[f"a{i}"] is not None
+        }
 
     def vacuum(self, keep_versions: int = 1, protect_cursors: bool = True) -> dict:
         """Expire old snapshots (the Iceberg ``expire_snapshots``
