@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- reference-parity core. Tail = green r3/r4 records, all
         # -- re-verified by the local 118/118 mirror sweep.
         "cdc_bloom_skipped_lookup": _q_cdc_bloom_skipped_lookup,
+        "cdc_view_cascade_incremental": _q_cdc_view_cascade_incremental,
         "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
         "cdc_txn_stream_final": _q_cdc_txn_stream_final,
         "cdc_stats_pruned_scan": _q_cdc_stats_pruned_scan,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_bloom_skipped_lookup": _ORACLE_BLOOM_LOOKUP,
+        "cdc_view_cascade_incremental": _ORACLE_VIEW_CASCADE,
         "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,
         "cdc_txn_stream_final": _ORACLE_TXN_BOUNDARY,
         "cdc_stats_pruned_scan": _ORACLE_STATS_PRUNED,

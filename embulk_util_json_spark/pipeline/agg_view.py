@@ -123,6 +123,17 @@ class IncrementalAggView:
                 {"table_version": to_v, "data": state.get("data")}
             )
             return {"skipped": False, "table_version": to_v, "empty": True}
+        # Align the feed to the sink's CURRENT read schema: a window
+        # that spans versions before a column evolved in (or whose
+        # early batches were tombstone-only and never carried the
+        # payload) yields feed rows missing that column — the measure
+        # and group expressions must still resolve, and NULL is the
+        # exact value those rows hold for it (additive evolution:
+        # old rows read NULL for new columns).
+        cur = self.sink.read()
+        for f in cur.schema.fields:
+            if f.name not in feed.columns:
+                feed = feed.withColumn(f.name, F.lit(None).cast(f.dataType))
         # tombstones contribute nothing on either side of the fold
         alive = feed.filter(F.col(self.op_col) != "delete")
         sign = F.when(F.col("_change") == "postimage", F.lit(1)).otherwise(

@@ -1214,6 +1214,100 @@ _ORACLE_JOIN_VIEW = f"""
 """
 
 
+def _q_cdc_view_cascade_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable incremental views — a CASCADE: the join view's sink
+    is itself a first-class ``ParquetSnapshotSink`` (change feed,
+    preimage/postimage, batch log), so an ``IncrementalAggView`` can
+    maintain a GROUP BY directly off the JOIN view's change feed with
+    no special casing — the materialized-view DAG every warehouse
+    builds (base → enriched → rollup), each level O(its delta), no
+    level ever re-reading a base table. Same interleaved l/r batch
+    schedule as ``cdc_join_view_incremental``, with BOTH levels
+    refreshed after every source apply; the final rollup must equal
+    the one-shot GROUP BY over the one-shot join of the two
+    whole-stream LWW states."""
+    from embulk_util_json_spark.pipeline.agg_view import IncrementalAggView
+    from embulk_util_json_spark.pipeline.join_view import IncrementalJoinView
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+    from embulk_util_json_spark.streaming.runner import apply_events_batch
+
+    work = _scratch("cascade_")
+    ev = _events_as_cdc_json(spark, sf_dir)
+    bounds = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    span = hi - lo + 1
+    prof = parse_change_events(ev).select(
+        "conv_id", F.col("tool").alias("plan"), "op", "ts", "seq"
+    )
+    left = ParquetSnapshotSink(
+        spark, os.path.join(work, "l"), num_buckets=8, mode="mor"
+    )
+    right = ParquetSnapshotSink(
+        spark, os.path.join(work, "r"), num_buckets=8,
+        keys=["conv_id"], order_cols=["ts", "seq"], mode="mor",
+    )
+    jv = IncrementalJoinView(
+        spark, os.path.join(work, "v"), left, right, ["conv_id"]
+    )
+    rollup = IncrementalAggView(
+        spark,
+        os.path.join(work, "mv"),
+        jv.view,  # <- the cascade: view-over-view, same feed contract
+        ["r_plan"],
+        {"n_rows": F.lit(1), "sum_len": F.length("text")},
+    )
+    # right side FIRST: the view's payload schema (r_plan) must exist
+    # before the rollup can group by it — the same ordering contract a
+    # warehouse DAG has (build the dimension before the rollup over it)
+    steps = [
+        ("r", lo, lo + span // 2),
+        ("l", lo, lo + span // 3),
+        ("r", lo + span // 2, hi + 1),
+        ("l", lo + span // 3, lo + (2 * span) // 3),
+        ("l", lo + (2 * span) // 3, hi + 1),
+    ]
+    for i, (side, a, b) in enumerate(steps):
+        cut = (F.col("seq") >= a) & (F.col("seq") < b)
+        if side == "l":
+            apply_events_batch(ev.filter(cut), left, f"b{i}")
+        else:
+            right.apply(prof.filter(cut), f"rb{i}")
+        assert not jv.refresh().get("skipped")
+        assert not rollup.refresh().get("skipped")
+    assert rollup.refresh()["skipped"], "idempotent at the top level"
+    # inner join drops NULL-plan partners; NULL groups would anyway
+    # need DuckDB/Spark GROUP BY NULL-key agreement — filter for a
+    # deterministic cross-engine comparison
+    return rollup.read().filter(F.col("r_plan").isNotNull())
+
+
+_ORACLE_VIEW_CASCADE = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    lf AS (
+        SELECT conv_id, text FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    rf AS (
+        SELECT conv_id, r_plan FROM (
+            SELECT conv_id, tool AS r_plan, op,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY conv_id ORDER BY ts DESC, seq DESC
+                   ) AS rn FROM changes
+        ) WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT r_plan,
+           COUNT(*) AS n_rows,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+    FROM lf JOIN rf USING (conv_id)
+    WHERE r_plan IS NOT NULL
+    GROUP BY r_plan
+"""
+
+
 def _q_cdc_checksum_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum reconciliation (``pipeline/reconcile`` +
     ``sink.restore_buckets``): after a 2-batch replay + compact, one
@@ -1663,6 +1757,8 @@ __all__ = [
     "_q_cdc_merge_into_final_state",
     "_q_cdc_join_view_incremental",
     "_ORACLE_JOIN_VIEW",
+    "_q_cdc_view_cascade_incremental",
+    "_ORACLE_VIEW_CASCADE",
     "_q_cdc_checksum_repair_final_state",
     "_q_cdc_stats_pruned_scan",
     "_ORACLE_STATS_PRUNED",

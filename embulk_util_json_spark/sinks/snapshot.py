@@ -3221,8 +3221,7 @@ class ParquetSnapshotSink:
         """The k bloom bit positions of a value as a JVM array
         expression — Kirsch-Mitzenmacher double hashing over TWO
         xxhash64 streams (``h1 + i*h2 mod m``; the second stream keys
-        on an extra literal, Java long overflow wraps identically on
-        build and probe). Shared verbatim by the build job and the
+        on an extra literal). Shared verbatim by the build job and the
         probe job, so hash-space agreement is by construction, not by
         a Python reimplementation of Spark's xxhash64."""
         # reduce each stream mod m BEFORE combining: (h1 + i·h2) mod m

@@ -123,3 +123,57 @@ def test_preimage_rejected_for_patch_mode(spark, ev_parquet, tmp_path):
     apply_events_batch(ev.filter(F.col("seq") < 100), sink, "b1")
     with pytest.raises(ValueError, match="row-level"):
         sink.read_changes(0, include_preimage=True).count()
+
+
+def test_feed_window_missing_evolved_column_resolves(spark, tmp_path):
+    """A refresh window whose batches do not carry an already-evolved
+    measure column (additive evolution: later writers may omit it)
+    must still resolve and fold exactly: the engine aligns the feed to
+    the sink's CURRENT read schema, and rows without the column
+    contribute NULL -> 0, which is what they hold for it."""
+    import datetime
+
+    rows = [
+        (f"c{i}", 0, "user", f"t{i}", i * 10,
+         datetime.datetime(2025, 1, 1, 0, 0, i), "upsert", i)
+        for i in range(8)
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "score long, ts timestamp, op string, seq long",
+    )
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "ev"), num_buckets=2)
+    mv = IncrementalAggView(
+        spark,
+        str(tmp_path / "mv"),
+        sink,
+        ["conv_id"],
+        {"n": F.lit(1), "score_sum": F.col("score")},
+    )
+    sink.apply(base, "b0")
+    assert not mv.refresh()["skipped"]
+    # batch 2 omits `score` entirely: updates to c0/c1 + a new key
+    nxt = (
+        base.filter(F.col("conv_id") < "c2")
+        .unionByName(base.limit(1).withColumn("conv_id", F.lit("c9")))
+        .drop("score")
+        .withColumn("seq", F.col("seq") + 100)
+        .withColumn("ts", F.col("ts") + F.expr("interval 1 hour"))
+    )
+    sink.apply(nxt, "b1")
+    assert not mv.refresh()["skipped"]
+    got = {r.conv_id: (r.n, r.score_sum) for r in mv.read().collect()}
+    want = {
+        r.conv_id: (r.n, r.score_sum)
+        for r in sink.read()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").cast("long").alias("score_sum"),
+        )
+        .collect()
+    }
+    # fold stores 0 where recompute has NULL (additive identity)
+    norm = lambda d: {k: (n, s or 0) for k, (n, s) in d.items()}
+    assert norm(got) == norm(want)
