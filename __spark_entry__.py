@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
         "cdc_txn_stream_final": _q_cdc_txn_stream_final,
         "cdc_stats_pruned_scan": _q_cdc_stats_pruned_scan,
+        "cdc_type_widening_final_state": _q_cdc_type_widening_final_state,
         "cdc_apply_salted": _q_cdc_apply_salted,
         "quality_topk_unique": _q_quality_topk_unique,
         "events_sessionize": _q_events_sessionize,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,
         "cdc_txn_stream_final": _ORACLE_TXN_BOUNDARY,
         "cdc_stats_pruned_scan": _ORACLE_STATS_PRUNED,
+        "cdc_type_widening_final_state": _ORACLE_TYPE_WIDENING,
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]

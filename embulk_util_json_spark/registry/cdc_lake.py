@@ -1425,6 +1425,69 @@ _ORACLE_STATS_PRUNED = f"""
 """
 
 
+def _q_cdc_type_widening_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING schema evolution (``_merged_footer_schema`` +
+    Spark 4 parquet widening promotions): an upstream ``ALTER COLUMN
+    score int → bigint`` mid-stream. The first feed writes ``score``
+    as INT; the second writes BIGINT values beyond 2^31. The narrow
+    files are never rewritten — the chain read widens them IN PLACE at
+    scan time (lossless: int32 ⊂ int64) — and the final state is the
+    plain LWW oracle computed wide from the start. The query asserts
+    both widths actually coexist on disk (evidence this exercised
+    widening, not a rewrite). Reference anchor: the reference's
+    number promotion knobs (JsonParserDelegate.java) lifted across
+    stored history."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("widen_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    narrow = changes.filter(F.col("seq") % 3 < 2).withColumn(
+        "score", (F.col("seq") % 1000).cast("int")
+    )
+    wide = changes.filter(F.col("seq") % 3 == 2).withColumn(
+        "score", (F.lit(3_000_000_000) + F.col("seq")).cast("long")
+    )
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8,
+        keys=["conv_id", "turn_idx"], order_cols=["ts", "seq"],
+        mode="mor", stats_cols=["score"],
+    )
+    sink.apply(narrow, "b0")
+    sink.apply(wide, "b1")
+    m = sink.current_manifest()
+    widths = {
+        f.dataType.simpleString()
+        for p in sink._all_paths(m)
+        for f in sink._path_schema(p).fields
+        if f.name == "score"
+    }
+    assert widths == {"int", "bigint"}, widths
+    out = sink.read().select(
+        "conv_id", "turn_idx", "role", "text", "score", "ts"
+    )
+    assert dict(out.dtypes)["score"] == "bigint"
+    return out
+
+
+_ORACLE_TYPE_WIDENING = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    t AS (
+        SELECT *,
+            CAST(CASE WHEN seq % 3 = 2 THEN 3000000000 + seq
+                      ELSE seq % 1000 END AS BIGINT) AS score
+        FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM t
+    )
+    SELECT conv_id, turn_idx, role, text, score, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_bloom_skipped_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter equality file skipping (``analyze_blooms`` +
     ``read(where=[(col,'=',v)])``): the pruning source for
@@ -1762,6 +1825,8 @@ __all__ = [
     "_q_cdc_checksum_repair_final_state",
     "_q_cdc_stats_pruned_scan",
     "_ORACLE_STATS_PRUNED",
+    "_q_cdc_type_widening_final_state",
+    "_ORACLE_TYPE_WIDENING",
     "_q_cdc_bloom_skipped_lookup",
     "_ORACLE_BLOOM_LOOKUP",
     "_q_cdc_mirror_final_state",

@@ -65,6 +65,40 @@ BLOOM_SEED = 0x9747B28C  # 2nd xxhash64 stream for double-hash blooms
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this manifest version first."""
 
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _widened_type(a, b):
+    """The wider of two primitive Spark types when ``(a, b)`` is a
+    LOSSLESS widening pair the parquet vectorized reader can apply at
+    scan time (Spark 4's type-widening promotions: narrow files are
+    read directly under the wide schema, no rewrite) — the sink's
+    TYPE-WIDENING schema evolution. ``None`` for anything else:
+    long↔double is NOT lossless (a bigint above 2^53 has no exact
+    double), and non-numeric conflicts are foreign data, so both stay
+    conflicts and fall back to the fail-open distributed merge.
+
+    Reference anchor: the reference's number semantics already promote
+    within a document (int literals that overflow long fall back per
+    FALLBACK knobs, JsonParserDelegate.java option surface); this
+    lifts the same promotion across STORED history — an upstream
+    ALTER COLUMN int→bigint keeps old files readable in place."""
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    ints, fracs = _INT_RANK, ("float", "double")
+    if an in ints and bn in ints:
+        return a if ints[an] >= ints[bn] else b
+    if {an, bn} == {"float", "double"}:
+        return T.DoubleType()
+    # int32-or-narrower × fractional → double (exact: double's 53-bit
+    # mantissa holds every int32 and every float)
+    small = {k for k, r in ints.items() if r <= 2}
+    if (an in small and bn in fracs) or (bn in small and an in fracs):
+        return T.DoubleType()
+    return None
+
 EMPTY_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -253,8 +287,16 @@ class ParquetSnapshotSink:
         for prune misses and metadata-only change windows on a
         non-empty table. Callers run it through the same
         projection/patch-align post-processing as a non-empty read, so
-        the output schema is exactly what a hit would have produced."""
-        return self._read_bucket_paths(self._all_paths(manifest)[:1]).limit(0)
+        the output schema is exactly what a hit would have produced.
+        Merged across ALL chain footers (cached, driver-side, no file
+        listing) so a type-widened table's prune miss carries the WIDE
+        type exactly like a hit; only the foreign-conflict fallback
+        opens a single footer."""
+        paths = self._all_paths(manifest)
+        merged = self._merged_footer_schema(paths)
+        if merged is not None:
+            return self.spark.createDataFrame([], merged)
+        return self._read_bucket_paths(paths[:1]).limit(0)
 
     # ---- manifest log -------------------------------------------------
 
@@ -908,6 +950,27 @@ class ParquetSnapshotSink:
         same-name type conflict — foreign files, hand-built fixtures —
         falls back to Spark's distributed merge (fail-open, exact)."""
         full = [os.path.join(self.root, p) for p in rel_paths]
+        merged = self._merged_footer_schema(rel_paths)
+        if merged is None:
+            return (
+                self.spark.read.option("mergeSchema", "true").parquet(*full)
+            )
+        return (
+            self.spark.read.schema(merged)
+            .option("mergeSchema", "false")
+            .parquet(*full)
+        )
+
+    def _merged_footer_schema(self, rel_paths: list[str]):
+        """Driver-side merged schema of a set of committed data dirs
+        (cached footers, no Spark job), or ``None`` when a same-name
+        type conflict is not a supported widening pair (foreign files —
+        callers fall back to Spark's distributed merge, fail-open).
+        Same-name conflicts between NUMERIC widths resolve to the
+        wider type (``_widened_type``): the sink's type-widening
+        evolution. Exact because the promotion is lossless and the
+        parquet reader applies it at scan time — an int32 file read
+        under the widened bigint schema yields the same values."""
         try:
             by_name: dict[str, object] = {}
             order: list[str] = []
@@ -918,21 +981,17 @@ class ParquetSnapshotSink:
                         by_name[f.name] = f.dataType
                         order.append(f.name)
                     elif prev != f.dataType:
-                        raise ValueError(
-                            f"type conflict on {f.name}: {prev} vs {f.dataType}"
-                        )
-            merged = T.StructType(
+                        wide = _widened_type(prev, f.dataType)
+                        if wide is None:
+                            raise ValueError(
+                                f"type conflict on {f.name}: {prev} vs {f.dataType}"
+                            )
+                        by_name[f.name] = wide
+            return T.StructType(
                 [T.StructField(n, by_name[n], True) for n in order]
             )
         except Exception:
-            return (
-                self.spark.read.option("mergeSchema", "true").parquet(*full)
-            )
-        return (
-            self.spark.read.schema(merged)
-            .option("mergeSchema", "false")
-            .parquet(*full)
-        )
+            return None
 
     def _patch_conf(self, manifest: dict | None) -> tuple[list[str] | None, dict]:
         """(patch_cols, patch_types) for a reduction — the MANIFEST's
