@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_stream_final": _q_cdc_txn_stream_final,
         "cdc_stats_pruned_scan": _q_cdc_stats_pruned_scan,
         "cdc_type_widening_final_state": _q_cdc_type_widening_final_state,
+        "cdc_column_rename_final_state": _q_cdc_column_rename_final_state,
         "cdc_apply_salted": _q_cdc_apply_salted,
         "quality_topk_unique": _q_quality_topk_unique,
         "events_sessionize": _q_events_sessionize,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_txn_stream_final": _ORACLE_TXN_BOUNDARY,
         "cdc_stats_pruned_scan": _ORACLE_STATS_PRUNED,
         "cdc_type_widening_final_state": _ORACLE_TYPE_WIDENING,
+        "cdc_column_rename_final_state": _ORACLE_COLUMN_RENAME,
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]

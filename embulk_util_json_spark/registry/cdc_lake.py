@@ -1488,6 +1488,61 @@ _ORACLE_TYPE_WIDENING = f"""
 """
 
 
+def _q_cdc_column_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME via column mapping (``rename_column``): an
+    upstream ``ALTER TABLE RENAME COLUMN text → body`` mid-stream,
+    applied as a METADATA-ONLY commit — physical names are frozen at
+    first write, so no file is rewritten, the pre-rename feed and the
+    post-rename feed land in the SAME physical column, and the final
+    read surfaces the new logical name. The query asserts every data
+    file on disk (before AND after the rename) still stores the
+    physical name ``text`` — evidence the rename touched metadata
+    only. Oracle: the plain LWW final state with the column aliased
+    from the start. Reference anchor: caller-chosen capture output
+    names (CapturingPointers.java builder) lifted over stored
+    history."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("rename_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    first = changes.filter(F.col("seq") % 3 < 2)
+    second = changes.filter(F.col("seq") % 3 == 2).withColumnRenamed(
+        "text", "body"
+    )
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8,
+        keys=["conv_id", "turn_idx"], order_cols=["ts", "seq"],
+        mode="mor",
+    )
+    sink.apply(first, "b0")
+    sink.rename_column("text", "body")
+    sink.apply(second, "b1")
+    m = sink.current_manifest()
+    physical = {
+        f.name
+        for p in sink._all_paths(m)
+        for f in sink._path_schema(p).fields
+        if f.name in ("text", "body")
+    }
+    assert physical == {"text"}, physical
+    out = sink.read().select("conv_id", "turn_idx", "role", "body", "ts")
+    assert "text" not in out.columns
+    return out
+
+
+_ORACLE_COLUMN_RENAME = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text AS body, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_bloom_skipped_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter equality file skipping (``analyze_blooms`` +
     ``read(where=[(col,'=',v)])``): the pruning source for
@@ -1827,6 +1882,8 @@ __all__ = [
     "_ORACLE_STATS_PRUNED",
     "_q_cdc_type_widening_final_state",
     "_ORACLE_TYPE_WIDENING",
+    "_q_cdc_column_rename_final_state",
+    "_ORACLE_COLUMN_RENAME",
     "_q_cdc_bloom_skipped_lookup",
     "_ORACLE_BLOOM_LOOKUP",
     "_q_cdc_mirror_final_state",

@@ -253,6 +253,43 @@ class ParquetSnapshotSink:
         self.unchanged_marker = manifest.get("unchanged_marker")
         self.patch_types = dict(manifest.get("patch_types", {}))
 
+    # ---- column mapping (rename without rewrite) -----------------------
+
+    @staticmethod
+    def _column_mapping(manifest: dict | None) -> dict:
+        """{logical name: physical name} for every renamed column.
+        Physical names are FROZEN at a column's first write (the
+        Delta column-mapping / Iceberg field-id idea in name form):
+        data files always store physical names, so a rename is a
+        metadata-only commit, files written before and after it agree
+        byte-for-byte, and change feeds spanning the rename stay
+        consistent. Only columns whose logical ≠ physical appear."""
+        return (manifest or {}).get("column_mapping") or {}
+
+    @staticmethod
+    def _to_physical_frame(df: DataFrame, mapping: dict) -> DataFrame:
+        """Logical → physical names at the WRITE boundary (apply)."""
+        for log, phys in mapping.items():
+            if log in df.columns:
+                df = df.withColumnRenamed(log, phys)
+            stamp = PATCH_ORD_PREFIX + log
+            if stamp in df.columns:
+                df = df.withColumnRenamed(stamp, PATCH_ORD_PREFIX + phys)
+        return df
+
+    @staticmethod
+    def _to_logical_frame(df: DataFrame, mapping: dict) -> DataFrame:
+        """Physical → logical names at the READ boundary (read /
+        read_changes). Patch order stamps ride along so a patch-shaped
+        feed keeps its (value, stamp) pairs named consistently."""
+        for log, phys in mapping.items():
+            if phys in df.columns:
+                df = df.withColumnRenamed(phys, log)
+            stamp = PATCH_ORD_PREFIX + phys
+            if stamp in df.columns:
+                df = df.withColumnRenamed(stamp, PATCH_ORD_PREFIX + log)
+        return df
+
     def _empty_state_frame(self) -> DataFrame:
         """Typed empty frame for reads of a table with NO data files
         (prune misses on a non-empty table use a stored footer
@@ -461,11 +498,81 @@ class ParquetSnapshotSink:
             {
                 "version": cur + 1,
                 "rolled_back": {"from": cur, "to": to_version},
+                # explicit (possibly empty) so _commit's fill-if-absent
+                # carry cannot resurrect a mapping committed AFTER the
+                # restore point — a rollback across a rename restores
+                # the old column names too
+                "column_mapping": target.get("column_mapping", {}),
             }
         )
         self._commit(new)
         self._adopt(new)
         return {"version": cur + 1, "restored_version": to_version}
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit — no
+        data file is touched (Delta column-mapping / Iceberg rename
+        semantics). The column's PHYSICAL name stays frozen at what
+        the first write stored; the manifest's ``column_mapping``
+        records {logical: physical}, writes translate logical →
+        physical at ``apply`` entry, reads translate back at exit.
+        So files written before and after the rename are identical in
+        layout, change feeds spanning the rename are consistent, and
+        time travel (``read(at_version=...)``) shows each version
+        under ITS OWN names. Payload columns only: keys, order
+        columns, ``op`` and the bucket key are layout, not labels —
+        renaming them would change the merge itself.
+
+        Reference anchor: the reference renames at the capture layer
+        (a JSON pointer's output column name is caller-chosen,
+        CapturingPointers.java builder); this lifts renaming over
+        STORED history without rewrite."""
+        m = self.current_manifest()
+        if not m or not m.get("buckets"):
+            raise ValueError("rename_column requires a non-empty table")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        mapping = self._column_mapping(m)
+        physical = set(m.get("schema_fields", [])) | set(
+            m.get("extra_fields", [])
+        )
+        phys2log = {p: l for l, p in mapping.items()}
+        logical = {phys2log.get(f, f) for f in physical}
+        protected = (
+            set(self.keys)
+            | set(self.order_cols)
+            | set(META_COLS)
+            | {self.bucket_by, BUCKET_COL}
+        )
+        if old in protected or new in protected:
+            raise ValueError(
+                f"cannot rename {old!r} -> {new!r}: keys, order columns "
+                "and op are merge layout, not labels"
+            )
+        if old not in logical:
+            raise ValueError(f"no such column {old!r}")
+        if new in logical or new in physical:
+            # a physical collision would make the read-side rename
+            # ambiguous (two sources for one output name) — reject
+            raise ValueError(f"column {new!r} already exists")
+        phys = mapping.get(old, old)
+        new_mapping = {l: p for l, p in mapping.items() if l != old}
+        if new != phys:
+            new_mapping[new] = phys
+        version = m["version"] + 1
+        self._commit(
+            {
+                **{
+                    k: v
+                    for k, v in m.items()
+                    if k not in ("branched_from", "rolled_back", "renamed")
+                },
+                "version": version,
+                "column_mapping": new_mapping,
+                "renamed": {"from": old, "to": new},
+            }
+        )
+        return {"version": version, "from": old, "to": new, "physical": phys}
 
     def _foreign_branch_refs(self) -> set[str]:
         """Every data path referenced by ANY manifest of any OTHER
@@ -548,6 +655,16 @@ class ParquetSnapshotSink:
         Iceberg optimistic-concurrency protocol; the engine's runners
         are single-writer, so a conflict here always means a
         misconfigured second writer)."""
+        # Column-mapping carry-forward: commit sites that build fresh
+        # manifest dicts (apply, compact, rebucket, ...) inherit the
+        # predecessor's rename table here — ONE place, fill-if-absent
+        # so sites that DO set it (rename_column, rollback's restore,
+        # branch fork) win. Sound under OCC: a successful link means
+        # the cached current manifest IS this commit's predecessor.
+        if "column_mapping" not in manifest:
+            prev = self.current_manifest()
+            if prev and prev.get("column_mapping"):
+                manifest["column_mapping"] = prev["column_mapping"]
         # Bound auxiliary per-path metadata: blooms for paths the new
         # version no longer references are dead weight in every later
         # manifest (paths are never reused), so drop them here — ONE
@@ -1258,6 +1375,11 @@ class ParquetSnapshotSink:
         self._adopt(manifest)
         if batch_id in manifest["batch_ids"]:
             return {"batch_id": batch_id, "skipped": True, "reason": "already-applied"}
+        mapping = self._column_mapping(manifest)
+        if mapping:
+            # callers speak logical names; storage speaks the frozen
+            # physical ones (rename_column) — translate at the boundary
+            changes = self._to_physical_frame(changes, mapping)
         if self.patch_cols:
             # Record each patch column's type the first time a batch
             # carries it — alignment of later sparse batches / stored
@@ -1848,6 +1970,18 @@ class ParquetSnapshotSink:
             return self._empty_state_frame()
         if at_version is None:
             self._adopt(manifest)
+        # Column mapping: callers pass LOGICAL names (columns=, where=);
+        # everything below — footers, stats, blooms, patch stamps —
+        # lives in frozen PHYSICAL names. Translate the args here and
+        # the output frame at the single return. Time travel uses the
+        # manifest-at-version's own mapping, so each version reads
+        # under the names it was committed with.
+        mapping = self._column_mapping(manifest)
+        if mapping:
+            if columns is not None:
+                columns = [mapping.get(c, c) for c in columns]
+            if where:
+                where = [(mapping.get(w[0], w[0]), *w[1:]) for w in where]
         # From here on, merge under the MANIFEST's patch config: time
         # travel across evolve_patch_cols must reduce the old snapshot
         # under the column set committed at that version.
@@ -2071,7 +2205,7 @@ class ParquetSnapshotSink:
         if columns is not None and not include_meta:
             out_cols = list(dict.fromkeys([*self.keys, *columns]))
             df = df.select(*[c for c in out_cols if c in df.columns])
-        return df
+        return self._to_logical_frame(df, mapping) if mapping else df
 
     def _guard_rollback_window(self, from_version: int, to_version: int) -> None:
         """Refuse incremental windows that cross a rollback restoring
@@ -2133,6 +2267,23 @@ class ParquetSnapshotSink:
         )
 
     def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimage: bool = False,
+    ) -> DataFrame:
+        """Column-mapping boundary for ``_read_changes_impl`` (see its
+        docstring for the feed contract): physical storage names are
+        translated to the ``to`` version's logical names, so a feed
+        window SPANNING a rename is already consistent — physical
+        names are frozen, every file in the window agrees."""
+        out = self._read_changes_impl(from_version, to_version, include_preimage)
+        mapping = self._column_mapping(
+            self.manifest_at(to_version or self.current_version())
+        )
+        return self._to_logical_frame(out, mapping) if mapping else out
+
+    def _read_changes_impl(
         self,
         from_version: int,
         to_version: int | None = None,
@@ -2935,6 +3086,10 @@ class ParquetSnapshotSink:
         Idempotent: already-evolved columns are skipped."""
         manifest = self.current_manifest() or self._empty_manifest()
         self._adopt(manifest)
+        _map = self._column_mapping(manifest)
+        if _map:
+            # patch config lives in physical name space
+            cols = {_map.get(c, c): t for c, t in cols.items()}
         have = list(self.patch_cols or [])
         new = {c: t for c, t in cols.items() if c not in have}
         if not new:
@@ -3218,11 +3373,20 @@ class ParquetSnapshotSink:
 
         paths = [p for b in target for p in self._paths_of(manifest, b)]
         obs = Observation(f"purge-{uuid.uuid4().hex[:8]}")
-        df = self._read_bucket_paths(paths).observe(
+        mapping = self._column_mapping(manifest)
+        df = self._read_bucket_paths(paths)
+        if mapping:
+            # the caller's predicate speaks logical names — evaluate it
+            # on a logically-named view, translate back before the
+            # (physical-name) reduce and rewrite
+            df = self._to_logical_frame(df, mapping)
+        df = df.observe(
             obs,
             F.sum(F.when(pred, 1).otherwise(0)).alias("purged_rows"),
         )
         kept = df.filter(~F.coalesce(pred, F.lit(False)))
+        if mapping:
+            kept = self._to_physical_frame(kept, mapping)
         # collapse to one level per bucket (tombstones preserved), so
         # the rewritten chain stays read-correct at depth 1
         kept = self._reduce(kept, self.keys).withColumn(

@@ -52,6 +52,11 @@ def bench(cpus: int) -> dict:
         "BENCH_EVENTS": str(N_EVENTS),
         "BENCH_QUERIES": "__replay_only__",  # matches nothing -> skip query loop
         "BENCH_REPLAY_RUNS": "3",
+        # keep the real per-query sidecar (BENCH/queries_latest.json)
+        # intact — a replay-only scaling leg has no query timings
+        "BENCH_QUERIES_FILE": os.path.join(
+            "/tmp", f"scaling_queries_{cpus}.json"
+        ),
     }
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
