@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats_pruned_scan": _q_cdc_stats_pruned_scan,
         "cdc_type_widening_final_state": _q_cdc_type_widening_final_state,
         "cdc_column_rename_final_state": _q_cdc_column_rename_final_state,
+        "cdc_add_column_default_final_state": _q_cdc_add_column_default_final_state,
+        "cdc_drop_column_final_state": _q_cdc_drop_column_final_state,
         "cdc_apply_salted": _q_cdc_apply_salted,
         "quality_topk_unique": _q_quality_topk_unique,
         "events_sessionize": _q_events_sessionize,
@@ -199,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stats_pruned_scan": _ORACLE_STATS_PRUNED,
         "cdc_type_widening_final_state": _ORACLE_TYPE_WIDENING,
         "cdc_column_rename_final_state": _ORACLE_COLUMN_RENAME,
+        "cdc_add_column_default_final_state": _ORACLE_ADD_COLUMN_DEFAULT,
+        "cdc_drop_column_final_state": _ORACLE_DROP_COLUMN,
         "cdc_apply_final_state": _ORACLE_CDC_FINAL,
         "cdc_scd2_history": history.scd2_history_sql(
             _ORACLE_CDC_EVENTS, ["conv_id", "turn_idx"], ["role", "text", "tool"]

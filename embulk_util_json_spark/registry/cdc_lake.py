@@ -1543,6 +1543,123 @@ _ORACLE_COLUMN_RENAME = f"""
 """
 
 
+def _q_cdc_add_column_default_final_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE ADD COLUMN ... DEFAULT as a METADATA-ONLY commit
+    (``add_column``): an upstream ``ADD COLUMN score BIGINT DEFAULT 7``
+    mid-stream. Files written before the ADD physically lack the
+    column — absence in the file IS the encoding — and read as the
+    default (Iceberg initial-default / SQL existence-default
+    semantics); files written after keep stored values. No file is
+    rewritten: the query asserts every pre-ADD data file still lacks
+    the physical column. Oracle: LWW winners with
+    ``COALESCE(stored, 7)`` — winners that predate the ADD read 7.
+    Reference anchor: capture-spec promotion adds output columns
+    declaratively (CapturingPointers.java builder); this lifts ADD
+    over stored history."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("addcol_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    first = changes.filter(F.col("seq") % 3 < 2)
+    second = changes.filter(F.col("seq") % 3 == 2).withColumn(
+        "score", (F.col("seq") % 1000).cast("long")
+    )
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8,
+        keys=["conv_id", "turn_idx"], order_cols=["ts", "seq"],
+        mode="mor",
+    )
+    sink.apply(first, "b0")
+    pre_paths = set(sink._all_paths(sink.current_manifest()))
+    sink.add_column("score", "bigint", default=7)
+    sink.apply(second, "b1")
+    # metadata-only: the ADD rewrote nothing, pre-ADD footers lack it
+    assert all(
+        "score" not in {f.name for f in sink._path_schema(p).fields}
+        for p in pre_paths
+    )
+    out = sink.read().select(
+        "conv_id", "turn_idx", "role", "text", "score", "ts"
+    )
+    assert dict(out.dtypes)["score"] == "bigint"
+    return out
+
+
+_ORACLE_ADD_COLUMN_DEFAULT = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    t AS (
+        SELECT *,
+            CASE WHEN seq % 3 = 2 THEN CAST(seq % 1000 AS BIGINT) END
+                AS score
+        FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM t
+    )
+    SELECT conv_id, turn_idx, role, text,
+           COALESCE(score, CAST(7 AS BIGINT)) AS score, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_drop_column_final_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit
+    (``drop_column``): an upstream ``DROP COLUMN tool`` mid-stream.
+    No file is rewritten — the physical column stays in pre-drop
+    files (asserted) but is hidden from every read and feed; later
+    batches still carrying it are refused (pytest-pinned), so the
+    post-drop feed arrives without it. Oracle: the plain LWW final
+    state minus the column. A re-add would get a FRESH physical name
+    via the column mapping, so the retired bytes can never resurface
+    (pytest-pinned in test_alter_schema). Reference anchor: the
+    capture spec selects which pointers surface as columns
+    (CapturingPointers.java); this lifts de-selection over stored
+    history."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("dropcol_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    first = changes.filter(F.col("seq") % 3 < 2)
+    second = changes.filter(F.col("seq") % 3 == 2).drop("tool")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8,
+        keys=["conv_id", "turn_idx"], order_cols=["ts", "seq"],
+        mode="mor",
+    )
+    sink.apply(first, "b0")
+    sink.drop_column("tool")
+    sink.apply(second, "b1")
+    # metadata-only: pre-drop files still physically carry the column
+    m = sink.current_manifest()
+    assert any(
+        "tool" in {f.name for f in sink._path_schema(p).fields}
+        for p in sink._all_paths(m)
+    )
+    out = sink.read()
+    assert "tool" not in out.columns
+    return out.select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+_ORACLE_DROP_COLUMN = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_bloom_skipped_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter equality file skipping (``analyze_blooms`` +
     ``read(where=[(col,'=',v)])``): the pruning source for
@@ -1884,6 +2001,10 @@ __all__ = [
     "_ORACLE_TYPE_WIDENING",
     "_q_cdc_column_rename_final_state",
     "_ORACLE_COLUMN_RENAME",
+    "_q_cdc_add_column_default_final_state",
+    "_ORACLE_ADD_COLUMN_DEFAULT",
+    "_q_cdc_drop_column_final_state",
+    "_ORACLE_DROP_COLUMN",
     "_q_cdc_bloom_skipped_lookup",
     "_ORACLE_BLOOM_LOOKUP",
     "_q_cdc_mirror_final_state",

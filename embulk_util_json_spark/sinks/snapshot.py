@@ -225,6 +225,16 @@ class ParquetSnapshotSink:
         # chain skipping. A layout knob like patch config — recorded
         # on first commit, re-adopted by later handles.
         self.stats_cols: list[str] = list(stats_cols or [])
+        # ALTER TABLE config (metadata-only; _adopt refreshes): columns
+        # logically dropped (physical names — hidden on read, shed on
+        # rewrite) and existence defaults {physical: {"t","v"}} — files
+        # written before an ADD COLUMN ... DEFAULT lack the column and
+        # read as the default; files written after keep stored values.
+        self.dropped_cols: set[str] = set()
+        self.column_defaults: dict[str, dict] = {}
+        if current is not None:
+            self.dropped_cols = set(current.get("dropped_columns", []))
+            self.column_defaults = dict(current.get("column_defaults", {}))
         if current is not None and "patch_cols" in current:
             self._adopt(current)
         else:
@@ -247,6 +257,8 @@ class ParquetSnapshotSink:
             self.num_buckets = int(manifest["num_buckets"])
         if manifest.get("stats_cols"):
             self.stats_cols = list(manifest["stats_cols"])
+        self.dropped_cols = set(manifest.get("dropped_columns", []))
+        self.column_defaults = dict(manifest.get("column_defaults", {}))
         if "patch_cols" not in manifest:
             return
         self.patch_cols = list(manifest["patch_cols"]) or None
@@ -331,9 +343,19 @@ class ParquetSnapshotSink:
         opens a single footer."""
         paths = self._all_paths(manifest)
         merged = self._merged_footer_schema(paths)
-        if merged is not None:
-            return self.spark.createDataFrame([], merged)
-        return self._read_bucket_paths(paths[:1]).limit(0)
+        if merged is None:
+            # fallback covers drop/default shaping itself
+            return self._read_bucket_paths(
+                paths[:1], conf_manifest=manifest
+            ).limit(0)
+        df = self.spark.createDataFrame([], merged)
+        # same ALTER TABLE shaping as a non-empty read: defaulted
+        # columns present (typed), dropped columns hidden
+        for c, d in manifest.get("column_defaults", {}).items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(d["v"]).cast(d["t"]))
+        dropped = manifest.get("dropped_columns")
+        return df.drop(*dropped) if dropped else df
 
     # ---- manifest log -------------------------------------------------
 
@@ -499,10 +521,13 @@ class ParquetSnapshotSink:
                 "version": cur + 1,
                 "rolled_back": {"from": cur, "to": to_version},
                 # explicit (possibly empty) so _commit's fill-if-absent
-                # carry cannot resurrect a mapping committed AFTER the
-                # restore point — a rollback across a rename restores
-                # the old column names too
+                # carry cannot resurrect ALTER TABLE state committed
+                # AFTER the restore point — a rollback across a rename
+                # restores the old names, across a drop restores the
+                # column, across an add removes it again
                 "column_mapping": target.get("column_mapping", {}),
+                "column_defaults": target.get("column_defaults", {}),
+                "dropped_columns": target.get("dropped_columns", []),
             }
         )
         self._commit(new)
@@ -532,18 +557,7 @@ class ParquetSnapshotSink:
             raise ValueError("rename_column requires a non-empty table")
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
-        mapping = self._column_mapping(m)
-        physical = set(m.get("schema_fields", [])) | set(
-            m.get("extra_fields", [])
-        )
-        phys2log = {p: l for l, p in mapping.items()}
-        logical = {phys2log.get(f, f) for f in physical}
-        protected = (
-            set(self.keys)
-            | set(self.order_cols)
-            | set(META_COLS)
-            | {self.bucket_by, BUCKET_COL}
-        )
+        mapping, _dropped, physical, logical, protected = self._alter_ctx(m)
         if old in protected or new in protected:
             raise ValueError(
                 f"cannot rename {old!r} -> {new!r}: keys, order columns "
@@ -565,7 +579,10 @@ class ParquetSnapshotSink:
                 **{
                     k: v
                     for k, v in m.items()
-                    if k not in ("branched_from", "rolled_back", "renamed")
+                    if k not in (
+                        "branched_from", "rolled_back", "renamed",
+                        "added", "dropped",
+                    )
                 },
                 "version": version,
                 "column_mapping": new_mapping,
@@ -573,6 +590,140 @@ class ParquetSnapshotSink:
             }
         )
         return {"version": version, "from": old, "to": new, "physical": phys}
+
+    def _alter_ctx(self, m: dict) -> tuple[dict, set, set, set, set]:
+        """Shared ALTER TABLE view of a manifest: (mapping, dropped
+        physical names, all physical names ever stored, live logical
+        names, protected layout names)."""
+        mapping = self._column_mapping(m)
+        dropped = set(m.get("dropped_columns", []))
+        physical = set(m.get("schema_fields", [])) | set(
+            m.get("extra_fields", [])
+        )
+        phys2log = {p: l for l, p in mapping.items()}
+        logical = {
+            phys2log.get(f, f) for f in physical if f not in dropped
+        }
+        protected = (
+            set(self.keys)
+            | set(self.order_cols)
+            | set(META_COLS)
+            | {self.bucket_by, BUCKET_COL}
+        )
+        return mapping, dropped, physical, logical, protected
+
+    def add_column(self, name: str, type_ddl: str, default=None) -> dict:
+        """ALTER TABLE ADD COLUMN [DEFAULT] as a METADATA-ONLY commit.
+        With a default, it is an EXISTENCE default (Iceberg
+        initial-default / SQL standard semantics): rows in files
+        written before the ADD — which physically lack the column —
+        read as ``default``; rows written after keep their stored
+        value, including explicit NULL; a later INSERT that omits the
+        column gets the default too (absence in the file IS the
+        encoding, so no file is rewritten and the default is frozen
+        at ADD time). ``default`` must be a JSON scalar; its value
+        semantics are ``CAST(default AS type_ddl)``.
+
+        Re-adding a previously dropped name allocates a FRESH physical
+        name via the column mapping, so old files' retired values can
+        never resurface. Reference anchor: capture-spec promotion adds
+        output columns declaratively (CapturingPointers builder); this
+        lifts ADD over stored history."""
+        m = self.current_manifest()
+        if not m or not m.get("buckets"):
+            raise ValueError("add_column requires a non-empty table")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid column name {name!r}")
+        mapping, dropped, physical, logical, protected = self._alter_ctx(m)
+        # patch columns are renameable labels, but add/drop changes
+        # the patch merge itself — refuse those here
+        if name in protected or name in (self.patch_cols or []):
+            raise ValueError(f"{name!r} is merge layout, not a payload column")
+        if name in logical:
+            raise ValueError(f"column {name!r} already exists")
+        version = m["version"] + 1
+        phys = name
+        if name in physical or name in dropped:
+            # the bare name was stored at some point (dropped, or an
+            # old physical behind a rename) — freeze a fresh physical
+            phys = f"{name}__v{version}"
+        # validate the type (and the default's castability) eagerly
+        typed = F.lit(default).cast(type_ddl)
+        self.spark.range(1).select(typed.alias(name)).schema
+        new_mapping = dict(mapping)
+        if phys != name:
+            new_mapping[name] = phys
+        defaults = dict(m.get("column_defaults", {}))
+        if default is not None:
+            defaults[phys] = {"t": type_ddl, "v": default}
+        self._commit(
+            {
+                **{
+                    k: v
+                    for k, v in m.items()
+                    if k not in ("branched_from", "rolled_back", "renamed", "added", "dropped")
+                },
+                "version": version,
+                "column_mapping": new_mapping,
+                "column_defaults": defaults,
+                "schema_fields": sorted(set(m.get("schema_fields", [])) | {phys}),
+                "added": {"column": name, "type": type_ddl, "default": default},
+            }
+        )
+        self._adopt(self.current_manifest())
+        return {"version": version, "column": name, "physical": phys}
+
+    def drop_column(self, name: str) -> dict:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit — no data
+        file is rewritten (Delta column-mapping drop semantics). The
+        physical column stays in existing files but is hidden from
+        every read, feed and rewrite (compact/purge rewrites shed it
+        physically over time), its stats/default/mapping entries are
+        retired, and incoming batches still carrying it are refused
+        (``apply`` raises — a re-add via ``add_column`` gets a fresh
+        physical name, so retired bytes can never resurface). Time
+        travel and rollback to a pre-drop version show the column
+        again. Payload columns only."""
+        m = self.current_manifest()
+        if not m or not m.get("buckets"):
+            raise ValueError("drop_column requires a non-empty table")
+        mapping, dropped, physical, logical, protected = self._alter_ctx(m)
+        if name in protected or name in (self.patch_cols or []):
+            raise ValueError(f"{name!r} is merge layout, not a payload column")
+        if name not in logical:
+            raise ValueError(f"no such column {name!r}")
+        phys = mapping.get(name, name)
+        version = m["version"] + 1
+        defaults = {
+            c: d for c, d in m.get("column_defaults", {}).items() if c != phys
+        }
+        self._commit(
+            {
+                **{
+                    k: v
+                    for k, v in m.items()
+                    if k not in ("branched_from", "rolled_back", "renamed", "added", "dropped")
+                },
+                "version": version,
+                "column_mapping": {
+                    l: p for l, p in mapping.items() if l != name
+                },
+                "column_defaults": defaults,
+                "dropped_columns": sorted(dropped | {phys}),
+                "schema_fields": sorted(
+                    set(m.get("schema_fields", [])) - {phys}
+                ),
+                "extra_fields": sorted(
+                    set(m.get("extra_fields", [])) - {phys}
+                ),
+                "stats_cols": [
+                    c for c in m.get("stats_cols", []) if c != phys
+                ],
+                "dropped": {"column": name, "physical": phys},
+            }
+        )
+        self._adopt(self.current_manifest())
+        return {"version": version, "column": name, "physical": phys}
 
     def _foreign_branch_refs(self) -> set[str]:
         """Every data path referenced by ANY manifest of any OTHER
@@ -661,10 +812,14 @@ class ParquetSnapshotSink:
         # so sites that DO set it (rename_column, rollback's restore,
         # branch fork) win. Sound under OCC: a successful link means
         # the cached current manifest IS this commit's predecessor.
-        if "column_mapping" not in manifest:
+        if any(
+            f not in manifest
+            for f in ("column_mapping", "column_defaults", "dropped_columns")
+        ):
             prev = self.current_manifest()
-            if prev and prev.get("column_mapping"):
-                manifest["column_mapping"] = prev["column_mapping"]
+            for f in ("column_mapping", "column_defaults", "dropped_columns"):
+                if f not in manifest and prev and prev.get(f):
+                    manifest[f] = prev[f]
         # Bound auxiliary per-path metadata: blooms for paths the new
         # version no longer references are dead weight in every later
         # manifest (paths are never reused), so drop them here — ONE
@@ -1052,7 +1207,9 @@ class ParquetSnapshotSink:
             return any(all(refutes(p, c) for p in chain) for c in conjs)
         return all(any(refutes(p, c) for c in conjs) for p in chain)
 
-    def _read_bucket_paths(self, rel_paths: list[str]) -> DataFrame:
+    def _read_bucket_paths(
+        self, rel_paths: list[str], conf_manifest: dict | None = None
+    ) -> DataFrame:
         """Read a set of committed data directories as one frame.
 
         Schema is merged DRIVER-side from cached footers and passed
@@ -1065,18 +1222,67 @@ class ParquetSnapshotSink:
         patch levels align to recorded ``patch_types``), so a union of
         per-path fields in first-seen order IS the merged schema; any
         same-name type conflict — foreign files, hand-built fixtures —
-        falls back to Spark's distributed merge (fail-open, exact)."""
-        full = [os.path.join(self.root, p) for p in rel_paths]
-        merged = self._merged_footer_schema(rel_paths)
-        if merged is None:
+        falls back to Spark's distributed merge (fail-open, exact).
+
+        ALTER TABLE config (from ``conf_manifest`` when the caller
+        reads under a specific version — time travel, feed windows —
+        else the handle's adopted state): logically-dropped columns
+        are hidden here (so every consumer — reduce, feeds, compact,
+        purge rewrites — never sees them and rewrites shed them), and
+        existence defaults are filled PER FILE GROUP — files whose
+        footer lacks a defaulted column read the default (they predate
+        the ADD, or an INSERT omitted the column), files that store it
+        keep stored values, including explicit NULL. Zero overhead
+        when neither feature is in use (the common case: one scan,
+        unchanged plan)."""
+        if conf_manifest is None:
+            dropped, defaults = self.dropped_cols, self.column_defaults
+        else:
+            dropped = set(conf_manifest.get("dropped_columns", []))
+            defaults = dict(conf_manifest.get("column_defaults", {}))
+
+        def _scan(paths: list[str]) -> DataFrame:
+            full = [os.path.join(self.root, p) for p in paths]
+            merged = self._merged_footer_schema(paths)
+            if merged is None:
+                return (
+                    self.spark.read.option("mergeSchema", "true").parquet(*full)
+                )
             return (
-                self.spark.read.option("mergeSchema", "true").parquet(*full)
+                self.spark.read.schema(merged)
+                .option("mergeSchema", "false")
+                .parquet(*full)
             )
-        return (
-            self.spark.read.schema(merged)
-            .option("mergeSchema", "false")
-            .parquet(*full)
-        )
+
+        if not defaults:
+            df = _scan(rel_paths)
+            return df.drop(*dropped) if dropped else df
+        # Group paths by WHICH defaulted columns their footers lack
+        # (usually 2 groups: pre-ADD and post-ADD files). Each group
+        # scans under its own merged schema, fills its missing
+        # defaults as typed literals, and the groups union by name —
+        # parquet scans stay codegen'd and partition-parallel; AQE
+        # coalesces the union. Unreadable footers (foreign files)
+        # fail open into the no-fill group.
+        groups: dict[frozenset, list[str]] = {}
+        for p in rel_paths:
+            try:
+                have = {f.name for f in self._path_schema(p).fields}
+                missing = frozenset(c for c in defaults if c not in have)
+            except Exception:
+                missing = frozenset()
+            groups.setdefault(missing, []).append(p)
+        parts = []
+        for missing, paths in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+            sub = _scan(paths)
+            for c in sorted(missing):
+                d = defaults[c]
+                sub = sub.withColumn(c, F.lit(d["v"]).cast(d["t"]))
+            parts.append(sub)
+        df = parts[0]
+        for sub in parts[1:]:
+            df = df.unionByName(sub, allowMissingColumns=True)
+        return df.drop(*dropped) if dropped else df
 
     def _merged_footer_schema(self, rel_paths: list[str]):
         """Driver-side merged schema of a set of committed data dirs
@@ -1380,6 +1586,31 @@ class ParquetSnapshotSink:
             # callers speak logical names; storage speaks the frozen
             # physical ones (rename_column) — translate at the boundary
             changes = self._to_physical_frame(changes, mapping)
+        if self.dropped_cols:
+            # A batch still carrying a dropped column is an upstream
+            # producer that missed the DDL — writing it would be
+            # silently resurrected by a later re-add (same physical
+            # name), so refuse loudly. Re-adds via add_column get a
+            # FRESH physical name and pass through the mapping above.
+            stale = [c for c in changes.columns if c in self.dropped_cols]
+            if stale:
+                raise ValueError(
+                    f"columns {stale} were dropped from this table; "
+                    "re-add with add_column() before writing them"
+                )
+        if self.column_defaults and self.patch_cols is None:
+            # SQL write-default: an INSERT that omits a defaulted
+            # column gets the default (explicit NULL stays NULL —
+            # absence of the COLUMN, not of a value, triggers this).
+            # Matters for MOW, where the merge materializes the batch
+            # alongside old state whose files DO carry the column, so
+            # footer-absence existence reads can no longer encode it.
+            # Patch mode skips this: there absence means "don't touch".
+            for c, d in self.column_defaults.items():
+                if c not in changes.columns:
+                    changes = changes.withColumn(
+                        c, F.lit(d["v"]).cast(d["t"])
+                    )
         if self.patch_cols:
             # Record each patch column's type the first time a batch
             # carries it — alignment of later sparse batches / stored
@@ -2049,7 +2280,7 @@ class ParquetSnapshotSink:
                 df = self._typed_empty_from_footer(manifest)
                 depth = 1
             else:
-                df = self._read_bucket_paths(chain)
+                df = self._read_bucket_paths(chain, conf_manifest=manifest)
                 depth = len(chain)
         elif probe_keys is not None:
             probe = probe_keys.select(self.bucket_by).filter(
@@ -2083,7 +2314,9 @@ class ParquetSnapshotSink:
                 df = self._typed_empty_from_footer(manifest)
                 depth = 1
             else:
-                df = self._read_bucket_paths(paths).join(
+                df = self._read_bucket_paths(
+                    paths, conf_manifest=manifest
+                ).join(
                     F.broadcast(probe) if broadcast_probe else probe,
                     self.bucket_by,
                     "left_semi",
@@ -2100,7 +2333,7 @@ class ParquetSnapshotSink:
                 df = self._typed_empty_from_footer(manifest)
                 depth = 1
             else:
-                df = self._read_bucket_paths(kept)
+                df = self._read_bucket_paths(kept, conf_manifest=manifest)
                 depth = max((len(c) for c in kept_chains), default=1)
         # Null-key guard: quarantined (malformed) rows are stored as a
         # null-key group rather than pre-filtered before the shuffle
@@ -2260,7 +2493,7 @@ class ParquetSnapshotSink:
         if not new_paths:
             return self._typed_empty_from_footer(to_manifest).select(*self.keys)
         return (
-            self._read_bucket_paths(new_paths)
+            self._read_bucket_paths(new_paths, conf_manifest=to_manifest)
             .filter(F.col(self.keys[0]).isNotNull())
             .select(*self.keys)
             .distinct()
@@ -2355,9 +2588,13 @@ class ParquetSnapshotSink:
             # default-schema sentinel.
             return self._typed_empty_from_footer(to_manifest)
 
-        cand = self._read_bucket_paths(new_paths).filter(
-            F.col(self.keys[0]).isNotNull()
-        )
+        # ALTER TABLE lens of the TO version for every read in the
+        # window: a default ADDed inside the window fills BOTH sides
+        # identically (no spurious per-key change), a column dropped
+        # inside it is absent from the whole feed
+        cand = self._read_bucket_paths(
+            new_paths, conf_manifest=to_manifest
+        ).filter(F.col(self.keys[0]).isNotNull())
         if self._patch_conf(to_manifest)[0]:
             if include_preimage:
                 raise ValueError(
@@ -2379,9 +2616,9 @@ class ParquetSnapshotSink:
                 for p in self._paths_of(from_manifest, b)
             ]
             if old_paths:
-                old = self._read_bucket_paths(old_paths).filter(
-                    F.col(self.keys[0]).isNotNull()
-                )
+                old = self._read_bucket_paths(
+                    old_paths, conf_manifest=to_manifest
+                ).filter(F.col(self.keys[0]).isNotNull())
                 old = lww_agg(old, self.keys, self.order_cols)
                 # preimage needs the whole old row; the plain feed only
                 # needs the order columns for the beats comparison
@@ -2470,9 +2707,9 @@ class ParquetSnapshotSink:
                 # the union below aligns missing evolved columns /
                 # stamps to NULL, which merged-side stamped slots beat
                 old_state = self._reduce(
-                    self._read_bucket_paths(old_paths).filter(
-                        F.col(self.keys[0]).isNotNull()
-                    ),
+                    self._read_bucket_paths(
+                        old_paths, conf_manifest=to_manifest
+                    ).filter(F.col(self.keys[0]).isNotNull()),
                     self.keys,
                     manifest=from_manifest,
                 )

@@ -319,9 +319,9 @@ def test_point_lookup_prunes_to_one_bucket(spark, events_parquet, tmp_path):
     opened: list[list[str]] = []
     orig = sink._read_bucket_paths
 
-    def spy(rel_paths):
+    def spy(rel_paths, **kw):
         opened.append(list(rel_paths))
-        return orig(rel_paths)
+        return orig(rel_paths, **kw)
 
     sink._read_bucket_paths = spy
     got = sorted(
@@ -373,9 +373,9 @@ def test_rebucket_midstream_matches_oracle(
     opened: list[list[str]] = []
     orig = sink2._read_bucket_paths
 
-    def spy(rel_paths):
+    def spy(rel_paths, **kw):
         opened.append(list(rel_paths))
-        return orig(rel_paths)
+        return orig(rel_paths, **kw)
 
     sink2._read_bucket_paths = spy
     got = sink2.read(
@@ -430,9 +430,9 @@ def test_probe_keys_prunes_to_hit_buckets(spark, events_parquet, tmp_path):
     opened: list[list[str]] = []
     orig = sink._read_bucket_paths
 
-    def spy(rel_paths):
+    def spy(rel_paths, **kw):
         opened.append(list(rel_paths))
-        return orig(rel_paths)
+        return orig(rel_paths, **kw)
 
     sink._read_bucket_paths = spy
     got = sorted(tuple(r) for r in sink.read(probe_keys=probe).collect())
