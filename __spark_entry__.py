@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entries over code the round-5 sink work touched + the
         # -- reference-parity core. Tail = green r3/r4 records, all
         # -- re-verified by the local 118/118 mirror sweep.
+        "cdc_constraint_enforced": _q_cdc_constraint_enforced,
+        "cdc_asof_ts_read": _q_cdc_asof_ts_read,
         "cdc_bloom_skipped_lookup": _q_cdc_bloom_skipped_lookup,
         "cdc_view_cascade_incremental": _q_cdc_view_cascade_incremental,
         "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
@@ -194,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
     from embulk_util_json_spark.pipeline import disorder, skew, stats
 
     return {
+        "cdc_constraint_enforced": _ORACLE_CONSTRAINT,
+        "cdc_asof_ts_read": _ORACLE_ASOF_TS,
         "cdc_bloom_skipped_lookup": _ORACLE_BLOOM_LOOKUP,
         "cdc_view_cascade_incremental": _ORACLE_VIEW_CASCADE,
         "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,

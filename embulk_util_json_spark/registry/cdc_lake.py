@@ -1954,7 +1954,129 @@ def _cdc_replay_diff_sql() -> str:
     )
 
 
+def _q_cdc_constraint_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (``sinks/snapshot.add_constraint``): the lower
+    half of the stream replays clean, then ``text IS NOT NULL`` is
+    added (validated against existing state in one scan). The upper
+    half is submitted with text NULLed on ``turn_idx % 7 = 0`` — the
+    batch must be refused WHOLE pre-staging (version unchanged, batch
+    id not consumed), then the producer resubmits the same batch id
+    with those rows redacted and the apply lands exactly-once. Oracle
+    = the LWW final state over the stream with the same rows CASE-
+    redacted (the refused attempt nets out to nothing)."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("constraint_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    mid = (int(b.lo) + int(b.hi)) // 2
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    sink.apply(changes.filter(F.col("seq") <= mid), "b0")
+    sink.add_constraint("text_present", "text IS NOT NULL")
+    upper = changes.filter(F.col("seq") > mid)
+    bad = upper.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    )
+    v0 = sink.current_version()
+    try:
+        sink.apply(bad, "b1")
+        raise AssertionError("violating batch must be refused")
+    except ValueError as e:
+        assert "text_present" in str(e)
+    assert sink.current_version() == v0, "refusal must not advance the version"
+    assert "b1" not in sink.current_manifest()["batch_ids"]
+    fixed = upper.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 7 == 0, F.lit("REDACTED"))
+        .otherwise(F.col("text")),
+    )
+    r = sink.apply(fixed, "b1")
+    assert not r.get("skipped"), "fixed resubmit under the same id must land"
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_CONSTRAINT = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (SELECT (MIN(seq) + MAX(seq)) // 2 AS mid FROM changes),
+    redacted AS (
+        SELECT seq, op, ts, conv_id, turn_idx, role,
+            CASE WHEN seq > (SELECT mid FROM bounds) AND turn_idx % 7 = 0
+                 THEN 'REDACTED' ELSE text END AS text,
+            tool
+        FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM redacted
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_asof_ts_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (``read(at_ts=...)`` / ``version_at_ts``,
+    the FOR SYSTEM_TIME AS OF surface): three seq-sliced applies, then
+    a read AS OF an instant strictly between the first and second
+    commit stamps — it must see exactly the first batch's LWW state.
+    Stamps come from the manifests themselves, so the result is
+    deterministic whatever the wall clock did. Oracle = the LWW state
+    of the first seq third."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("asofts_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    span = hi - lo + 1
+    c1, c2 = lo + span // 3, lo + (2 * span) // 3
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    sink.apply(changes.filter(F.col("seq") < c1), "b0")
+    sink.apply(changes.filter((F.col("seq") >= c1) & (F.col("seq") < c2)), "b1")
+    sink.apply(changes.filter(F.col("seq") >= c2), "b2")
+    s1 = float(sink.manifest_at(1)["committed_at"])
+    s2 = float(sink.manifest_at(2)["committed_at"])
+    mid_ts = (s1 + s2) / 2
+    assert sink.version_at_ts(mid_ts) == 1
+    assert sink.version_at_ts(s2 + 3600.0) == 3
+    return sink.read(at_ts=mid_ts).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_ORACLE_ASOF_TS = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (
+        SELECT MIN(seq) AS lo,
+               MIN(seq) + (MAX(seq) - MIN(seq) + 1) // 3 AS c1
+        FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes WHERE seq < (SELECT c1 FROM bounds)
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 __all__ = [
+    "_q_cdc_constraint_enforced",
+    "_ORACLE_CONSTRAINT",
+    "_q_cdc_asof_ts_read",
+    "_ORACLE_ASOF_TS",
     "_q_cdc_apply_final_state",
     "_ORACLE_MERGE_INTO",
     "_q_cdc_txn_consistent_read",

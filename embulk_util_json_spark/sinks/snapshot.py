@@ -528,6 +528,7 @@ class ParquetSnapshotSink:
                 "column_mapping": target.get("column_mapping", {}),
                 "column_defaults": target.get("column_defaults", {}),
                 "dropped_columns": target.get("dropped_columns", []),
+                "constraints": target.get("constraints", {}),
             }
         )
         self._commit(new)
@@ -565,6 +566,15 @@ class ParquetSnapshotSink:
             )
         if old not in logical:
             raise ValueError(f"no such column {old!r}")
+        for cn, c in self._constraints(m).items():
+            # constraint expressions speak logical names frozen at ADD
+            # time — renaming one out from under them would silently
+            # disable the check (apply skips unresolvable constraints)
+            if old in c.get("cols", []):
+                raise ValueError(
+                    f"column {old!r} is referenced by constraint {cn!r}; "
+                    "drop the constraint first"
+                )
         if new in logical or new in physical:
             # a physical collision would make the read-side rename
             # ambiguous (two sources for one output name) — reject
@@ -692,6 +702,12 @@ class ParquetSnapshotSink:
             raise ValueError(f"{name!r} is merge layout, not a payload column")
         if name not in logical:
             raise ValueError(f"no such column {name!r}")
+        for cn, c in self._constraints(m).items():
+            if name in c.get("cols", []):
+                raise ValueError(
+                    f"column {name!r} is referenced by constraint {cn!r}; "
+                    "drop the constraint first"
+                )
         phys = mapping.get(name, name)
         version = m["version"] + 1
         defaults = {
@@ -724,6 +740,153 @@ class ParquetSnapshotSink:
         )
         self._adopt(self.current_manifest())
         return {"version": version, "column": name, "physical": phys}
+
+    # ---- CHECK constraints (declarative table predicates) --------------
+
+    @staticmethod
+    def _constraints(manifest: dict | None) -> dict:
+        """{name: {"expr": sql, "cols": [logical cols referenced]}}."""
+        return (manifest or {}).get("constraints") or {}
+
+    @staticmethod
+    def _expr_cols(frame: DataFrame, expr: str) -> list[str]:
+        """Logical columns an expression references, by removal probe:
+        drop one column and re-analyze — resolution failing means the
+        expression needs it. Analysis-only (no job), O(columns) catalyst
+        runs at DDL time."""
+        refs = []
+        for c in frame.columns:
+            try:
+                frame.drop(c).select(F.expr(expr)).schema
+            except Exception:
+                refs.append(c)
+        return sorted(refs)
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr) — a METADATA-ONLY
+        commit (Delta constraint semantics). Existing data must already
+        satisfy the predicate: validated here with ONE scan of current
+        state. From then on every ``apply`` enforces it pre-staging:
+        a violating batch is refused whole — no file written, version
+        unchanged, batch id not consumed — so the producer fixes and
+        resubmits under the same id with exactly-once intact. SQL CHECK
+        null semantics: only FALSE violates (NULL passes); delete
+        tombstones are exempt (their payload is not written as state);
+        a batch not carrying a referenced column skips the constraint
+        (row mode: the merge fills NULL, which passes; patch mode:
+        absence means "don't touch"). The expression speaks LOGICAL
+        column names; renaming or dropping a referenced column is
+        refused until the constraint is dropped.
+
+        Reference anchor: the reference validates at the value layer
+        (invalid JSON -> row-skippable JsonParseException,
+        JsonParseException.java:24-43); this lifts validation to
+        declarative table predicates."""
+        m = self.current_manifest()
+        if not m or not m.get("buckets"):
+            raise ValueError("add_constraint requires a non-empty table")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        cons = dict(self._constraints(m))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        # include_meta: constraints may reference order columns (e.g.
+        # "seq > 0") — the default read drops them. Tombstones stay
+        # excluded (deletes are exempt from CHECK).
+        state = self.read(include_meta=True)
+        pred = F.expr(expr)
+        # analysis validates the expression against the LOGICAL schema
+        # (raises on parse errors / unknown columns) and pins its type
+        dt = state.select(pred.alias("_chk")).schema[0].dataType
+        if not isinstance(dt, T.BooleanType):
+            raise ValueError(
+                f"constraint expression must be BOOLEAN, got {dt.simpleString()}"
+            )
+        refs = self._expr_cols(state, expr)
+        bad = state.filter(pred.eqNullSafe(F.lit(False))).count()
+        if bad:
+            raise ValueError(
+                f"constraint {name!r} is violated by {bad} existing "
+                "row(s); fix the data before adding it"
+            )
+        cons[name] = {"expr": expr, "cols": refs}
+        version = m["version"] + 1
+        self._commit(
+            {
+                **{
+                    k: v
+                    for k, v in m.items()
+                    if k not in (
+                        "branched_from", "rolled_back", "renamed",
+                        "added", "dropped",
+                    )
+                },
+                "version": version,
+                "constraints": cons,
+            }
+        )
+        return {"version": version, "name": name, "expr": expr, "cols": refs}
+
+    def drop_constraint(self, name: str) -> dict:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
+        m = self.current_manifest()
+        cons = dict(self._constraints(m))
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        del cons[name]
+        version = m["version"] + 1
+        self._commit(
+            {
+                **{
+                    k: v
+                    for k, v in m.items()
+                    if k not in (
+                        "branched_from", "rolled_back", "renamed",
+                        "added", "dropped",
+                    )
+                },
+                "version": version,
+                "constraints": cons,
+            }
+        )
+        return {"version": version, "name": name}
+
+    def _enforce_constraints(
+        self, changes: DataFrame, cons: dict, batch_id: str
+    ) -> None:
+        """Pre-staging CHECK enforcement: one aggregated job counts
+        violations for EVERY applicable constraint (never a job per
+        constraint). Runs on the LOGICAL frame before rename
+        translation, default fill and staging."""
+        present = set(changes.columns)
+        checks = {
+            n: c for n, c in cons.items() if set(c.get("cols", [])) <= present
+        }
+        if not checks:
+            return
+        scope = (
+            changes.filter(F.col("op") != F.lit("delete"))
+            if "op" in present
+            else changes
+        )
+        row = scope.agg(
+            *[
+                F.sum(
+                    F.expr(c["expr"]).eqNullSafe(F.lit(False)).cast("long")
+                ).alias(n)
+                for n, c in checks.items()
+            ]
+        ).collect()[0]
+        bad = {n: v for n, v in row.asDict().items() if v}
+        if bad:
+            raise ValueError(
+                f"batch {batch_id!r} refused: CHECK constraint violation — "
+                + "; ".join(
+                    f"{n} ({checks[n]['expr']}): {v} row(s)"
+                    for n, v in bad.items()
+                )
+                + " — nothing staged, resubmit a fixed batch under the same id"
+            )
 
     def _foreign_branch_refs(self) -> set[str]:
         """Every data path referenced by ANY manifest of any OTHER
@@ -814,10 +977,16 @@ class ParquetSnapshotSink:
         # the cached current manifest IS this commit's predecessor.
         if any(
             f not in manifest
-            for f in ("column_mapping", "column_defaults", "dropped_columns")
+            for f in (
+                "column_mapping", "column_defaults", "dropped_columns",
+                "constraints",
+            )
         ):
             prev = self.current_manifest()
-            for f in ("column_mapping", "column_defaults", "dropped_columns"):
+            for f in (
+                "column_mapping", "column_defaults", "dropped_columns",
+                "constraints",
+            ):
                 if f not in manifest and prev and prev.get(f):
                     manifest[f] = prev[f]
         # Bound auxiliary per-path metadata: blooms for paths the new
@@ -839,6 +1008,11 @@ class ParquetSnapshotSink:
                     if p in referenced
                 },
             }
+        # Wall-clock commit stamp (Iceberg snapshot timestamp-ms): set
+        # HERE unconditionally so every commit site — including
+        # rollback, which copies the target manifest's fields — stamps
+        # the time this version was committed, not the one it restores.
+        manifest["committed_at"] = time.time()
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         raw = json.dumps(manifest)
@@ -858,6 +1032,38 @@ class ParquetSnapshotSink:
         # seed the read cache — the very next current_manifest() is
         # almost always for the version just committed
         self._manifest_cache[manifest["version"]] = raw
+
+    def version_at_ts(self, ts) -> int:
+        """Resolve a wall-clock instant to the table version visible at
+        that instant — the ``FOR SYSTEM_TIME AS OF`` / Iceberg
+        snapshot-at-timestamp lookup. ``ts``: epoch seconds (int/float),
+        ISO string, or datetime. Resolution walks the manifest chain
+        once (metadata-only, chains are short after vacuum) taking the
+        RUNNING MAX of ``committed_at``: stamps come from the writer's
+        wall clock, which can step backwards between commits, but the
+        as-of answer must be monotone in version — a version is
+        visible at T iff it and everything before it committed by T.
+        Pre-stamp manifests (written before this feature) count as
+        committed at epoch 0."""
+        if isinstance(ts, (int, float)):
+            epoch = float(ts)
+        else:
+            epoch = self._ts_micros(ts) / 1_000_000
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed version")
+        best, running = None, 0.0
+        for v in range(1, cur + 1):
+            m = self.manifest_at(v)
+            running = max(running, float(m.get("committed_at") or 0.0))
+            if running <= epoch:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before {ts!r} "
+                f"(first commit was at {running})"
+            )
+        return best
 
     def applied_batch_ids(self) -> list[str]:
         m = self.current_manifest()
@@ -1015,12 +1221,13 @@ class ParquetSnapshotSink:
                     len(m["buckets"]),
                     len(paths),
                     frontier,
+                    float(m["committed_at"]) if m.get("committed_at") else None,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version int, n_batches int, n_buckets int, n_paths int, "
-            "frontier_us long",
+            "frontier_us long, committed_at double",
         )
 
     def table_health(self, compact_threshold: int = 8) -> DataFrame:
@@ -1581,6 +1788,12 @@ class ParquetSnapshotSink:
         self._adopt(manifest)
         if batch_id in manifest["batch_ids"]:
             return {"batch_id": batch_id, "skipped": True, "reason": "already-applied"}
+        cons = self._constraints(manifest)
+        if cons:
+            # CHECK constraints: refuse a violating batch whole BEFORE
+            # any staging — version unchanged, batch id not consumed.
+            # Logical names: runs before rename translation.
+            self._enforce_constraints(changes, cons, batch_id)
         mapping = self._column_mapping(manifest)
         if mapping:
             # callers speak logical names; storage speaks the frozen
@@ -2135,6 +2348,7 @@ class ParquetSnapshotSink:
         min_ts: object | None = None,
         probe_buckets: tuple[list[int], int] | None = None,
         where: list[tuple[str, str, object]] | None = None,
+        at_ts: object | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -2194,6 +2408,13 @@ class ParquetSnapshotSink:
         columns and ``op`` are always read (the merge needs them);
         the returned frame carries keys + ``columns``.
         """
+        if at_ts is not None:
+            # FOR SYSTEM_TIME AS OF: resolve the wall-clock instant to
+            # the version visible then, and read THAT (same immutable-
+            # manifest time travel as at_version).
+            if at_version is not None:
+                raise ValueError("pass at_version or at_ts, not both")
+            at_version = self.version_at_ts(at_ts)
         manifest = (
             self.manifest_at(at_version) if at_version else self.current_manifest()
         )
