@@ -1054,7 +1054,10 @@ class ParquetSnapshotSink:
             raise ValueError("empty table: no committed version")
         best, running = None, 0.0
         for v in range(1, cur + 1):
-            m = self.manifest_at(v)
+            try:
+                m = self.manifest_at(v)
+            except ValueError:
+                continue  # vacuumed version — not resolvable, skip
             running = max(running, float(m.get("committed_at") or 0.0))
             if running <= epoch:
                 best = v
@@ -2722,15 +2725,39 @@ class ParquetSnapshotSink:
 
     def read_changes(
         self,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         include_preimage: bool = False,
+        since_ts: object | None = None,
+        until_ts: object | None = None,
     ) -> DataFrame:
         """Column-mapping boundary for ``_read_changes_impl`` (see its
         docstring for the feed contract): physical storage names are
         translated to the ``to`` version's logical names, so a feed
         window SPANNING a rename is already consistent — physical
-        names are frozen, every file in the window agrees."""
+        names are frozen, every file in the window agrees.
+
+        ``since_ts`` / ``until_ts`` — wall-clock window endpoints (the
+        Delta CDF ``startingTimestamp``/``endingTimestamp`` shape):
+        each resolves through ``version_at_ts`` to the version visible
+        at that instant, then the feed is exactly the version window
+        (changes committed AFTER ``since_ts``'s visible version, up to
+        ``until_ts``'s). Mutually exclusive with the corresponding
+        version argument. ``since_ts`` earlier than the first commit
+        means "from the beginning" (version 0)."""
+        if since_ts is not None:
+            if from_version is not None:
+                raise ValueError("pass from_version or since_ts, not both")
+            try:
+                from_version = self.version_at_ts(since_ts)
+            except ValueError:
+                from_version = 0  # before the first commit = full feed
+        if until_ts is not None:
+            if to_version is not None:
+                raise ValueError("pass to_version or until_ts, not both")
+            to_version = self.version_at_ts(until_ts)
+        if from_version is None:
+            raise ValueError("read_changes needs from_version or since_ts")
         out = self._read_changes_impl(from_version, to_version, include_preimage)
         mapping = self._column_mapping(
             self.manifest_at(to_version or self.current_version())
@@ -4070,7 +4097,12 @@ class ParquetSnapshotSink:
             if row[f"a{i}"] is not None
         }
 
-    def vacuum(self, keep_versions: int = 1, protect_cursors: bool = True) -> dict:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        protect_cursors: bool = True,
+        older_than_ts: object | None = None,
+    ) -> dict:
         """Expire old snapshots (the Iceberg ``expire_snapshots``
         analogue): delete manifest versions older than the newest
         ``keep_versions`` and any data directory no retained manifest
@@ -4087,6 +4119,14 @@ class ParquetSnapshotSink:
         stranded consumer must then ``reset``, the documented
         recovery).
 
+        ``older_than_ts`` — age-based retention (the Iceberg
+        ``expire_snapshots(older_than)`` shape): expire only versions
+        whose commit stamp is older than the instant; everything
+        committed at or after it is retained, however many versions
+        that is. Resolves via ``version_at_ts``'s running-max stamps
+        and composes with ``keep_versions`` / ``protect_cursors`` by
+        WIDENING retention (the most conservative bound wins).
+
         Driver-side filesystem work only — no Spark job. Safe against
         a concurrent reader of a retained version because data files
         are immutable and only unreferenced ones are removed."""
@@ -4095,6 +4135,15 @@ class ParquetSnapshotSink:
         current = self.current_version()
         if current == 0:
             return {"removed_versions": 0, "removed_dirs": 0}
+        if older_than_ts is not None:
+            try:
+                visible = self.version_at_ts(older_than_ts)
+            except ValueError:
+                visible = 0  # instant predates every commit: keep all
+            # keep visible..current — the version visible AT the
+            # instant is the oldest one an as-of read at or after it
+            # can resolve to, so it must survive
+            keep_versions = max(keep_versions, current - visible + 1)
         if protect_cursors:
             from .feed import cursors as _cursors
 

@@ -101,6 +101,55 @@ def test_rollback_stamps_commit_time_not_restored_time(spark, tmp_path):
     assert sink.read(at_ts=s3 + 60.0).count() == 10
 
 
+def test_read_changes_timestamp_window(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.apply(_rows(spark, 0, 10), "b0")
+    sink.apply(_rows(spark, 10, 20), "b1")
+    sink.apply(_rows(spark, 20, 30), "b2")
+    s1, s2, s3 = (_stamp(sink, v) for v in (1, 2, 3))
+    # window anchored between commit 1 and 2: changes of v2..v3
+    got = sink.read_changes(since_ts=(s1 + s2) / 2)
+    want = sink.read_changes(1)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # until_ts caps the window at the version visible then
+    got2 = sink.read_changes(since_ts=(s1 + s2) / 2, until_ts=(s2 + s3) / 2)
+    want2 = sink.read_changes(1, 2)
+    assert got2.count() == want2.count()
+    assert got2.exceptAll(want2).count() == 0
+    # before the first commit = full feed from the beginning
+    full = sink.read_changes(since_ts=s1 - 60.0)
+    assert full.count() == sink.read_changes(0).count()
+    # conflicts and missing args are refused
+    with pytest.raises(ValueError, match="not both"):
+        sink.read_changes(from_version=1, since_ts=s1)
+    with pytest.raises(ValueError, match="not both"):
+        sink.read_changes(1, to_version=2, until_ts=s2)
+    with pytest.raises(ValueError, match="from_version or since_ts"):
+        sink.read_changes()
+
+
+def test_vacuum_older_than_ts(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    for i in range(4):
+        sink.apply(_rows(spark, i * 10, (i + 1) * 10), f"b{i}")
+    s2, s3 = _stamp(sink, 2), _stamp(sink, 3)
+    cut = (s2 + s3) / 2
+    # versions visible at `cut` and later survive: v2 (visible at cut),
+    # v3, v4; v1 is reclaimable
+    r = sink.vacuum(older_than_ts=cut, protect_cursors=False)
+    assert r["removed_versions"] == 1
+    assert [x.version for x in sink.snapshots().collect()] == [2, 3, 4]
+    # an as-of read at the cut still resolves (to v2's state)
+    got = sink.read(at_ts=cut)
+    want = sink.read(at_version=2)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # an instant before the first commit keeps everything
+    r2 = sink.vacuum(older_than_ts=0.0, protect_cursors=False)
+    assert r2["removed_versions"] == 0
+
+
 def test_snapshots_expose_committed_at(spark, tmp_path):
     sink = _mk(spark, tmp_path)
     sink.apply(_rows(spark, 0, 10), "b0")
