@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- re-verified by the local 118/118 mirror sweep.
         "cdc_constraint_enforced": _q_cdc_constraint_enforced,
         "cdc_asof_ts_read": _q_cdc_asof_ts_read,
+        "cdc_changes_since_ts": _q_cdc_changes_since_ts,
+        "cdc_orphan_cleanup_final_state": _q_cdc_orphan_cleanup_final_state,
+        "cdc_tagged_read": _q_cdc_tagged_read,
         "cdc_bloom_skipped_lookup": _q_cdc_bloom_skipped_lookup,
         "cdc_view_cascade_incremental": _q_cdc_view_cascade_incremental,
         "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
@@ -198,6 +201,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_constraint_enforced": _ORACLE_CONSTRAINT,
         "cdc_asof_ts_read": _ORACLE_ASOF_TS,
+        "cdc_changes_since_ts": _ORACLE_CHANGE_FEED,
+        "cdc_orphan_cleanup_final_state": _ORACLE_CDC_FINAL,
+        "cdc_tagged_read": _ORACLE_ASOF_TS,
         "cdc_bloom_skipped_lookup": _ORACLE_BLOOM_LOOKUP,
         "cdc_view_cascade_incremental": _ORACLE_VIEW_CASCADE,
         "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,

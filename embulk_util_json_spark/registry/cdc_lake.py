@@ -2072,11 +2072,105 @@ _ORACLE_ASOF_TS = f"""
 """
 
 
+def _q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags (Iceberg tag refs): tag the first commit, keep
+    writing, then VACUUM with keep_versions=1 — the tagged version
+    must be pinned outside the keep window (its untagged neighbor is
+    expired, runtime-asserted) and ``read(at_tag=...)`` must still
+    reproduce the first batch's exact LWW state. Oracle = the LWW
+    state of the first seq third (same content contract as the as-of
+    read: both are time travel to version 1)."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("tagread_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    span = hi - lo + 1
+    c1, c2 = lo + span // 3, lo + (2 * span) // 3
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    sink.apply(changes.filter(F.col("seq") < c1), "b0")
+    sink.create_tag("trained-on")
+    sink.apply(changes.filter((F.col("seq") >= c1) & (F.col("seq") < c2)), "b1")
+    sink.apply(changes.filter(F.col("seq") >= c2), "b2")
+    r = sink.vacuum(keep_versions=1, protect_cursors=False)
+    assert r["removed_versions"] == 1, r  # v2 expired; tagged v1 pinned
+    assert [s.version for s in sink.snapshots().collect()] == [1, 3]
+    return sink.read(at_tag="trained-on").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_cdc_changes_since_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock change-feed window (``read_changes(since_ts=...)``,
+    the Delta CDF ``startingTimestamp`` shape): the same 2-batch replay
+    as ``cdc_change_feed``, but the feed is anchored at an INSTANT
+    strictly between the two commit stamps instead of a version number.
+    Timestamp resolution must pick exactly the version-1 anchor, so the
+    feed content equals the version-window feed and the change-feed
+    oracle applies verbatim. Stamps come from the manifests themselves
+    — deterministic whatever the wall clock did."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("changes_ts_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    cut = int(b.lo) + (int(b.hi) - int(b.lo)) // 2 + 1
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "tbl"), num_buckets=8)
+    sink.apply(parse_change_events(events.filter(F.col("seq") < cut)), "b0")
+    sink.apply(parse_change_events(events.filter(F.col("seq") >= cut)), "b1")
+    s1 = float(sink.manifest_at(1)["committed_at"])
+    s2 = float(sink.manifest_at(2)["committed_at"])
+    assert s2 > s1, "commits are Spark jobs; stamps cannot coincide"
+    return sink.read_changes(since_ts=(s1 + s2) / 2).select(
+        "conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "seq"
+    )
+
+
+def _q_cdc_orphan_cleanup_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file cleanup (``remove_orphans``, the Iceberg
+    ``remove_orphan_files`` analogue): after a 2-batch replay, a
+    never-referenced staging directory — the exact shape a losing OCC
+    attempt leaves behind — is planted and reclaimed WITHOUT expiring
+    any snapshot. Graded result: the final table, which must be
+    bit-identical to the plain replay oracle (cleanup touched only
+    garbage); runtime asserts pin that the orphan actually went and
+    that every committed version survived."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("orphans_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    cut = int(b.lo) + (int(b.hi) - int(b.lo)) // 2 + 1
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    sink.apply(parse_change_events(events.filter(F.col("seq") < cut)), "b0")
+    sink.apply(parse_change_events(events.filter(F.col("seq") >= cut)), "b1")
+    orphan = os.path.join(sink.root, "data", "v99999999-deadbeef", "_bucket=0")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as fh:
+        fh.write("garbage")
+    r = sink.remove_orphans(grace_seconds=0.0)
+    assert r["removed_dirs"] == 1, r
+    assert not os.path.exists(os.path.dirname(orphan))
+    assert [s.version for s in sink.snapshots().collect()] == [1, 2]
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 __all__ = [
     "_q_cdc_constraint_enforced",
     "_ORACLE_CONSTRAINT",
     "_q_cdc_asof_ts_read",
     "_ORACLE_ASOF_TS",
+    "_q_cdc_changes_since_ts",
+    "_q_cdc_orphan_cleanup_final_state",
+    "_q_cdc_tagged_read",
     "_q_cdc_apply_final_state",
     "_ORACLE_MERGE_INTO",
     "_q_cdc_txn_consistent_read",

@@ -444,6 +444,78 @@ class ParquetSnapshotSink:
                 out.append(name)
         return out
 
+    # ---- tags (named immutable snapshot refs) --------------------------
+
+    def create_tag(self, name: str, at_version: int | None = None) -> dict:
+        """Pin a committed version under a NAME (the Iceberg tag
+        shape): a tag is an immutable table-level ref — unlike a
+        branch it can never advance, and unlike a bare version number
+        it survives ``vacuum``/``vacuum(older_than_ts=...)``, which
+        treat tagged versions (and their data) as retained. The
+        release-audit workflow: tag the snapshot a model was trained
+        on, vacuum freely, ``read(at_tag=...)`` reproduces the exact
+        training table years of commits later.
+
+        Metadata-only (one tiny JSON; no Spark job). Immutability is
+        the ``os.link`` discipline: creating an existing name fails
+        atomically rather than repointing it — repoint = delete +
+        create, deliberately loud."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = at_version or self.current_version()
+        if v < 1 or self.manifest_at(v) is None:
+            raise ValueError(f"cannot tag: version {v} is not committed")
+        tdir = os.path.join(self.root, "_tags")
+        os.makedirs(tdir, exist_ok=True)
+        rec = {
+            "name": name,
+            "branch": self.branch,
+            "version": v,
+            "created_at": time.time(),
+        }
+        tmp = os.path.join(tdir, f".{name}.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        try:
+            os.link(tmp, os.path.join(tdir, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return rec
+
+    def tags(self) -> dict[str, dict]:
+        """All tags on the table (every branch), name → record."""
+        tdir = os.path.join(self.root, "_tags")
+        if not os.path.isdir(tdir):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(tdir)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(tdir, f)) as fh:
+                    out[f[:-5]] = json.load(fh)
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag. The version it pinned stays readable until a
+        LATER vacuum unreferences it — deleting a tag never deletes
+        data by itself."""
+        path = os.path.join(self.root, "_tags", f"{name}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no such tag {name!r}")
+        os.unlink(path)
+
+    def _resolve_tag(self, name: str) -> int:
+        rec = self.tags().get(name)
+        if rec is None:
+            raise ValueError(f"no such tag {name!r}")
+        if rec["branch"] != self.branch:
+            raise ValueError(
+                f"tag {name!r} pins branch {rec['branch']!r}; read it "
+                f"from a handle of that branch (this is {self.branch!r})"
+            )
+        return int(rec["version"])
+
     def drop_branch(self, name: str) -> None:
         """Delete a branch's manifest chain. Its exclusively-owned
         data directories become unreferenced and are reclaimed by the
@@ -2352,6 +2424,7 @@ class ParquetSnapshotSink:
         probe_buckets: tuple[list[int], int] | None = None,
         where: list[tuple[str, str, object]] | None = None,
         at_ts: object | None = None,
+        at_tag: str | None = None,
     ) -> DataFrame:
         """Table state (deletes filtered, meta dropped) — current, or
         AS OF a committed ``at_version`` (time travel over immutable
@@ -2411,6 +2484,11 @@ class ParquetSnapshotSink:
         columns and ``op`` are always read (the merge needs them);
         the returned frame carries keys + ``columns``.
         """
+        if at_tag is not None:
+            # named immutable ref: resolve and read as time travel
+            if at_version is not None or at_ts is not None:
+                raise ValueError("pass only one of at_version/at_ts/at_tag")
+            at_version = self._resolve_tag(at_tag)
         if at_ts is not None:
             # FOR SYSTEM_TIME AS OF: resolve the wall-clock instant to
             # the version visible then, and read THAT (same immutable-
@@ -4164,7 +4242,18 @@ class ParquetSnapshotSink:
         # reclaim files a sibling branch still reads (zero-copy forks
         # share pre-fork data dirs by reference)
         referenced: set[str] = self._foreign_branch_refs()
-        for v in range(max(1, current - keep_versions + 1), current + 1):
+        # tagged versions of THIS branch are pinned outside the keep
+        # window (named immutable refs — the whole point of a tag is
+        # surviving vacuum); other branches' tags point into manifest
+        # chains this vacuum never touches
+        tagged = {
+            int(rec["version"])
+            for rec in self.tags().values()
+            if rec["branch"] == self.branch
+        }
+        for v in sorted(
+            set(range(max(1, current - keep_versions + 1), current + 1)) | tagged
+        ):
             if not os.path.exists(self._manifest_path(v)):
                 continue
             keep.add(v)
@@ -4179,53 +4268,113 @@ class ParquetSnapshotSink:
             if os.path.exists(path):
                 os.unlink(path)
                 removed_versions += 1
-        # Reference tracking is per BUCKET SUBDIR, not per version dir:
-        # a retained manifest's chain may point at only some buckets of
-        # an old version dir, and the others must still be reclaimed —
-        # purge() depends on this (a superseded bucket subdir left
-        # behind would retain the purged rows on disk).
+        removed_dirs = self._reclaim_unreferenced(referenced)
+        return {"removed_versions": removed_versions, "removed_dirs": removed_dirs}
+
+    def _reclaim_unreferenced(
+        self, referenced: set[str], min_age_before: float | None = None
+    ) -> int:
+        """Delete data bucket subdirs not in ``referenced``. Reference
+        tracking is per BUCKET SUBDIR, not per version dir: a retained
+        manifest's chain may point at only some buckets of an old
+        version dir, and the others must still be reclaimed — purge()
+        depends on this (a superseded bucket subdir left behind would
+        retain the purged rows on disk).
+
+        ``min_age_before`` (epoch seconds): only reclaim subdirs whose
+        mtime is strictly older — the ``remove_orphans`` grace window
+        that protects a concurrent OCC writer's in-flight staging dir
+        (staged but not yet committed = unreferenced but NOT orphaned).
+        ``vacuum`` passes None: everything it unreferences was
+        committed long ago."""
+        import shutil
+
+        def _old_enough(path: str) -> bool:
+            if min_age_before is None:
+                return True
+            try:
+                return os.path.getmtime(path) < min_age_before
+            except OSError:
+                return False
         data_root = os.path.join(self.root, "data")
         removed_dirs = 0
-        if os.path.isdir(data_root):
-            for d in sorted(os.listdir(data_root)):
-                vdir = os.path.join(data_root, d)
-                if not os.path.isdir(vdir):
-                    continue
-                for sub in sorted(os.listdir(vdir)):
-                    rel = f"data/{d}/{sub}"
-                    if sub.startswith(f"{BUCKET_COL}=") and rel not in referenced:
-                        shutil.rmtree(os.path.join(vdir, sub), ignore_errors=True)
-                        removed_dirs += 1
-                    elif sub.startswith(f"{BAND_COL}="):
-                        # banded-compaction layout: one nesting level
-                        # deeper (_band=i/_bucket=b); reclaim per
-                        # bucket subdir, then the emptied band dir
-                        bdir = os.path.join(vdir, sub)
-                        for bb in sorted(os.listdir(bdir)):
-                            brel = f"{rel}/{bb}"
-                            if (
-                                bb.startswith(f"{BUCKET_COL}=")
-                                and brel not in referenced
-                            ):
-                                shutil.rmtree(
-                                    os.path.join(bdir, bb), ignore_errors=True
-                                )
-                                removed_dirs += 1
-                        if not any(
-                            s.startswith(f"{BUCKET_COL}=")
-                            for s in os.listdir(bdir)
+        if not os.path.isdir(data_root):
+            return 0
+        for d in sorted(os.listdir(data_root)):
+            vdir = os.path.join(data_root, d)
+            if not os.path.isdir(vdir):
+                continue
+            for sub in sorted(os.listdir(vdir)):
+                rel = f"data/{d}/{sub}"
+                if (
+                    sub.startswith(f"{BUCKET_COL}=")
+                    and rel not in referenced
+                    and _old_enough(os.path.join(vdir, sub))
+                ):
+                    shutil.rmtree(os.path.join(vdir, sub), ignore_errors=True)
+                    removed_dirs += 1
+                elif sub.startswith(f"{BAND_COL}="):
+                    # banded-compaction layout: one nesting level
+                    # deeper (_band=i/_bucket=b); reclaim per
+                    # bucket subdir, then the emptied band dir
+                    bdir = os.path.join(vdir, sub)
+                    for bb in sorted(os.listdir(bdir)):
+                        brel = f"{rel}/{bb}"
+                        if (
+                            bb.startswith(f"{BUCKET_COL}=")
+                            and brel not in referenced
+                            and _old_enough(os.path.join(bdir, bb))
                         ):
-                            shutil.rmtree(bdir, ignore_errors=True)
-                # version dir with no referenced content left → remove
-                remaining = [
-                    s
-                    for s in os.listdir(vdir)
-                    if s.startswith(f"{BUCKET_COL}=")
-                    or (
-                        s.startswith(f"{BAND_COL}=")
-                        and os.path.isdir(os.path.join(vdir, s))
-                    )
-                ]
-                if not remaining:
-                    shutil.rmtree(vdir, ignore_errors=True)
-        return {"removed_versions": removed_versions, "removed_dirs": removed_dirs}
+                            shutil.rmtree(
+                                os.path.join(bdir, bb), ignore_errors=True
+                            )
+                            removed_dirs += 1
+                    if not any(
+                        s.startswith(f"{BUCKET_COL}=")
+                        for s in os.listdir(bdir)
+                    ):
+                        shutil.rmtree(bdir, ignore_errors=True)
+            # version dir with no referenced content left → remove
+            remaining = [
+                s
+                for s in os.listdir(vdir)
+                if s.startswith(f"{BUCKET_COL}=")
+                or (
+                    s.startswith(f"{BAND_COL}=")
+                    and os.path.isdir(os.path.join(vdir, s))
+                )
+            ]
+            if not remaining:
+                shutil.rmtree(vdir, ignore_errors=True)
+        return removed_dirs
+
+    def remove_orphans(self, grace_seconds: float = 300.0) -> dict:
+        """Reclaim data directories referenced by NO manifest of ANY
+        branch — the Iceberg ``remove_orphan_files`` analogue, disjoint
+        from ``vacuum``: no snapshot is expired, every committed
+        version (all branches) keeps reading bit-identically; only
+        never-committed leftovers go. Orphans come from exactly one
+        place in this design: a losing OCC attempt's uniquely-named
+        staging dir (see ``_data_rel`` — the loser re-stages under a
+        new name, the old dir is never referenced).
+
+        ``grace_seconds`` is the Iceberg ``older_than`` discipline: a
+        CONCURRENT writer mid-apply has staged its dir but not yet
+        won the manifest race, so "unreferenced" alone cannot
+        distinguish an orphan from an in-flight commit. Only dirs
+        untouched for the grace window are reclaimed (default 5 min —
+        far beyond a single apply's stage→commit gap; pass 0 only when
+        no writer can be live).
+
+        Driver-side filesystem metadata work only — no Spark job."""
+        referenced = self._foreign_branch_refs()
+        for v in range(1, self.current_version() + 1):
+            if not os.path.exists(self._manifest_path(v)):
+                continue
+            m = self.manifest_at(v)
+            for b in m["buckets"]:
+                referenced.update(self._paths_of(m, b))
+        removed = self._reclaim_unreferenced(
+            referenced, min_age_before=time.time() - grace_seconds
+        )
+        return {"removed_dirs": removed}
