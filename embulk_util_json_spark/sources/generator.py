@@ -46,6 +46,8 @@ def generate_events(
     delete_rate: float = 0.05,
     evolve_after: float | None = None,
     sort_by_seq: bool = False,
+    seq_offset: int = 0,
+    evolve_seq: int | None = None,
 ) -> pa.Table:
     """Return an arrow table (seq: int64, event_json: string).
 
@@ -55,9 +57,21 @@ def generate_events(
     whole string column into one >2 GiB array past ~12M events.
     Row payloads are unchanged; duplicate-delivery rows share a seq
     and identical bytes, so tie order is unobservable.
+
+    ``seq_offset`` / ``evolve_seq`` exist for CHUNKED generation (the
+    256M+ soak path): a caller generating segment i of a larger
+    stream passes the segment's absolute start seq and the absolute
+    schema-evolution threshold, so seqs stay globally unique and
+    contiguous and the ts drift / evolution point stay global
+    properties. A chunked stream is NOT byte-identical to the
+    monolithic one with the same seed (each chunk draws its own RNG)
+    — it is the same DISTRIBUTION at a scale the monolithic path
+    cannot reach; established soak scales keep using the monolithic
+    path so their final_rows stay bit-comparable across rounds.
     """
     rng = np.random.default_rng(seed)
     n = int(n_events)
+    seq_offset = int(seq_offset)
 
     # conversation choice: hot conv 0 gets hot_conv_share of traffic
     p = np.full(n_convs, (1.0 - hot_conv_share) / max(n_convs - 1, 1))
@@ -72,10 +86,10 @@ def generate_events(
 
     # out-of-order timestamps: seconds offset grows with seq but with
     # heavy jitter; collisions (same second) exercise the seq tie-break
-    base_off = (np.arange(n) * 3) // 1
+    base_off = ((np.arange(n, dtype=np.int64) + seq_offset) * 3) // 1
     jitter = rng.integers(-600, 600, size=n)
     ts_sec = np.maximum(base_off + jitter, 0)
-    seq = np.arange(n, dtype=np.int64)
+    seq = np.arange(n, dtype=np.int64) + seq_offset
 
     tool_i = rng.integers(0, len(TOOLS), size=n)
 
@@ -126,8 +140,10 @@ def generate_events(
     tool_frag = tool_lut[col(tool_i)]
     seq_s = seq_o.astype("U12").astype(object)
 
-    if evolve_after is not None:
-        model_frag = np.where(seq_o >= int(n * evolve_after), ',"model":"m-2"', "").astype(object)
+    if evolve_seq is None and evolve_after is not None:
+        evolve_seq = seq_offset + int(n * evolve_after)
+    if evolve_seq is not None:
+        model_frag = np.where(seq_o >= int(evolve_seq), ',"model":"m-2"', "").astype(object)
     else:
         model_frag = np.broadcast_to(np.array("", dtype=object), len(seq_o))
 
@@ -195,6 +211,36 @@ def ensure_events_segments(
     if os.path.exists(done):
         return dir_path
     os.makedirs(dir_path, exist_ok=True)
+    if n_events > 130_000_000:
+        # CHUNKED generation for soak scales the monolithic path
+        # cannot hold driver-side (256M events ≈ 100 GB of Python
+        # string objects): each segment is generated independently
+        # with its absolute seq range and its own RNG stream, so peak
+        # memory is O(segment) regardless of total scale. Same
+        # distribution, not byte-identical to the monolithic stream —
+        # established scales (≤128M) keep the monolithic path so
+        # their final_rows stay bit-comparable across rounds.
+        per = (int(n_events) + segments - 1) // segments
+        evolve_seq = (
+            int(n_events * evolve_after) if evolve_after is not None else None
+        )
+        for i in range(segments):
+            lo = i * per
+            hi = min(int(n_events), lo + per)
+            if hi <= lo:
+                break
+            chunk = generate_events(
+                hi - lo, n_convs, n_turns, seed + i * 1_000_003,
+                seq_offset=lo, evolve_seq=evolve_seq,
+                sort_by_seq=True, **kwargs,
+            )
+            tmp = os.path.join(dir_path, f".seg-{i:03d}.tmp")
+            pq.write_table(chunk, tmp, row_group_size=1 << 18)
+            os.rename(tmp, os.path.join(dir_path, f"seg-{i:03d}.parquet"))
+            del chunk
+        with open(done, "w") as fh:
+            fh.write(str(n_events))
+        return dir_path
     # seq order comes from the numpy side (sort_by_seq): an Arrow-side
     # sort/take would gather the whole string column into one >2 GiB
     # array past ~12M events. Sorted chunks slice cleanly.
