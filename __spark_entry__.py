@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_since_ts": _q_cdc_changes_since_ts,
         "cdc_orphan_cleanup_final_state": _q_cdc_orphan_cleanup_final_state,
         "cdc_tagged_read": _q_cdc_tagged_read,
+        "cdc_row_lineage_final": _q_cdc_row_lineage_final,
         "cdc_bloom_skipped_lookup": _q_cdc_bloom_skipped_lookup,
         "cdc_view_cascade_incremental": _q_cdc_view_cascade_incremental,
         "cdc_patch_state_ttl_final": _q_cdc_patch_state_ttl_final,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_since_ts": _ORACLE_CHANGE_FEED,
         "cdc_orphan_cleanup_final_state": _ORACLE_CDC_FINAL,
         "cdc_tagged_read": _ORACLE_ASOF_TS,
+        "cdc_row_lineage_final": _ORACLE_ROW_LINEAGE,
         "cdc_bloom_skipped_lookup": _ORACLE_BLOOM_LOOKUP,
         "cdc_view_cascade_incremental": _ORACLE_VIEW_CASCADE,
         "cdc_patch_state_ttl_final": _ORACLE_PATCH_STATE_TTL,

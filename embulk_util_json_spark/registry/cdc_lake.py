@@ -2104,6 +2104,57 @@ def _q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_row_lineage_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage (``track_lineage=True``, Delta row tracking made
+    explicit): 3 seq-sliced applies, each row stamped with its writer
+    batch id; the final LWW winner must carry exactly the batch whose
+    seq slice contains the winning event — recomputable relationally,
+    so the oracle derives ``_ingest_batch`` from the winner's seq.
+    A mid-stream compact() pins that provenance survives rewrites."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("rowlin_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    span = hi - lo + 1
+    c1, c2 = lo + span // 3, lo + (2 * span) // 3
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        track_lineage=True,
+    )
+    sink.apply(changes.filter(F.col("seq") < c1), "b0")
+    sink.apply(changes.filter((F.col("seq") >= c1) & (F.col("seq") < c2)), "b1")
+    sink.compact()  # provenance must survive the rewrite
+    sink.apply(changes.filter(F.col("seq") >= c2), "b2")
+    return sink.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "_ingest_batch"
+    )
+
+
+_ORACLE_ROW_LINEAGE = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (
+        SELECT MIN(seq) AS lo,
+               MIN(seq) + (MAX(seq) - MIN(seq) + 1) // 3 AS c1,
+               MIN(seq) + (2 * (MAX(seq) - MIN(seq) + 1)) // 3 AS c2
+        FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           CASE WHEN seq < (SELECT c1 FROM bounds) THEN 'b0'
+                WHEN seq < (SELECT c2 FROM bounds) THEN 'b1'
+                ELSE 'b2' END AS _ingest_batch
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_changes_since_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock change-feed window (``read_changes(since_ts=...)``,
     the Delta CDF ``startingTimestamp`` shape): the same 2-batch replay
@@ -2171,6 +2222,8 @@ __all__ = [
     "_q_cdc_changes_since_ts",
     "_q_cdc_orphan_cleanup_final_state",
     "_q_cdc_tagged_read",
+    "_q_cdc_row_lineage_final",
+    "_ORACLE_ROW_LINEAGE",
     "_q_cdc_apply_final_state",
     "_ORACLE_MERGE_INTO",
     "_q_cdc_txn_consistent_read",

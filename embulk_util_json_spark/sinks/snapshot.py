@@ -59,6 +59,7 @@ from ..sources.events import EXTRAS_COL, KEY_COLS, ORDER_COLS
 BUCKET_COL = "_bucket"
 BAND_COL = "_band"  # time-band subdir written by banded compaction
 META_COLS = ["op", "seq"]  # ts doubles as payload and order column
+LINEAGE_COL = "_ingest_batch"  # row lineage: writer batch id (track_lineage)
 BLOOM_SEED = 0x9747B28C  # 2nd xxhash64 stream for double-hash blooms
 
 
@@ -148,6 +149,7 @@ class ParquetSnapshotSink:
         unchanged_marker: str | None = None,
         branch: str = "main",
         stats_cols: list[str] | None = None,
+        track_lineage: bool = False,
     ) -> None:
         """``patch_cols`` switches the sink to PATCH MODE: change
         events are partial updates that do not restate every column
@@ -225,6 +227,17 @@ class ParquetSnapshotSink:
         # chain skipping. A layout knob like patch config — recorded
         # on first commit, re-adopted by later handles.
         self.stats_cols: list[str] = list(stats_cols or [])
+        # Row lineage (the Delta row-tracking shape, explicit): stamp
+        # every change row with its writer batch id at apply; the LWW
+        # winner then carries exact "which batch last wrote this row"
+        # provenance as an ordinary payload column — it survives
+        # compaction, time travel, branches, and change feeds for
+        # free (compaction rewrites rows, it does not re-WIN them).
+        # Batch id, not version, deliberately: the id is known before
+        # the OCC commit race resolves, so retries stamp identically;
+        # lineage() maps batch -> version/metrics. Table state like
+        # patch config: recorded on first commit, re-adopted.
+        self.track_lineage = bool(track_lineage)
         # ALTER TABLE config (metadata-only; _adopt refreshes): columns
         # logically dropped (physical names — hidden on read, shed on
         # rewrite) and existence defaults {physical: {"t","v"}} — files
@@ -241,6 +254,12 @@ class ParquetSnapshotSink:
             self.patch_cols = list(patch_cols) if patch_cols else None
             self.unchanged_marker = unchanged_marker
             self.patch_types: dict[str, str] = {}
+        if self.track_lineage and self.patch_cols:
+            raise ValueError(
+                "track_lineage is row-level provenance; patch mode "
+                "resolves columns independently (per-column lineage "
+                "is the _po_<col> stamps, already stored)"
+            )
 
     def _adopt(self, manifest: dict) -> None:
         """Refresh patch config from a freshly-read manifest. Patch
@@ -259,6 +278,8 @@ class ParquetSnapshotSink:
             self.stats_cols = list(manifest["stats_cols"])
         self.dropped_cols = set(manifest.get("dropped_columns", []))
         self.column_defaults = dict(manifest.get("column_defaults", {}))
+        if manifest.get("track_lineage"):
+            self.track_lineage = True
         if "patch_cols" not in manifest:
             return
         self.patch_cols = list(manifest["patch_cols"]) or None
@@ -1051,13 +1072,13 @@ class ParquetSnapshotSink:
             f not in manifest
             for f in (
                 "column_mapping", "column_defaults", "dropped_columns",
-                "constraints",
+                "constraints", "track_lineage",
             )
         ):
             prev = self.current_manifest()
             for f in (
                 "column_mapping", "column_defaults", "dropped_columns",
-                "constraints",
+                "constraints", "track_lineage",
             ):
                 if f not in manifest and prev and prev.get(f):
                     manifest[f] = prev[f]
@@ -1886,6 +1907,12 @@ class ParquetSnapshotSink:
                     f"columns {stale} were dropped from this table; "
                     "re-add with add_column() before writing them"
                 )
+        if self.track_lineage:
+            # row lineage: stamp every row (tombstones included — the
+            # feed shows who deleted) with the writer batch id. A
+            # caller-supplied column of the same name is overwritten:
+            # lineage is the SINK's claim, not the producer's.
+            changes = changes.withColumn(LINEAGE_COL, F.lit(batch_id))
         if self.column_defaults and self.patch_cols is None:
             # SQL write-default: an INSERT that omits a defaulted
             # column gets the default (explicit NULL stays NULL —
@@ -2232,6 +2259,7 @@ class ParquetSnapshotSink:
                 "unchanged_marker": self.unchanged_marker,
                 "patch_types": self.patch_types,
                 "stats_cols": self.stats_cols,
+                "track_lineage": self.track_lineage,
                 "file_stats": file_stats,
                 "key_stats": key_stats,
                 "col_stats": col_stats,
