@@ -198,6 +198,7 @@ def ensure_events_segments(
     n_turns: int = 40,
     seed: int = 42,
     evolve_after: float | None = None,
+    chunk_threshold: int = 130_000_000,
     **kwargs,
 ) -> str:
     """Materialize the stream as ``segments`` seq-contiguous parquet
@@ -211,7 +212,7 @@ def ensure_events_segments(
     if os.path.exists(done):
         return dir_path
     os.makedirs(dir_path, exist_ok=True)
-    if n_events > 130_000_000:
+    if n_events > chunk_threshold:
         # CHUNKED generation for soak scales the monolithic path
         # cannot hold driver-side (256M events ≈ 100 GB of Python
         # string objects): each segment is generated independently
