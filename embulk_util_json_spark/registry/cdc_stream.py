@@ -32,6 +32,10 @@ def _wire_format_final_state(spark: SparkSession, sf_dir: str, fmt: str) -> Data
         from embulk_util_json_spark.sources import canal
 
         changes = canal.parse_canal_events(canal.to_canal_json(events))
+    elif fmt == "wal2json":
+        from embulk_util_json_spark.sources import wal2json as w2j
+
+        changes = w2j.parse_wal2json_events(w2j.to_wal2json_json(events))
     else:
         changes = dbz.parse_maxwell_events(dbz.to_maxwell_json(events))
     final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
@@ -63,6 +67,16 @@ def _q_cdc_canal_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle truncates ts to milliseconds — the wire format's
     honest precision — and lets ties fall to seq."""
     return _wire_format_final_state(spark, sf_dir, "canal")
+
+
+def _q_cdc_wal2json_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json v2 ingest (PostgreSQL logical decoding: action I/U/D,
+    ``columns`` array-of-{name,type,value} row images pivoted to the
+    canonical map in codegen, deletes via REPLICA IDENTITY ``identity``,
+    per-action commit timestamp with a zone offset normalized to UTC
+    arithmetically): wire-format adapter → LWW replay. Microsecond-
+    lossless, so the oracle is the native CDC oracle."""
+    return _wire_format_final_state(spark, sf_dir, "wal2json")
 
 
 _ORACLE_CDC_FINAL_MS = f"""
@@ -1386,6 +1400,7 @@ __all__ = [
     "_q_cdc_debezium_final_state",
     "_q_cdc_maxwell_final_state",
     "_q_cdc_canal_final_state",
+    "_q_cdc_wal2json_final_state",
     "_ORACLE_CDC_FINAL_MS",
     "_ORACLE_CDC_FINAL_SEC",
     "_q_cdc_seq_gaps",
