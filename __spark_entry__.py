@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- reference-parity core. Tail = green r3/r4 records, all
         # -- re-verified by the local 118/118 mirror sweep.
         "cdc_wal2json_final_state": _q_cdc_wal2json_final_state,
+        "cdc_shallow_clone_divergence": _q_cdc_shallow_clone_divergence,
+        "cdc_cherrypick_final_state": _q_cdc_cherrypick_final_state,
         "cdc_constraint_enforced": _q_cdc_constraint_enforced,
         "cdc_asof_ts_read": _q_cdc_asof_ts_read,
         "cdc_changes_since_ts": _q_cdc_changes_since_ts,
@@ -284,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed_debezium_export": _ORACLE_CHANGE_FEED,
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
         "cdc_wal2json_final_state": _ORACLE_CDC_FINAL,
+        "cdc_shallow_clone_divergence": _ORACLE_SHALLOW_CLONE,
+        "cdc_cherrypick_final_state": _ORACLE_CHERRYPICK,
         "cdc_maxwell_final_state": _ORACLE_CDC_FINAL_SEC,
         "cdc_canal_final_state": _ORACLE_CDC_FINAL_MS,
         "cdc_hot_keys": skew.key_histogram_sql(_ORACLE_CDC_EVENTS, ["conv_id"], top_k=20, parallelism=32),

@@ -2214,7 +2214,124 @@ def _q_cdc_orphan_cleanup_final_state(spark: SparkSession, sf_dir: str) -> DataF
     return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _q_cdc_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (``clone_to``, the Delta CLONE shape): after 2 of
+    3 seq-thirds land, the table is cloned to a new root — METADATA
+    ONLY, zero data bytes copied (runtime-asserted) — then the two
+    tables diverge: the source takes the whole third batch, the clone
+    only its even-seq rows. Graded result: the CLONE's final state,
+    which must equal the LWW fold of batches 1+2 plus the even-seq
+    slice of batch 3 — provably independent of the source's
+    post-clone write. The source-side pin tag (vacuum protection for
+    the zero-copy references) is asserted present."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+    import glob as _glob
+
+    work = _scratch("clone_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    span = hi - lo + 1
+    c1, c2 = lo + span // 3, lo + (2 * span) // 3
+    src = ParquetSnapshotSink(
+        spark, os.path.join(work, "src"), num_buckets=8, mode="mor"
+    )
+    src.apply(changes.filter(F.col("seq") < c1), "b0")
+    src.apply(changes.filter((F.col("seq") >= c1) & (F.col("seq") < c2)), "b1")
+    clone = src.clone_to(os.path.join(work, "clone"))
+    assert (
+        _glob.glob(os.path.join(work, "clone", "data", "**", "*.parquet"), recursive=True)
+        == []
+    ), "shallow clone must copy zero data files"
+    assert any(t.startswith("clone-") for t in src.tags())
+    src.apply(changes.filter(F.col("seq") >= c2), "b2")  # invisible to clone
+    clone.apply(
+        changes.filter((F.col("seq") >= c2) & (F.col("seq") % 2 == 0)), "b2-even"
+    )
+    return clone.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_SHALLOW_CLONE = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (
+        SELECT MIN(seq) + (2 * (MAX(seq) - MIN(seq) + 1)) // 3 AS c2
+        FROM changes
+    ),
+    kept AS (
+        SELECT * FROM changes
+        WHERE seq < (SELECT c2 FROM bounds) OR seq % 2 = 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM kept
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _q_cdc_cherrypick_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-commit cherry-pick (``cherrypick_from``, the Iceberg
+    ``cherrypick_snapshot`` analogue): a sibling table replays all 3
+    seq-thirds (3 commits); the target holds only the first and picks
+    the THIRD commit alone — its final state must equal the LWW fold
+    of thirds 1 and 3, with the middle third never present. Pick
+    idempotency (derived batch id) is runtime-asserted."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("cherry_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    span = hi - lo + 1
+    c1, c2 = lo + span // 3, lo + (2 * span) // 3
+    donor = ParquetSnapshotSink(
+        spark, os.path.join(work, "donor"), num_buckets=8, mode="mor"
+    )
+    donor.apply(changes.filter(F.col("seq") < c1), "b0")
+    donor.apply(changes.filter((F.col("seq") >= c1) & (F.col("seq") < c2)), "b1")
+    donor.apply(changes.filter(F.col("seq") >= c2), "b2")
+    target = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor"
+    )
+    target.apply(changes.filter(F.col("seq") < c1), "b0")
+    r = target.cherrypick_from(donor, 3)  # ONLY b2's commit
+    assert not r.get("skipped"), r
+    assert target.cherrypick_from(donor, 3)["skipped"]
+    return target.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_CHERRYPICK = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (
+        SELECT MIN(seq) + (MAX(seq) - MIN(seq) + 1) // 3 AS c1,
+               MIN(seq) + (2 * (MAX(seq) - MIN(seq) + 1)) // 3 AS c2
+        FROM changes
+    ),
+    kept AS (
+        SELECT * FROM changes
+        WHERE seq < (SELECT c1 FROM bounds) OR seq >= (SELECT c2 FROM bounds)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM kept
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 __all__ = [
+    "_q_cdc_shallow_clone_divergence",
+    "_ORACLE_SHALLOW_CLONE",
+    "_q_cdc_cherrypick_final_state",
+    "_ORACLE_CHERRYPICK",
     "_q_cdc_constraint_enforced",
     "_ORACLE_CONSTRAINT",
     "_q_cdc_asof_ts_read",

@@ -580,6 +580,162 @@ class ParquetSnapshotSink:
             audit(feed)
         return self.apply(feed, f"publish@{branch_sink.branch}:{to_v}")
 
+    def cherrypick_from(
+        self,
+        source: "ParquetSnapshotSink",
+        version: int,
+        batch_id: str | None = None,
+    ) -> dict:
+        """Apply ONE of ``source``'s commits to this table — the
+        Iceberg ``cherrypick_snapshot`` analogue, composed from the
+        engine's own primitives: the commit's net change feed
+        (``read_changes(version-1, version)`` — O(that commit), never
+        O(table)) replayed through ``apply`` as a single batch.
+
+        Conflict semantics are LWW, the table's merge rule: a
+        cherry-picked row lands only if it beats this table's current
+        winner for its key (the picked rows keep their ORIGINAL
+        event-time/seq stamps — cherry-pick transplants the change,
+        it does not re-author it). Idempotent: the batch id encodes
+        (source branch, version), so a second pick of the same commit
+        skips. Patch-mode tables refuse — a patch commit's feed is
+        stamped column levels, not replayable change rows."""
+        if self._patch_conf(self.current_manifest())[0] or source._patch_conf(
+            source.current_manifest()
+        )[0]:
+            raise ValueError(
+                "cherrypick_from supports row-level tables only (a "
+                "patch-mode change feed emits stamped column levels)"
+            )
+        if version < 1 or version > source.current_version():
+            raise ValueError(
+                f"source has no committed version {version} "
+                f"(current: {source.current_version()})"
+            )
+        feed = source.read_changes(version - 1, version)
+        return self.apply(
+            feed, batch_id or f"cherrypick@{source.branch}:{version}"
+        )
+
+    # ---- cross-root clone (zero-copy shallow / self-contained deep) ----
+
+    @staticmethod
+    def _clone_rel(path: str) -> str:
+        """Destination-relative name for a cloned data path: relative
+        paths keep their name; an absolute path (a prior shallow
+        clone's foreign reference) re-roots at its own ``data/`` tail
+        — version dirs are uuid-suffixed, so names never collide."""
+        if not os.path.isabs(path):
+            return path
+        return "data/" + path.rsplit("/data/", 1)[-1]
+
+    def clone_to(
+        self,
+        dest_root: str,
+        deep: bool = False,
+        at_version: int | None = None,
+        pin_tag: bool = True,
+    ) -> "ParquetSnapshotSink":
+        """Clone this table to a NEW root (the Delta ``CLONE`` shape;
+        ``create_branch`` is the in-table sibling). The clone is a
+        fully independent table from version 1: its own manifest log,
+        branches, tags, cursors, and vacuum domain; writes to either
+        side are invisible to the other; ``batch_ids`` carry over, so
+        replaying the pre-clone stream into the clone stays a no-op.
+
+        ``deep=False`` (default — shallow): METADATA-ONLY. The clone's
+        manifest references the source's committed data files by
+        absolute path; zero bytes copy. Two protections keep that
+        sound: (1) data files are immutable — the source only ever
+        supersedes them, never rewrites in place; (2) ``pin_tag``
+        (default on) tags the cloned version on the SOURCE
+        (``clone-…``), and vacuum pins tagged versions, so source
+        maintenance cannot reclaim files the clone still reads.
+        Dropping that tag transfers the risk Delta documents for
+        shallow clones: a source VACUUM may strand the clone. The
+        clone's own vacuum/compact never touch foreign files (its
+        reclaim walk is root-local), and every clone-side compaction
+        rewrites chains into clone-local files — the clone localizes
+        itself incrementally as it is maintained.
+
+        ``deep=True``: copy every referenced data directory under the
+        clone's root (same rel layout, driver-side file copy — the
+        data is already columnar/compressed; no Spark job, no decode).
+        Self-contained from birth; no source tag needed.
+
+        Layout, patch config, ALTER state (renames, defaults, drops,
+        constraints), zone maps, and blooms all carry over — stats and
+        bloom keys are rewritten to the clone's path names."""
+        import shutil
+
+        src = self.manifest_at(
+            at_version if at_version is not None else self.current_version()
+        )
+        if src is None or not src.get("buckets"):
+            raise ValueError("cannot clone an empty table (no data commits)")
+        dest = ParquetSnapshotSink(
+            self.spark,
+            dest_root,
+            num_buckets=int(src["num_buckets"]),
+            keys=self.keys,
+            order_cols=self.order_cols,
+            bucket_by=self.bucket_by,
+            mode=self.mode,
+            compact_every=self.compact_every,
+        )
+        if dest.current_version() > 0:
+            raise ValueError(f"clone destination {dest_root!r} is not empty")
+
+        path_map: dict[str, str] = {}
+        for b in src["buckets"]:
+            for p in self._paths_of(src, b):
+                if p in path_map:
+                    continue
+                if deep:
+                    rel = self._clone_rel(p)
+                    src_abs = (
+                        p if os.path.isabs(p) else os.path.join(self.root, p)
+                    )
+                    shutil.copytree(src_abs, os.path.join(dest_root, rel))
+                    path_map[p] = rel
+                else:
+                    path_map[p] = (
+                        p if os.path.isabs(p) else os.path.join(self.root, p)
+                    )
+
+        def _rekey(d: dict | None) -> dict:
+            return {path_map[p]: v for p, v in (d or {}).items() if p in path_map}
+
+        manifest = {
+            **src,
+            "version": 1,
+            "buckets": {
+                b: [path_map[p] for p in self._paths_of(src, b)]
+                for b in src["buckets"]
+            },
+            "file_stats": _rekey(src.get("file_stats")),
+            "key_stats": _rekey(src.get("key_stats")),
+            "col_stats": _rekey(src.get("col_stats")),
+            "blooms": _rekey(src.get("blooms")),
+            "cloned_from": {
+                "root": self.root,
+                "branch": self.branch,
+                "version": src["version"],
+                "deep": deep,
+            },
+        }
+        # per-commit provenance markers describe SOURCE history, not
+        # the clone's own log — they must not retrigger guards here
+        for marker in ("rolled_back", "branched_from"):
+            manifest.pop(marker, None)
+        dest._commit(manifest)
+        dest._adopt(dest.current_manifest())
+        if pin_tag and not deep:
+            tag = f"clone-{os.path.basename(os.path.normpath(dest_root))}-v{src['version']}"
+            if tag not in self.tags():
+                self.create_tag(tag, at_version=src["version"])
+        return dest
+
     def rollback(self, to_version: int) -> dict:
         """Restore the table to a previously committed version by
         committing a NEW manifest whose content is the target's (the
