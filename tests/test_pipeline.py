@@ -455,9 +455,9 @@ def test_incremental_dedup_probe_is_bucket_pruned(spark, tmp_path):
     opened: list[list[str]] = []
     orig = d.store._read_bucket_paths
 
-    def spy(rel_paths):
+    def spy(rel_paths, **kw):
         opened.append(list(rel_paths))
-        return orig(rel_paths)
+        return orig(rel_paths, **kw)
 
     d.store._read_bucket_paths = spy
     flags = {
