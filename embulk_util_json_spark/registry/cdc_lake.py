@@ -2327,11 +2327,88 @@ _ORACLE_CHERRYPICK = f"""
 """
 
 
+def _q_cdc_bucketed_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed warehouse export (``export_bucketed``) + the payoff it
+    buys: the transcripts table and a conversation-level dimension
+    (same stream keyed by conv_id alone = latest event per conv) are
+    exported as Spark bucketed tables with the SAME bucket count, then
+    joined on conv_id — and the executed plan is runtime-asserted to
+    contain a SortMergeJoin with ZERO Exchange nodes: both sides read
+    pre-bucketed, so a 100 TB feature join pays no shuffle at all.
+    Values are oracle-checked against the two-level LWW join."""
+    import uuid as _uuid
+
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("bexp_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    turns = ParquetSnapshotSink(
+        spark, os.path.join(work, "turns"), num_buckets=8, mode="mor"
+    )
+    turns.apply(changes, "b0")
+    conv = ParquetSnapshotSink(
+        spark, os.path.join(work, "conv"), num_buckets=8, keys=["conv_id"], mode="mor"
+    )
+    conv.apply(changes, "b0")
+    tag = _uuid.uuid4().hex[:8]
+    ta = turns.export_bucketed(f"bexp_turns_{tag}", os.path.join(work, "exp_t"))
+    tb = conv.export_bucketed(f"bexp_conv_{tag}", os.path.join(work, "exp_c"))
+    dim = spark.table(tb).select(
+        "conv_id",
+        F.col("text").alias("conv_last_text"),
+        F.col("ts").alias("conv_last_ts"),
+    )
+    joined = (
+        spark.table(ta)
+        .hint("merge")
+        .join(dim, "conv_id")
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "conv_last_text", "conv_last_ts",
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan  # both sides pre-bucketed
+    return joined
+
+
+_ORACLE_BUCKETED_EXPORT_JOIN = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    turn_ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    turns AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM turn_ranked WHERE rn = 1 AND op <> 'delete'
+    ),
+    conv_ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    conv_dim AS (
+        SELECT conv_id, text AS conv_last_text, ts AS conv_last_ts
+        FROM conv_ranked WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+           d.conv_last_text, d.conv_last_ts
+    FROM turns t JOIN conv_dim d ON t.conv_id = d.conv_id
+"""
+
+
 __all__ = [
     "_q_cdc_shallow_clone_divergence",
     "_ORACLE_SHALLOW_CLONE",
     "_q_cdc_cherrypick_final_state",
     "_ORACLE_CHERRYPICK",
+    "_q_cdc_bucketed_export_join",
+    "_ORACLE_BUCKETED_EXPORT_JOIN",
     "_q_cdc_constraint_enforced",
     "_ORACLE_CONSTRAINT",
     "_q_cdc_asof_ts_read",

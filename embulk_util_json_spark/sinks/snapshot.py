@@ -2593,6 +2593,54 @@ class ParquetSnapshotSink:
                 pass
         return result
 
+    # ---- bucketed warehouse export (shuffle-free downstream joins) -----
+
+    def export_bucketed(
+        self,
+        table_name: str,
+        path: str,
+        num_buckets: int | None = None,
+        at_version: int | None = None,
+        sort: bool = True,
+    ) -> str:
+        """Materialize the table's LWW state as a Spark BUCKETED
+        catalog table (``bucketBy`` on the sink's bucket key) at an
+        explicit external ``path``.
+
+        Why this exists at 100 TB: the sink's own layout hashes with
+        ``xxhash64`` inside this engine's manifest world — Spark's
+        planner cannot see it. Exporting through ``bucketBy`` re-keys
+        the state into Spark's native bucketing (Murmur3), whose
+        partitioning IS visible to Catalyst: two tables exported with
+        the SAME bucket count join on the bucket key with ZERO
+        shuffle on either side (the classic bucketed sort-merge join
+        — each task reads bucket *i* of both tables), and per-key
+        aggregations over one export skip their exchange entirely.
+        One export pays one shuffle; every downstream join/agg of the
+        warehouse consumer then pays none — the right trade whenever
+        state is consumed more than once (feature joins, eval scans,
+        repeated training-data builds).
+
+        ``sort`` additionally orders rows by the bucket key within
+        each bucket file (``sortBy``), letting the single-file-per-
+        bucket case skip the join's sort as well. Export is a full
+        overwrite of ``table_name`` (re-export after new applies to
+        refresh); the table is EXTERNAL (data at ``path``), so
+        dropping it never deletes sink data — the export dir is an
+        independent artifact."""
+        n = int(num_buckets or self.num_buckets)
+        df = self.read(at_version=at_version)
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(n, self.bucket_by)
+        )
+        if sort:
+            writer = writer.sortBy(self.bucket_by)
+        writer.saveAsTable(table_name)
+        return table_name
+
     # ---- read ----------------------------------------------------------
 
     def read(
