@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- reference-parity core. Tail = green r3/r4 records, all
         # -- re-verified by the local 118/118 mirror sweep.
         "cdc_wal2json_final_state": _q_cdc_wal2json_final_state,
+        "cdc_wal2json_txn_final_state": _q_cdc_wal2json_txn_final_state,
         "cdc_shallow_clone_divergence": _q_cdc_shallow_clone_divergence,
         "cdc_cherrypick_final_state": _q_cdc_cherrypick_final_state,
         "cdc_bucketed_export_join": _q_cdc_bucketed_export_join,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed_debezium_export": _ORACLE_CHANGE_FEED,
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
         "cdc_wal2json_final_state": _ORACLE_CDC_FINAL,
+        "cdc_wal2json_txn_final_state": _ORACLE_CDC_FINAL,
         "cdc_shallow_clone_divergence": _ORACLE_SHALLOW_CLONE,
         "cdc_cherrypick_final_state": _ORACLE_CHERRYPICK,
         "cdc_bucketed_export_join": _ORACLE_BUCKETED_EXPORT_JOIN,

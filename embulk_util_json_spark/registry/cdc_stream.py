@@ -79,6 +79,53 @@ def _q_cdc_wal2json_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wire_format_final_state(spark, sf_dir, "wal2json")
 
 
+def _q_cdc_wal2json_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-transaction atomicity from REAL wal2json framing: the
+    stream is rewrapped with B/C transaction actions (include-xids
+    semantics, 64-event transactions), split into row/marker feeds by
+    ``parse_wal2json_txn_stream``, and applied through
+    ``TxnBoundaryApplier`` in two batches whose boundary cuts INSIDE
+    a transaction — the cut transaction's head is runtime-asserted
+    HELD (invisible) until its C arrives in batch 2. Fully drained,
+    the final state equals the plain LWW fold, so the native CDC
+    oracle applies."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.wal2json import (
+        parse_wal2json_events,
+        parse_wal2json_txn_stream,
+        to_wal2json_txn_json,
+    )
+    from embulk_util_json_spark.streaming.txn_boundary import TxnBoundaryApplier
+
+    work = _scratch("w2jtxn_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    wire = to_wal2json_txn_json(events, txn_size=64)
+    rows, markers = parse_wal2json_txn_stream(wire)
+    b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    # wire seqs are source*3+{0,1,2}; cut mid-transaction: halfway
+    # through the txn containing the source midpoint, NOT on a 64-edge
+    mid = (int(b.lo) + int(b.hi)) // 2
+    cut_src = (mid // 64) * 64 + 32
+    cut_txid = cut_src // 64
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8)
+    ap = TxnBoundaryApplier(
+        spark, sink, os.path.join(work, "txn"), parse_fn=parse_wal2json_events
+    )
+    r1 = ap.apply(
+        rows.filter(F.col("seq") < cut_src * 3),
+        markers.filter(F.col("txid") < cut_txid),
+    )
+    assert r1["held_batch"] and r1["open_rows"] > 0, r1
+    r2 = ap.apply(
+        rows.filter(F.col("seq") >= cut_src * 3),
+        markers.filter(F.col("txid") >= cut_txid),
+    )
+    assert r2["open_rows"] == 0, r2
+    return sink.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 _ORACLE_CDC_FINAL_MS = f"""
     WITH changes AS (
         SELECT seq, op, date_trunc('milliseconds', ts) AS ts,
@@ -1401,6 +1448,7 @@ __all__ = [
     "_q_cdc_maxwell_final_state",
     "_q_cdc_canal_final_state",
     "_q_cdc_wal2json_final_state",
+    "_q_cdc_wal2json_txn_final_state",
     "_ORACLE_CDC_FINAL_MS",
     "_ORACLE_CDC_FINAL_SEC",
     "_q_cdc_seq_gaps",

@@ -68,6 +68,7 @@ _COLS = T.ArrayType(
 WAL2JSON_SCHEMA = T.StructType(
     [
         T.StructField("action", T.StringType()),
+        T.StructField("xid", T.LongType()),
         T.StructField("schema", T.StringType()),
         T.StructField("table", T.StringType()),
         T.StructField("timestamp", T.StringType()),
@@ -138,6 +139,94 @@ def parse_wal2json_events(
         )
     )
     return _canonical_select(parsed, op, ts, data, F.col("_e.table"), with_table)
+
+
+def parse_wal2json_txn_stream(
+    events: DataFrame,
+    json_col: str = "event_json",
+    seq_col: str = "seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a wal2json stream produced with ``include-xids=1`` into
+    the two feeds :class:`streaming.txn_boundary.TxnBoundaryApplier`
+    consumes for source-transaction atomicity:
+
+    - **rows**: the raw I/U/D actions as ``(seq, event_json, txid)`` —
+      raw, not parsed, so the applier's ``parse_fn``
+      (:func:`parse_wal2json_events`) parses exactly once, and only
+      for rows whose transaction has committed;
+    - **markers**: the ``C`` (commit) actions as ``(txid, status)``.
+      wal2json never emits aborted transactions (logical decoding
+      replays only committed WAL by default), so every marker is a
+      commit — the applier's abort path simply stays idle on this
+      wire.
+
+    A ``C`` may arrive batches after its rows (micro-batch boundaries
+    land inside transactions); the applier's durable pending store is
+    what holds those rows, not this parser — this split is stateless
+    and single-pass (ONE lightweight ``get_json_object`` projection;
+    the full envelope parse happens post-commit only).
+    """
+    tagged = events.select(
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(json_col).alias("event_json"),
+        F.get_json_object(F.col(json_col), "$.action").alias("_action"),
+        F.get_json_object(F.col(json_col), "$.xid").cast("long").alias("txid"),
+    )
+    rows = tagged.filter(F.col("_action").isin("I", "U", "D")).select(
+        "seq", "event_json", "txid"
+    )
+    markers = tagged.filter(F.col("_action") == "C").select(
+        "txid", F.lit("commit").alias("status")
+    )
+    return rows, markers
+
+
+def to_wal2json_txn_json(
+    events: DataFrame,
+    txn_size: int = 64,
+    json_col: str = "event_json",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Native envelope stream → wal2json v2 wire WITH transaction
+    framing: rows are grouped into source transactions of ``txn_size``
+    consecutive seqs (``txid = seq div txn_size``), and each
+    transaction's rows are preceded by a ``B`` and followed by a ``C``
+    action carrying that ``xid`` (``include-xids=1`` semantics — the
+    xid is stamped on every action). Wire seqs are re-spaced
+    (``seq*3+1`` for rows, txn-start ``*3`` for B, txn-end ``*3+2``
+    for C) so the output is a single totally-ordered feed."""
+    body = to_wal2json_json(events, json_col=json_col, seq_col=seq_col)
+    txid = (F.col("seq") / txn_size).cast("long")
+    rows = body.select(
+        (F.col("seq") * 3 + 1).alias("seq"),
+        F.regexp_replace(  # stamp xid as the first member of the doc
+            F.col("event_json"), r"^\{", '{"xid":' + "XXID" + ","
+        ).alias("event_json"),
+        txid.alias("_txid"),
+    ).select(
+        "seq",
+        F.regexp_replace(
+            F.col("event_json"), "XXID", F.col("_txid").cast("string")
+        ).alias("event_json"),
+    )
+    bounds = (
+        body.select(txid.alias("txid"), F.col("seq"))
+        .groupBy("txid")
+        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+    )
+    begins = bounds.select(
+        (F.col("lo") * 3).alias("seq"),
+        F.concat(
+            F.lit('{"action":"B","xid":'), F.col("txid").cast("string"), F.lit("}")
+        ).alias("event_json"),
+    )
+    commits = bounds.select(
+        (F.col("hi") * 3 + 2).alias("seq"),
+        F.concat(
+            F.lit('{"action":"C","xid":'), F.col("txid").cast("string"), F.lit("}")
+        ).alias("event_json"),
+    )
+    return rows.unionByName(begins).unionByName(commits)
 
 
 def to_wal2json_json(

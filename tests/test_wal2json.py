@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from embulk_util_json_spark.sources.events import parse_change_events_single_pass
 from embulk_util_json_spark.sources.wal2json import (
     parse_wal2json_events,
+    parse_wal2json_txn_stream,
     to_wal2json_json,
+    to_wal2json_txn_json,
 )
 
 NATIVE_EVENTS = [
@@ -126,6 +128,67 @@ def test_extras_ride_through_and_with_table(spark):
     assert evo._table == "transcripts"
     assert evo._extras == {"model": "m-9"}
     assert evo.tool == "search"
+
+
+def test_txn_framing_roundtrip_and_boundary_hold(spark, tmp_path):
+    """to_wal2json_txn_json frames rows in B/C transactions with
+    per-action xids; parse_wal2json_txn_stream splits rows/markers;
+    TxnBoundaryApplier holds a transaction cut mid-batch until its C
+    arrives, and the drained final state equals the plain LWW fold."""
+    import json as _json
+
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.streaming.txn_boundary import TxnBoundaryApplier
+
+    nat = [
+        (
+            i,
+            '{"op":"insert","ts":"2024-01-01 00:%02d:%02d.%06d","data":{"conv_id":"c%d",'
+            '"turn_idx":%d,"role":"user","text":"t-%d","tool":null}}'
+            % (i // 60, i % 60, i, i % 5, i % 4, i),
+        )
+        for i in range(40)
+    ]
+    natdf = spark.createDataFrame(nat, "seq long, event_json string")
+    wire = to_wal2json_txn_json(natdf, txn_size=16)
+    docs = {r.seq: _json.loads(r.event_json) for r in wire.collect()}
+    # framing: B at txn start, C at txn end, xid on every action
+    assert docs[0]["action"] == "B" and docs[0]["xid"] == 0
+    assert docs[15 * 3 + 2]["action"] == "C" and docs[15 * 3 + 2]["xid"] == 0
+    assert all("xid" in d for d in docs.values())
+    rows, markers = parse_wal2json_txn_stream(wire)
+    assert rows.count() == 40
+    assert sorted((m.txid, m.status) for m in markers.collect()) == [
+        (0, "commit"), (1, "commit"), (2, "commit"),
+    ]
+
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), num_buckets=4)
+    ap = TxnBoundaryApplier(
+        spark, sink, str(tmp_path / "txn"), parse_fn=parse_wal2json_events
+    )
+    # batch 1 cuts INSIDE txn 1 (wire seq < 60 ≈ source seq < 20) and
+    # carries only txn 0's commit → txn 1's head must be held
+    r1 = ap.apply(rows.filter(F.col("seq") < 60), markers.filter(F.col("txid") == 0))
+    assert r1["applied_rows"] == 16 and r1["held_batch"] and r1["open_rows"] == 4
+    r2 = ap.apply(rows.filter(F.col("seq") >= 60), markers.filter(F.col("txid") > 0))
+    assert r2["applied_rows"] == 24 and r2["open_rows"] == 0
+    got = sorted(
+        (q.conv_id, q.turn_idx, q.text) for q in sink.read().collect()
+    )
+    want = sorted(
+        (q.conv_id, q.turn_idx, q.text)
+        for q in parse_change_events_single_pass(natdf)
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() over (partition by conv_id, turn_idx "
+                "order by ts desc, seq desc)"
+            ),
+        )
+        .filter("rn = 1 and op <> 'delete'")
+        .collect()
+    )
+    assert got == want
 
 
 def test_values_keep_json_text_coercion(spark):
