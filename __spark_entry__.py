@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shallow_clone_divergence": _q_cdc_shallow_clone_divergence,
         "cdc_cherrypick_final_state": _q_cdc_cherrypick_final_state,
         "cdc_bucketed_export_join": _q_cdc_bucketed_export_join,
+        "cdc_partitioned_export_prune": _q_cdc_partitioned_export_prune,
         "cdc_constraint_enforced": _q_cdc_constraint_enforced,
         "cdc_asof_ts_read": _q_cdc_asof_ts_read,
         "cdc_changes_since_ts": _q_cdc_changes_since_ts,
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_shallow_clone_divergence": _ORACLE_SHALLOW_CLONE,
         "cdc_cherrypick_final_state": _ORACLE_CHERRYPICK,
         "cdc_bucketed_export_join": _ORACLE_BUCKETED_EXPORT_JOIN,
+        "cdc_partitioned_export_prune": _ORACLE_PARTITIONED_EXPORT,
         "cdc_maxwell_final_state": _ORACLE_CDC_FINAL_SEC,
         "cdc_canal_final_state": _ORACLE_CDC_FINAL_MS,
         "cdc_hot_keys": skew.key_histogram_sql(_ORACLE_CDC_EVENTS, ["conv_id"], top_k=20, parallelism=32),

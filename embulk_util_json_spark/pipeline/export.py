@@ -17,7 +17,9 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DAY_COL = "_day"
 
 
 def export_shards(
@@ -52,3 +54,60 @@ def export_shards(
     with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def export_day_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+) -> str:
+    """Write ``df`` hive-partitioned by the DAY of ``ts_col``
+    (``_day=YYYY-MM-DD/`` directories) — the classic lake layout for
+    time-ranged consumption. The partition value is DERIVED at write
+    (hidden-partitioning discipline: callers never maintain ``_day``
+    themselves, so it cannot drift from ``ts_col``), and
+    :func:`read_time_sliced` re-derives the matching partition
+    predicate at read, so a time-window scan opens only the window's
+    day directories — directory-level pruning, before any footer or
+    row is touched. At 10^10 events/day this is the difference
+    between listing one day and listing the archive."""
+    (
+        df.withColumn(DAY_COL, F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy(DAY_COL)
+        .parquet(path)
+    )
+    return path
+
+
+def read_time_sliced(
+    spark: SparkSession,
+    path: str,
+    since=None,
+    until=None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Read a :func:`export_day_partitioned` dataset restricted to
+    ``since <= ts_col < until`` (either bound optional).
+
+    The exact row filter on ``ts_col`` defines the result; the helper
+    additionally derives the implied ``_day`` bounds so Catalyst's
+    partition pruning (PartitionFilters on the hive partition column)
+    skips every out-of-window day directory — plain parquet has no
+    Iceberg-style transform metadata to do this automatically, so the
+    derivation lives here, next to the write-side transform it
+    mirrors. The two predicates are consistent by construction
+    (``to_date`` at write ≡ ``to_date`` of the bounds), so pruning is
+    exact: fail-open on a missing bound, never a dropped row."""
+    df = spark.read.parquet(path)
+    if since is not None:
+        df = df.filter(
+            (F.col(DAY_COL) >= F.to_date(F.lit(since)))
+            & (F.col(ts_col) >= F.lit(since).cast("timestamp"))
+        )
+    if until is not None:
+        df = df.filter(
+            (F.col(DAY_COL) <= F.to_date(F.lit(until)))
+            & (F.col(ts_col) < F.lit(until).cast("timestamp"))
+        )
+    return df.drop(DAY_COL)

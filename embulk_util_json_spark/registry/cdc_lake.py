@@ -2402,7 +2402,80 @@ _ORACLE_BUCKETED_EXPORT_JOIN = f"""
 """
 
 
+def _q_cdc_partitioned_export_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned lake export + pruned time-window read
+    (``pipeline.export.export_day_partitioned`` /
+    ``read_time_sliced``): the final LWW state is written hive-
+    partitioned by the DAY derived from ``ts`` (hidden-partitioning
+    discipline — the partition value is derived at write, the
+    matching partition predicate re-derived at read), and a
+    second-half time window is read back. Partition pruning is
+    runtime-asserted physically: the sliced scan opens strictly fewer
+    data files than the full scan. Values oracle-check against the
+    LWW state filtered by the same window."""
+    from datetime import timedelta
+
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.pipeline.export import (
+        export_day_partitioned,
+        read_time_sliced,
+    )
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("dayexp_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    state = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"]).filter(
+        F.col("op") != "delete"
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    path = os.path.join(work, "byday")
+    export_day_partitioned(state, path)
+    b = state.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    days = (b.hi.date() - b.lo.date()).days
+    since = b.lo.date() + timedelta(days=days // 2)
+    assert days >= 2, "driver events span multiple days"
+    full = spark.read.parquet(path)
+    sliced = read_time_sliced(spark, path, since=str(since))
+
+    def _files_read(df: DataFrame) -> int:
+        # physical probe: files a real scan actually opens — pruned
+        # day directories never contribute an input_file_name
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    n_sliced, n_full = _files_read(sliced), _files_read(full)
+    assert 0 < n_sliced < n_full, (n_sliced, n_full)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    return sliced
+
+
+_ORACLE_PARTITIONED_EXPORT = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    state AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    ),
+    b AS (
+        SELECT CAST(MIN(ts) AS DATE)
+               + CAST(
+                   (CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE)) // 2
+                   AS INTEGER
+                 ) AS since
+        FROM state
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM state WHERE ts >= (SELECT CAST(since AS TIMESTAMP) FROM b)
+"""
+
+
 __all__ = [
+    "_q_cdc_partitioned_export_prune",
+    "_ORACLE_PARTITIONED_EXPORT",
     "_q_cdc_shallow_clone_divergence",
     "_ORACLE_SHALLOW_CLONE",
     "_q_cdc_cherrypick_final_state",

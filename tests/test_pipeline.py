@@ -575,6 +575,53 @@ def test_export_shards_global_order_and_manifest(spark, tmp_path):
     assert disk == m
 
 
+def test_export_day_partitioned_prunes_and_is_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from embulk_util_json_spark.pipeline.export import (
+        export_day_partitioned,
+        read_time_sliced,
+    )
+
+    df = spark.range(0, 2_000).selectExpr(
+        "id AS doc_id",
+        "timestampadd(MINUTE, CAST(id AS INT), timestamp'2024-02-01 00:00:00') AS ts",
+        "concat('d', id) AS text",
+    )
+    out = str(tmp_path / "byday")
+    export_day_partitioned(df, out)
+    # hive layout: one _day=YYYY-MM-DD dir per distinct day
+    import os as _os
+
+    days = sorted(d for d in _os.listdir(out) if d.startswith("_day="))
+    assert len(days) == 2  # 2000 minutes spans Feb 1 and Feb 2
+
+    def files_read(frame):
+        return frame.select(F.input_file_name().alias("f")).distinct().count()
+
+    sliced = read_time_sliced(spark, out, since="2024-02-02 00:00:00")
+    full = spark.read.parquet(out)
+    assert 0 < files_read(sliced) < files_read(full)
+    assert "_day" not in sliced.columns
+    want = sorted(
+        r.doc_id for r in df.filter("ts >= timestamp'2024-02-02 00:00:00'").collect()
+    )
+    assert sorted(r.doc_id for r in sliced.collect()) == want
+
+    # the row predicate, not the partition predicate, defines results:
+    # an intra-day bound still filters exactly inside the kept day
+    mid = read_time_sliced(
+        spark, out, since="2024-02-01 12:00:00", until="2024-02-02 06:00:00"
+    )
+    want_mid = sorted(
+        r.doc_id
+        for r in df.filter(
+            "ts >= timestamp'2024-02-01 12:00:00' AND ts < timestamp'2024-02-02 06:00:00'"
+        ).collect()
+    )
+    assert sorted(r.doc_id for r in mid.collect()) == want_mid
+
+
 def test_incremental_dedup_empty_batch_and_empty_store_probe(spark, tmp_path):
     from embulk_util_json_spark.pipeline.incremental import IncrementalDeduper
 
