@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entries over code the round-5 sink work touched + the
         # -- reference-parity core. Tail = green r3/r4 records, all
         # -- re-verified by the local 118/118 mirror sweep.
+        "cdc_mongo_final_state": _q_cdc_mongo_final_state,
+        "cdc_mongo_patch_final_state": _q_cdc_mongo_patch_final_state,
         "cdc_wal2json_final_state": _q_cdc_wal2json_final_state,
         "cdc_wal2json_txn_final_state": _q_cdc_wal2json_txn_final_state,
         "cdc_shallow_clone_divergence": _q_cdc_shallow_clone_divergence,
@@ -290,6 +292,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_final_state": _ORACLE_CDC_FINAL,
         "cdc_wal2json_final_state": _ORACLE_CDC_FINAL,
         "cdc_wal2json_txn_final_state": _ORACLE_CDC_FINAL,
+        "cdc_mongo_final_state": _ORACLE_CDC_FINAL_MS,
+        "cdc_mongo_patch_final_state": _ORACLE_MONGO_PATCH_FINAL,
         "cdc_shallow_clone_divergence": _ORACLE_SHALLOW_CLONE,
         "cdc_cherrypick_final_state": _ORACLE_CHERRYPICK,
         "cdc_bucketed_export_join": _ORACLE_BUCKETED_EXPORT_JOIN,

@@ -36,6 +36,12 @@ def _wire_format_final_state(spark: SparkSession, sf_dir: str, fmt: str) -> Data
         from embulk_util_json_spark.sources import wal2json as w2j
 
         changes = w2j.parse_wal2json_events(w2j.to_wal2json_json(events))
+    elif fmt == "mongo":
+        from embulk_util_json_spark.sources import mongo
+
+        changes = mongo.parse_mongo_changestream(
+            mongo.to_mongo_changestream_json(events)
+        )
     else:
         changes = dbz.parse_maxwell_events(dbz.to_maxwell_json(events))
     final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
@@ -77,6 +83,116 @@ def _q_cdc_wal2json_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically): wire-format adapter → LWW replay. Microsecond-
     lossless, so the oracle is the native CDC oracle."""
     return _wire_format_final_state(spark, sf_dir, "wal2json")
+
+
+def _q_cdc_mongo_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB change-stream ingest (operationType insert/update/
+    replace/delete, relaxed-extended-JSON envelopes, post-image
+    ``fullDocument`` row images, documentKey-only deletes,
+    collection-lifecycle control events filtered): wire-format adapter
+    → LWW replay. ``wallTime`` is a BSON datetime — millisecond
+    precision — so the oracle truncates ts to ms and lets ties fall to
+    seq, the same rule as Canal."""
+    return _wire_format_final_state(spark, sf_dir, "mongo")
+
+
+def _mongo_patchify(changes: DataFrame) -> DataFrame:
+    """The ``_patchify`` marker pattern extended with Mongo $unset
+    semantics (mirrored by ``_ORACLE_MONGO_PATCH_CASES``): on updates,
+    ``role`` is REMOVED (explicit NULL → ``removedFields``) every 5th
+    seq ≡ 1, else marked unchanged on even seq; ``text`` unchanged on
+    seq % 3; ``tool`` never restated. Single-sourced pattern so engine
+    and oracle cannot drift."""
+    is_upd = F.col("op") == "update"
+    m = F.lit(_PATCH_MARKER)
+    return changes.select(
+        "seq", "op", "ts", "conv_id", "turn_idx",
+        F.when(is_upd & (F.col("seq") % 5 == 1), F.lit(None).cast("string"))
+        .when(is_upd & (F.col("seq") % 2 == 0), m)
+        .otherwise(F.col("role")).alias("role"),
+        F.when(is_upd & (F.col("seq") % 3 == 0), m).otherwise(F.col("text")).alias("text"),
+        F.when(is_upd, m).otherwise(F.col("tool")).alias("tool"),
+    )
+
+
+def _q_cdc_mongo_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo ``updateDescription`` → column-level LWW SINK replay: the
+    sparse-update reading of the change stream. Updates are rewrapped
+    WITHOUT post-images — ``updatedFields`` carries only the touched
+    columns and ``removedFields`` the $unset ones — parsed back by
+    ``parse_mongo_patch_events`` (touched → present write, $unset →
+    explicit NULL, untouched → unchanged marker), and applied in three
+    interleaved micro-batches through a merge-on-read
+    ``ParquetSnapshotSink(patch_cols=...)``, compacted, then read.
+    Must equal the one-shot full-history column-level-LWW oracle at
+    the wire format's ms precision — the Mongo-native proof of the
+    patch monoid: a $unset is an explicit NULL write that carries
+    forward, an untouched column resolves to its last real writer."""
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources import mongo
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    patched = _mongo_patchify(changes)
+    wire = mongo.rows_to_mongo_patch_json(patched, _PATCH_MARKER)
+    back = mongo.parse_mongo_patch_events(wire, _PATCH_MARKER).drop("_extras")
+    work = _scratch("mongo_patch_")
+    sink = ParquetSnapshotSink(
+        spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
+        patch_cols=["role", "text", "tool"], unchanged_marker=_PATCH_MARKER,
+    )
+    for i in range(3):
+        sink.apply(back.filter(F.col("seq") % 3 == i), f"b{i}")
+    sink.compact(drop_tombstones=False)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_MONGO_PATCH_CASES = f"""CASE WHEN op = 'update' AND seq % 5 = 1
+                 THEN NULL
+                 WHEN op = 'update' AND seq % 2 = 0
+                 THEN '{_PATCH_MARKER}' ELSE role END AS role,
+            CASE WHEN op = 'update' AND seq % 3 = 0
+                 THEN '{_PATCH_MARKER}' ELSE text END AS text,
+            CASE WHEN op = 'update'
+                 THEN '{_PATCH_MARKER}' ELSE tool END AS tool"""
+
+
+_ORACLE_MONGO_PATCH_FINAL = f"""
+    WITH changes AS (
+        SELECT seq, op, date_trunc('milliseconds', ts) AS ts,
+               conv_id, turn_idx, role, text, tool
+        FROM ({_ORACLE_CDC_EVENTS})
+    ),
+    patched AS (
+        SELECT seq, op, ts, conv_id, turn_idx,
+            {_ORACLE_MONGO_PATCH_CASES}
+        FROM changes
+    ),
+    resolved AS (
+        SELECT conv_id, turn_idx,
+            (last_value(CASE WHEN role IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': role}} END IGNORE NULLS) OVER w).v AS role,
+            (last_value(CASE WHEN text IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': text}} END IGNORE NULLS) OVER w).v AS text,
+            (last_value(CASE WHEN tool IS DISTINCT FROM '{_PATCH_MARKER}'
+                 AND op <> 'delete'
+                 THEN {{'v': tool}} END IGNORE NULLS) OVER w).v AS tool,
+            last_value(op) OVER w AS op,
+            last_value(ts) OVER w AS ts,
+            ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+            ) AS rn
+        FROM patched
+        WINDOW w AS (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM resolved WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def _q_cdc_wal2json_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1565,9 @@ __all__ = [
     "_q_cdc_canal_final_state",
     "_q_cdc_wal2json_final_state",
     "_q_cdc_wal2json_txn_final_state",
+    "_q_cdc_mongo_final_state",
+    "_q_cdc_mongo_patch_final_state",
+    "_ORACLE_MONGO_PATCH_FINAL",
     "_ORACLE_CDC_FINAL_MS",
     "_ORACLE_CDC_FINAL_SEC",
     "_q_cdc_seq_gaps",
