@@ -103,3 +103,126 @@ def verify_and_repair(
         out["repaired"] = mismatched
         out["version"] = res["version"]
     return out
+
+
+def snapshot_diff(
+    state: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    resync_ts,
+    compare_cols: list[str],
+    ts_col: str = "ts",
+    seq_col: str | None = "seq",
+) -> DataFrame:
+    """Minimal change batch turning ``state`` into ``snapshot``.
+
+    The relational core of :func:`snapshot_resync`: a full outer join
+    of the two states on ``keys`` emitting
+
+    - an UPSERT (op ``update``, payload from the snapshot) for every
+      key the snapshot carries whose ``compare_cols`` content is
+      missing or differs in ``state`` (null-safe column-wise compare —
+      exact, never a hash that could collide a real difference away),
+    - a DELETE tombstone for every key ``state`` carries that the
+      snapshot no longer does (the ``WHEN NOT MATCHED BY SOURCE THEN
+      DELETE`` arm),
+
+    and NOTHING for keys whose content matches — the diff is
+    O(drift), not O(table). Every emitted row is stamped
+    ``(resync_ts, 0)``; the snapshot is authoritative, so the caller
+    must pick ``resync_ts`` strictly above every order stamp stored
+    for the keys being rewritten (e.g. the snapshot's consistency
+    watermark). Scale shape: ONE key-partitioned shuffle join of the
+    two states; no window, no collect.
+    """
+    s = snapshot.select(
+        *[F.col(k).alias(f"_sk_{k}") for k in keys],
+        *[F.col(c).alias(f"_sv_{c}") for c in compare_cols],
+        F.lit(True).alias("_s_present"),
+    )
+    c = state.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        *[F.col(col).alias(f"_cv_{col}") for col in compare_cols],
+        F.lit(True).alias("_c_present"),
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"_sk_{k}").eqNullSafe(F.col(f"_ck_{k}"))
+        cond = e if cond is None else (cond & e)
+    j = s.join(c, cond, "full_outer")
+    same = None
+    for col in compare_cols:
+        e = F.col(f"_sv_{col}").eqNullSafe(F.col(f"_cv_{col}"))
+        same = e if same is None else (same & e)
+    s_present = F.coalesce(F.col("_s_present"), F.lit(False))
+    c_present = F.coalesce(F.col("_c_present"), F.lit(False))
+    stamps = [F.lit(resync_ts).cast("timestamp").alias(ts_col)]
+    if seq_col is not None and seq_col != ts_col:
+        stamps.append(F.lit(0).cast("long").alias(seq_col))
+    upserts = j.filter(s_present & (~c_present | ~same)).select(
+        *[F.col(f"_sk_{k}").alias(k) for k in keys],
+        *[F.col(f"_sv_{c_}").alias(c_) for c_ in compare_cols],
+        F.lit("update").alias("op"),
+        *stamps,
+    )
+    snap_types = {f.name: f.dataType for f in snapshot.schema.fields}
+    deletes = j.filter(c_present & ~s_present).select(
+        *[F.col(f"_ck_{k}").alias(k) for k in keys],
+        *[
+            F.lit(None).cast(snap_types[c_]).alias(c_)
+            for c_ in compare_cols
+        ],
+        F.lit(DELETE_OP).alias("op"),
+        *stamps,
+    )
+    return upserts.unionByName(deletes)
+
+
+def snapshot_resync(
+    sink: ParquetSnapshotSink,
+    snapshot: DataFrame,
+    resync_ts,
+    batch_id: str,
+    compare_cols: list[str] | None = None,
+) -> dict:
+    """Re-sync the sink to an authoritative full snapshot, writing
+    only the drift.
+
+    The periodic full-resync every production CDC pipeline needs (AWS
+    DMS "full load + CDC" revalidation, Debezium blocking snapshots,
+    ``MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE``): an
+    incrementally-maintained replica can be missing changes the log
+    never delivered (retention gaps, filtered tables, pre-subscription
+    history). Given a fresh authoritative dump of the source table,
+    compute the MINIMAL change batch — upserts for missing/differing
+    keys, delete tombstones for vanished keys — and apply it through
+    the sink's ordinary exactly-once path, so the resync is
+    idempotent on ``batch_id``, versioned, rollback-able, and visible
+    in the change feed like any other batch.
+
+    ``compare_cols`` defaults to every snapshot column that is not a
+    key. The sink's order column is authored by the resync
+    (``resync_ts`` is the merge stamp that makes the snapshot win —
+    pick it at or above the snapshot's consistency watermark), so it
+    is never part of the content compare. After the apply,
+    ``sink.read()`` equals the snapshot on ``keys + compare_cols``;
+    untouched rows keep their original stamps. Cost: one join of the
+    two states + one O(drift) apply — repair proportional to the
+    damage, same contract as :func:`verify_and_repair`, but driven by
+    a row-level source of truth instead of the sink's own history.
+    """
+    keys = list(sink.keys)
+    if compare_cols is None:
+        compare_cols = [c for c in snapshot.columns if c not in keys]
+    ts_col = sink.order_cols[0]
+    seq_col = sink.order_cols[1] if len(sink.order_cols) > 1 else None
+    batch = snapshot_diff(
+        sink.read(),
+        snapshot,
+        keys,
+        resync_ts,
+        compare_cols,
+        ts_col=ts_col,
+        seq_col=seq_col,
+    )
+    return sink.apply(batch, batch_id)

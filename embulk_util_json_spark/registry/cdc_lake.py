@@ -1308,6 +1308,90 @@ _ORACLE_VIEW_CASCADE = f"""
 """
 
 
+
+def _q_cdc_snapshot_resync_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot RESYNC with delete detection
+    (``pipeline/reconcile.snapshot_resync``): the replica is built
+    from only the FIRST HALF of the change stream (a subscription that
+    started late / a log with a retention gap — drift the exactly-once
+    machinery cannot see), then re-synced against an authoritative
+    full dump of the source (the whole-history LWW state). The
+    operator emits the MINIMAL diff — upserts for missing/differing
+    keys, tombstones for keys the source no longer has (the
+    ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` arm) — stamped at the
+    snapshot watermark + 1h, and applies it through the ordinary
+    exactly-once path. Runtime-asserted: the diff batch is strictly
+    smaller than the table (O(drift) repair, matching
+    ``verify_and_repair``'s contract but driven by a row-level source
+    of truth). Final state: untouched keys keep their original
+    stamps, repaired keys carry the resync stamp — exactly what the
+    oracle's content-compare join expresses."""
+    import datetime
+
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.pipeline.reconcile import snapshot_resync
+    from embulk_util_json_spark.sinks.snapshot import ParquetSnapshotSink
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("resync_snap_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    b = changes.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.max("ts").alias("mx")
+    ).collect()[0]  # 1-row bound
+    cut = (int(b.lo) + int(b.hi)) // 2
+    sink = ParquetSnapshotSink(spark, os.path.join(work, "t"), num_buckets=8, mode="mor")
+    part = changes.filter(F.col("seq") <= cut)
+    for i in range(2):
+        sink.apply(part.filter(F.col("seq") % 2 == i), f"b{i}")
+    snapshot = (
+        lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+    )
+    resync_ts = b.mx + datetime.timedelta(hours=1)
+    res = snapshot_resync(sink, snapshot, resync_ts, "resync")
+    full_n = snapshot.count()
+    assert 0 < res["change_rows"] < full_n, (res["change_rows"], full_n)
+    return sink.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_ORACLE_SNAPSHOT_RESYNC = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    bounds AS (
+        SELECT (MIN(seq) + MAX(seq)) // 2 AS cut,
+               MAX(ts) + INTERVAL 1 HOUR AS rts
+        FROM changes
+    ),
+    full_r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn FROM changes
+    ),
+    fullf AS (
+        SELECT conv_id, turn_idx, role, text, tool
+        FROM full_r WHERE rn = 1 AND op <> 'delete'
+    ),
+    part_r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes WHERE seq <= (SELECT cut FROM bounds)
+    ),
+    partf AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM part_r WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool,
+           CASE WHEN p.conv_id IS NOT NULL
+                     AND p.role IS NOT DISTINCT FROM f.role
+                     AND p.text IS NOT DISTINCT FROM f.text
+                     AND p.tool IS NOT DISTINCT FROM f.tool
+                THEN p.ts ELSE (SELECT rts FROM bounds) END AS ts
+    FROM fullf f LEFT JOIN partf p
+      ON f.conv_id = p.conv_id AND f.turn_idx = p.turn_idx
+"""
+
+
 def _q_cdc_checksum_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum reconciliation (``pipeline/reconcile`` +
     ``sink.restore_buckets``): after a 2-batch replay + compact, one
@@ -2531,6 +2615,8 @@ __all__ = [
     "_q_cdc_view_cascade_incremental",
     "_ORACLE_VIEW_CASCADE",
     "_q_cdc_checksum_repair_final_state",
+    "_q_cdc_snapshot_resync_final_state",
+    "_ORACLE_SNAPSHOT_RESYNC",
     "_q_cdc_stats_pruned_scan",
     "_ORACLE_STATS_PRUNED",
     "_q_cdc_type_widening_final_state",
