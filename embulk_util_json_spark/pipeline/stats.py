@@ -108,3 +108,76 @@ def column_stats_sql(
         for c in columns
     ]
     return f"WITH state AS ({state_sql})\n" + "\nUNION ALL\n".join(parts)
+
+
+def _prob_label(p: float) -> str:
+    pct = p * 100
+    if pct == int(pct):
+        return f"p{int(pct)}"
+    return "p" + f"{pct:g}".replace(".", "_")
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One quantile row per numeric column: ``(column, p25, p50, ...)``
+    — the distribution half of ANALYZE (planner selectivity,
+    data-quality drift monitors).
+
+    ``exact=True`` uses Spark's exact distributed ``percentile``
+    (linear interpolation between closest ranks — the SQL-standard
+    PERCENTILE_CONT definition DuckDB's ``quantile_cont`` also
+    implements, so the oracle twin matches on identical input).
+    Plan shape: ONE full-scan hash aggregation carrying every
+    (column, prob) cell; driver-side pivot of the 1-row result. The
+    exact aggregate buffers per-partition value multisets — the right
+    default at audit grain; at 100 TB flip ``exact=False`` for
+    ``percentile_approx`` (bounded-memory KLL-style sketch, rank error
+    ≤ 1/``accuracy``), same plan, no oracle-exactness claim.
+    """
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in columns:
+        if c not in types:
+            raise ValueError(f"no such column {c!r}")
+        if not isinstance(types[c], T.NumericType):
+            raise ValueError(f"column {c!r} is not numeric: {types[c]}")
+    aggs = []
+    for c in columns:
+        for p in probs:
+            cell = (
+                F.percentile(F.col(c), F.lit(p))
+                if exact
+                else F.percentile_approx(F.col(c), F.lit(p), F.lit(accuracy))
+            )
+            aggs.append(cell.cast("double").alias(f"{c}__{_prob_label(p)}"))
+    r = df.agg(*aggs).collect()[0]
+    schema = T.StructType(
+        [T.StructField("column", T.StringType(), False)]
+        + [T.StructField(_prob_label(p), T.DoubleType(), True) for p in probs]
+    )
+    rows = [
+        tuple([c] + [r[f"{c}__{_prob_label(p)}"] for p in probs]) for c in columns
+    ]
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def numeric_quantiles_sql(
+    state_sql: str,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB twin of :func:`numeric_quantiles` (exact mode):
+    ``quantile_cont`` per (column, prob) over the shared state CTE,
+    one SELECT per column, UNION ALL'd."""
+    parts = []
+    for c in columns:
+        cells = ", ".join(
+            f"CAST(quantile_cont({c}, {p}) AS DOUBLE) AS {_prob_label(p)}"
+            for p in probs
+        )
+        parts.append(f"SELECT '{c}' AS column, {cells} FROM state")
+    return f"WITH state AS ({state_sql})\n" + "\nUNION ALL\n".join(parts)

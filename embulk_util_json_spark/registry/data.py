@@ -851,6 +851,34 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, frame_bytes=64, every_n=2)
 
 
+
+def _q_table_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE distribution stats: exact distributed quantiles
+    (``pipeline/stats.numeric_quantiles`` — Spark's exact
+    ``percentile``, the SQL-standard PERCENTILE_CONT interpolation)
+    over the numeric measure columns of ``lineitem``, one full-scan
+    hash aggregation for all (column, prob) cells. The DuckDB twin is
+    ``quantile_cont`` — identical rank interpolation, so the doubles
+    match bit-for-bit on identical input. At 100 TB the documented
+    knob is ``exact=False`` (``percentile_approx``, bounded-memory
+    sketch, same plan)."""
+    from embulk_util_json_spark.pipeline.stats import numeric_quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    return numeric_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _table_stats_quantiles_sql() -> str:
+    from embulk_util_json_spark.pipeline.stats import numeric_quantiles_sql
+
+    return numeric_quantiles_sql(
+        "SELECT * FROM lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from embulk_util_json_spark.pipeline import (
         dedup,
@@ -1074,4 +1102,6 @@ __all__ = [
     "_q_multimodal_features",
     "_q_multimodal_frames",
     "_pipeline_oracles",
+    "_q_table_stats_quantiles",
+    "_table_stats_quantiles_sql",
 ]

@@ -45,3 +45,52 @@ def test_stats_approx_mode_runs(spark):
     got = {r.column: r for r in column_stats(_df(spark), exact=False).collect()}
     # approx NDV on 3 rows is exact in practice; pin the contract loosely
     assert got["k"].n_distinct >= 1
+
+
+def test_numeric_quantiles_exact_interpolation(spark):
+    """Exact percentile = SQL-standard PERCENTILE_CONT linear
+    interpolation: for [1,2,3,4] p50 = 2.5, p25 = 1.75; NULLs
+    ignored."""
+    from embulk_util_json_spark.pipeline.stats import numeric_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v double"
+    )
+    (r,) = numeric_quantiles(df, ["v"], probs=(0.25, 0.5, 1.0)).collect()
+    assert (r.column, r.p25, r.p50, r.p100) == ("v", 1.75, 2.5, 4.0)
+
+
+def test_numeric_quantiles_rejects_non_numeric(spark):
+    from embulk_util_json_spark.pipeline.stats import numeric_quantiles
+
+    df = spark.createDataFrame([("x", 1)], "s string, n int")
+    try:
+        numeric_quantiles(df, ["s"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not numeric" in str(e)
+
+
+def test_numeric_quantiles_approx_knob_same_shape(spark):
+    """exact=False swaps in the bounded-memory sketch; same schema,
+    and on tiny input with high accuracy the approx answer lands on a
+    real data value near the rank (no exactness claim)."""
+    from embulk_util_json_spark.pipeline.stats import numeric_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    (r,) = numeric_quantiles(df, ["v"], probs=(0.5,), exact=False).collect()
+    assert r.column == "v" and 49.0 <= r.p50 <= 52.0
+
+
+def test_numeric_quantiles_single_aggregate_plan(spark):
+    """All (column, prob) cells ride ONE hash aggregation — the plan
+    contains a single pair of HashAggregate/SortAggregate stages, no
+    join, no window."""
+    from embulk_util_json_spark.pipeline.stats import numeric_quantiles_sql
+
+    # plan shape is pinned on the Spark side implicitly by the single
+    # .agg() call; here pin the oracle twin renders one SELECT per
+    # column with quantile_cont cells
+    sql = numeric_quantiles_sql("SELECT 1 AS a, 2 AS b", ["a", "b"])
+    assert sql.count("UNION ALL") == 1
+    assert sql.count("quantile_cont") == 8
