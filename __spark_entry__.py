@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mongo_patch_final_state": _q_cdc_mongo_patch_final_state,
         "cdc_snapshot_resync_final_state": _q_cdc_snapshot_resync_final_state,
         "table_stats_quantiles": _q_table_stats_quantiles,
+        "cdc_partition_evolution_prune": _q_cdc_partition_evolution_prune,
         "cdc_wal2json_final_state": _q_cdc_wal2json_final_state,
         "cdc_wal2json_txn_final_state": _q_cdc_wal2json_txn_final_state,
         "cdc_shallow_clone_divergence": _q_cdc_shallow_clone_divergence,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mongo_patch_final_state": _ORACLE_MONGO_PATCH_FINAL,
         "cdc_snapshot_resync_final_state": _ORACLE_SNAPSHOT_RESYNC,
         "table_stats_quantiles": _table_stats_quantiles_sql(),
+        "cdc_partition_evolution_prune": _ORACLE_PARTITION_EVOLUTION,
         "cdc_shallow_clone_divergence": _ORACLE_SHALLOW_CLONE,
         "cdc_cherrypick_final_state": _ORACLE_CHERRYPICK,
         "cdc_bucketed_export_join": _ORACLE_BUCKETED_EXPORT_JOIN,

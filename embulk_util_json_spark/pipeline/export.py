@@ -111,3 +111,113 @@ def read_time_sliced(
             & (F.col(ts_col) < F.lit(until).cast("timestamp"))
         )
     return df.drop(DAY_COL)
+
+
+HOUR_COL = "_hour"
+_HOUR_FMT = "yyyy-MM-dd-HH"
+
+
+def export_time_partitioned(
+    df: DataFrame,
+    path: str,
+    granularity: str = "day",
+    ts_col: str = "ts",
+) -> str:
+    """Write one PARTITION-SPEC GENERATION of an evolvable
+    time-partitioned export: ``path/spec=<granularity>/`` hive-
+    partitioned by the value derived from ``ts_col`` under that spec
+    (``_day=YYYY-MM-DD`` or ``_hour=YYYY-MM-DD-HH`` — lexicographic ==
+    chronological by construction).
+
+    This is the Iceberg partition-spec-evolution shape for plain
+    parquet: when a table's write pattern changes (daily archive →
+    hourly tail), old data KEEPS its old layout — nothing is
+    rewritten — and new data lands under the new spec; each
+    generation lives in its own ``spec=`` subtree so
+    :func:`read_time_sliced_evolved` can plan each subtree under its
+    own transform. Same hidden-partitioning discipline as
+    :func:`export_day_partitioned`: callers never maintain the
+    partition column, it is derived at write and re-derived at read.
+    """
+    if granularity == "day":
+        pcol, expr = DAY_COL, F.to_date(F.col(ts_col))
+    elif granularity == "hour":
+        pcol, expr = HOUR_COL, F.date_format(F.col(ts_col), _HOUR_FMT)
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    out = os.path.join(path, f"spec={granularity}")
+    (
+        df.withColumn(pcol, expr)
+        # cluster rows by partition value before the write so each
+        # directory gets ~one file instead of one per upstream task —
+        # the standard small-files mitigation for hive layouts (AQE
+        # coalesces the hash partitions; fine-grained specs like
+        # hourly would otherwise fan out dirs × tasks tiny files)
+        .repartition(F.col(pcol))
+        .write.mode("overwrite")
+        .partitionBy(pcol)
+        .parquet(out)
+    )
+    return out
+
+
+def read_time_sliced_evolved(
+    spark: SparkSession,
+    path: str,
+    since=None,
+    until=None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Read an evolvable export restricted to ``since <= ts_col <
+    until``, pruning EVERY spec generation under its own transform.
+
+    Each ``spec=`` subtree is planned separately — the matching
+    partition predicate is re-derived from the window under THAT
+    spec's transform (day bounds for the day generation, hour bounds
+    for the hour generation) so Catalyst prunes out-of-window
+    directories in both layouts before touching a footer — then the
+    generations union (schemas are identical once the partition
+    column is dropped). The exact row predicate on ``ts_col`` defines
+    the result; the derived bounds are fail-open supersets, so
+    pruning is exact under either spec. Spec discovery is a
+    directory listing (metadata-only; on an object store this is the
+    same LIST the read would issue anyway)."""
+    specs = sorted(
+        d for d in os.listdir(path)
+        if d.startswith("spec=") and os.path.isdir(os.path.join(path, d))
+    )
+    if not specs:
+        raise ValueError(f"no spec= generations under {path}")
+    since_ts = F.lit(since).cast("timestamp") if since is not None else None
+    until_ts = F.lit(until).cast("timestamp") if until is not None else None
+    parts = []
+    for spec in specs:
+        gran = spec.split("=", 1)[1]
+        df = spark.read.parquet(os.path.join(path, spec))
+        if gran == "day":
+            pcol = DAY_COL
+            lo = F.to_date(since_ts) if since is not None else None
+            hi = F.to_date(until_ts) if until is not None else None
+        elif gran == "hour":
+            pcol = HOUR_COL
+            lo = (
+                F.date_format(since_ts, _HOUR_FMT)
+                if since is not None
+                else None
+            )
+            hi = (
+                F.date_format(until_ts, _HOUR_FMT)
+                if until is not None
+                else None
+            )
+        else:
+            raise ValueError(f"unknown spec generation {spec!r}")
+        if since is not None:
+            df = df.filter((F.col(pcol) >= lo) & (F.col(ts_col) >= since_ts))
+        if until is not None:
+            df = df.filter((F.col(pcol) <= hi) & (F.col(ts_col) < until_ts))
+        parts.append(df.drop(pcol))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2557,9 +2557,114 @@ _ORACLE_PARTITIONED_EXPORT = f"""
 """
 
 
+def _q_cdc_partition_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SPEC EVOLUTION (``pipeline.export.
+    export_time_partitioned`` / ``read_time_sliced_evolved``): the
+    archive half of the state (ts < midpoint) was exported under the
+    original DAY spec; the write pattern then changed and the tail
+    half landed under the evolved HOUR spec — old files keep their
+    old layout, nothing is rewritten (the Iceberg
+    partition-spec-evolution contract for plain parquet). A window
+    spanning the evolution boundary is read back: each spec
+    generation is planned under ITS OWN transform (day bounds on the
+    day subtree, hour bounds on the hour subtree). Pruning is
+    runtime-asserted physically on BOTH generations — the sliced scan
+    opens strictly fewer files than the full scan yet both subtrees
+    still contribute — and values oracle-check against the LWW state
+    filtered by the same window."""
+    import datetime
+
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.pipeline.export import (
+        export_time_partitioned,
+        read_time_sliced_evolved,
+    )
+    from embulk_util_json_spark.sources.events import parse_change_events
+
+    work = _scratch("specevo_")
+    changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
+    state = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"]).filter(
+        F.col("op") != "delete"
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    b = state.agg(
+        F.unix_micros(F.min("ts")).alias("lo_us"),
+        F.unix_micros(F.max("ts")).alias("hi_us"),
+    ).collect()[0]  # 1-row bound
+    epoch = datetime.datetime(1970, 1, 1)
+    mid_us = (int(b.lo_us) + int(b.hi_us)) // 2
+    mid = epoch + datetime.timedelta(microseconds=mid_us)
+    until_us = (mid_us + int(b.hi_us)) // 2
+    until = epoch + datetime.timedelta(
+        microseconds=until_us - until_us % 3_600_000_000
+    )
+    lo_d = (epoch + datetime.timedelta(microseconds=int(b.lo_us))).date()
+    hi_d = (epoch + datetime.timedelta(microseconds=int(b.hi_us))).date()
+    days = (hi_d - lo_d).days
+    assert days >= 2, "driver events span multiple days"
+    since = datetime.datetime.combine(
+        lo_d + datetime.timedelta(days=days // 3), datetime.time()
+    )
+    path = os.path.join(work, "evolved")
+    export_time_partitioned(state.filter(F.col("ts") < F.lit(mid)), path, "day")
+    export_time_partitioned(state.filter(F.col("ts") >= F.lit(mid)), path, "hour")
+    full = read_time_sliced_evolved(spark, path)
+    sliced = read_time_sliced_evolved(spark, path, since=since, until=until)
+
+    def _files_read(df: DataFrame, sub: str) -> int:
+        probe = df.select(F.input_file_name().alias("f")).filter(
+            F.col("f").contains(sub)
+        )
+        return probe.distinct().count()
+
+    for sub in ("spec=day", "spec=hour"):
+        n_s, n_f = _files_read(sliced, sub), _files_read(full, sub)
+        # both generations prune AND both still contribute: the
+        # window straddles the spec-evolution boundary
+        assert 0 < n_s < n_f, (sub, n_s, n_f)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [") >= 2, plan
+    return sliced
+
+
+_ORACLE_PARTITION_EVOLUTION = f"""
+    WITH changes AS ({_ORACLE_CDC_EVENTS}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    ),
+    state AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    ),
+    b AS (
+        SELECT epoch_us(MIN(ts)) AS lo_us, epoch_us(MAX(ts)) AS hi_us,
+               CAST(MIN(ts) AS DATE) AS lo_d, CAST(MAX(ts) AS DATE) AS hi_d
+        FROM state
+    ),
+    w AS (
+        SELECT
+            CAST(lo_d + CAST((hi_d - lo_d) // 3 AS INTEGER) AS TIMESTAMP)
+                AS since,
+            make_timestamp(
+                ((lo_us + hi_us) // 2 + hi_us) // 2
+                - (((lo_us + hi_us) // 2 + hi_us) // 2) % 3600000000
+            ) AS until
+        FROM b
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM state
+    WHERE ts >= (SELECT since FROM w) AND ts < (SELECT until FROM w)
+"""
+
+
+
 __all__ = [
     "_q_cdc_partitioned_export_prune",
     "_ORACLE_PARTITIONED_EXPORT",
+    "_q_cdc_partition_evolution_prune",
+    "_ORACLE_PARTITION_EVOLUTION",
     "_q_cdc_shallow_clone_divergence",
     "_ORACLE_SHALLOW_CLONE",
     "_q_cdc_cherrypick_final_state",
