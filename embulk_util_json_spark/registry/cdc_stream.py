@@ -195,6 +195,81 @@ _ORACLE_MONGO_PATCH_FINAL = f"""
 """
 
 
+def _q_cdc_kafka_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-TRANSPORT ingest (``sources/kafka.py``): the native
+    envelopes ride a synthesized Kafka-source-shaped frame (key/value/
+    topic/partition/offset/timestamp — the spark-sql-kafka contract)
+    across 4 partitions with the ADVERSARIAL placement (a key's events
+    scattered over partitions), plus Debezium-convention NULL-value
+    compaction tombstones after every delete. The adapter derives the
+    total LWW tie-break ``offset*P+partition`` from per-partition
+    order, drops the compaction markers, and delegates the payload
+    parse to the native envelope parser — µs-lossless, so the plain
+    CDC oracle applies."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.kafka import (
+        parse_kafka_events,
+        to_kafka_frame,
+    )
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    frame = to_kafka_frame(events, n_partitions=4, compaction_tombstones=True)
+    changes = parse_kafka_events(frame, n_partitions=4)
+    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q_cdc_kafka_upsert_topic_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka UPSERT-TOPIC ingest (ksqlDB TABLE semantics): deletes
+    arrive ONLY as NULL-value tombstones — no delete envelope at all —
+    keyed by the table key, stamped with the broker timestamp (ms).
+    ``tombstones="delete"`` materializes them as delete rows; upserts
+    keep their µs envelope time. The oracle mirrors the mixed
+    precision exactly: delete events ms-truncated, everything else
+    untouched, ties to seq."""
+    from embulk_util_json_spark.operators.lww import lww_agg
+    from embulk_util_json_spark.sources.kafka import (
+        parse_kafka_events,
+        to_kafka_frame,
+    )
+
+    events = _events_as_cdc_json(spark, sf_dir)
+    full = to_kafka_frame(events, n_partitions=4, compaction_tombstones=True)
+    # upsert topic: strip the delete ENVELOPES, keep their NULL-value
+    # tombstones (to_kafka_frame emits envelope + marker; dropping the
+    # envelope leaves exactly the ksqlDB upsert-topic shape)
+    frame = full.filter(
+        F.col("value").isNull()
+        | ~F.col("value").cast("string").contains('"op":"delete"')
+    )
+    changes = parse_kafka_events(frame, n_partitions=4, tombstones="delete")
+    final = lww_agg(changes, ["conv_id", "turn_idx"], ["ts", "seq"])
+    return final.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_ORACLE_KAFKA_UPSERT = f"""
+    WITH changes AS (
+        SELECT seq, op,
+               CASE WHEN op = 'delete'
+                    THEN date_trunc('milliseconds', ts) ELSE ts END AS ts,
+               conv_id, turn_idx, role, text, tool
+        FROM ({_ORACLE_CDC_EVENTS})
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _q_cdc_wal2json_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-transaction atomicity from REAL wal2json framing: the
     stream is rewrapped with B/C transaction actions (include-xids
@@ -1566,6 +1641,9 @@ __all__ = [
     "_q_cdc_wal2json_final_state",
     "_q_cdc_wal2json_txn_final_state",
     "_q_cdc_mongo_final_state",
+    "_q_cdc_kafka_final_state",
+    "_q_cdc_kafka_upsert_topic_final_state",
+    "_ORACLE_KAFKA_UPSERT",
     "_q_cdc_mongo_patch_final_state",
     "_ORACLE_MONGO_PATCH_FINAL",
     "_ORACLE_CDC_FINAL_MS",
