@@ -135,7 +135,15 @@ def _q_cdc_mongo_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFram
     changes = parse_change_events(_events_as_cdc_json(spark, sf_dir))
     patched = _mongo_patchify(changes)
     wire = mongo.rows_to_mongo_patch_json(patched, _PATCH_MARKER)
-    back = mongo.parse_mongo_patch_events(wire, _PATCH_MARKER).drop("_extras")
+    # pin the double-JSON fixture pipeline (concat → parse → rewrap →
+    # parse) once: the 3 applies + compact would otherwise recompute
+    # it per job. In production the wire feed is read once from the
+    # log — this checkpoint stands in for that read.
+    back = (
+        mongo.parse_mongo_patch_events(wire, _PATCH_MARKER)
+        .drop("_extras")
+        .localCheckpoint()
+    )
     work = _scratch("mongo_patch_")
     sink = ParquetSnapshotSink(
         spark, os.path.join(work, "t"), num_buckets=8, mode="mor",
@@ -290,7 +298,10 @@ def _q_cdc_wal2json_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFra
 
     work = _scratch("w2jtxn_")
     events = _events_as_cdc_json(spark, sf_dir)
-    wire = to_wal2json_txn_json(events, txn_size=64)
+    # pin the framed-wire fixture once (concat → parse → B/C framing
+    # is a multi-branch JSON build recomputed by every downstream job
+    # otherwise; in production this is one log read)
+    wire = to_wal2json_txn_json(events, txn_size=64).localCheckpoint()
     rows, markers = parse_wal2json_txn_stream(wire)
     b = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     # wire seqs are source*3+{0,1,2}; cut mid-transaction: halfway
