@@ -226,3 +226,85 @@ def snapshot_resync(
         seq_col=seq_col,
     )
     return sink.apply(batch, batch_id)
+
+
+def fsck(sink: ParquetSnapshotSink, deep: bool = False) -> dict:
+    """Structural integrity audit of the sink's current branch state —
+    the ``fsck`` every production table format grows (Delta FSCK,
+    Iceberg's orphan/metadata validation), covering the failure class
+    :func:`verify_and_repair` cannot: damage to the TABLE STRUCTURE
+    rather than to row contents.
+
+    Metadata-only checks (driver-side, no Spark job):
+
+    - **missing_paths** — manifest-referenced data directories absent
+      from disk or holding no parquet part (a reclaim raced a reader,
+      a restore missed files, out-of-band deletion);
+    - **dangling_stats** — zone-map/bloom entries (``file_stats`` /
+      ``key_stats`` / ``blooms``) keyed by paths NO chain references
+      (metadata leak: harmless to reads but unbounded growth =
+      a commit-path bug);
+    - **duplicate_batch_ids** — the exactly-once ledger must be a set.
+
+    ``deep=True`` adds ONE Spark job over every referenced path:
+    **misplaced_rows** — rows whose key does not hash to the bucket
+    directory holding them (would silently vanish from point lookups
+    and bucket-pruned reads, which trust the layout). The claimed
+    bucket is recovered from ``input_file_name``, the true bucket
+    from the sink's own hash expression — build and probe share one
+    definition, so a disagreement is a real misplacement, not a
+    formula drift. Scale: the deep pass is a single scan with a
+    codegen'd comparison — the same cost as one full read.
+
+    Returns ``{"ok", "checked_paths", "missing_paths",
+    "dangling_stats", "duplicate_batch_ids", "misplaced_rows"}``
+    (``misplaced_rows`` is None unless ``deep``). Scoped to the
+    handle's branch — audit each branch with its own handle.
+    """
+    import os
+
+    m = sink.current_manifest()
+    report: dict = {
+        "ok": True,
+        "checked_paths": 0,
+        "missing_paths": [],
+        "dangling_stats": [],
+        "duplicate_batch_ids": [],
+        "misplaced_rows": None,
+    }
+    if not m or not m.get("buckets"):
+        return report
+    referenced = sorted(
+        {p for b in m["buckets"] for p in sink._paths_of(m, b)}
+    )
+    report["checked_paths"] = len(referenced)
+    for p in referenced:
+        d = os.path.join(sink.root, p)
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            report["missing_paths"].append(p)
+    ref_set = set(referenced)
+    for kind in ("file_stats", "key_stats", "blooms"):
+        for p in sorted(m.get(kind) or {}):
+            if p not in ref_set:
+                report["dangling_stats"].append(f"{kind}:{p}")
+    ids = list(m.get("batch_ids") or [])
+    report["duplicate_batch_ids"] = sorted(
+        {i for i in ids if ids.count(i) > 1}
+    )
+    if deep and not report["missing_paths"]:
+        df = sink._read_bucket_paths(referenced)
+        claimed = F.regexp_extract(
+            F.input_file_name(), r"_bucket=(\d+)", 1
+        ).cast("int")
+        report["misplaced_rows"] = df.filter(
+            claimed != sink._bucket_expr()
+        ).count()
+    report["ok"] = not (
+        report["missing_paths"]
+        or report["dangling_stats"]
+        or report["duplicate_batch_ids"]
+        or (report["misplaced_rows"] or 0) > 0
+    )
+    return report

@@ -148,3 +148,56 @@ def test_resync_rejects_nothing_but_needs_winning_stamp(spark, tmp_path):
     snapshot_resync(sink, _state(spark, [("c1", 0, "user", "new", "t")]), stale, "r")
     (r,) = sink.read().collect()
     assert r.text == "old"
+
+
+def test_fsck_clean_table(spark, tmp_path):
+    from embulk_util_json_spark.pipeline.reconcile import fsck
+
+    sink = _sink(spark, tmp_path, [("c1", 0, "u", "a", "t"), ("c2", 1, "u", "b", None)])
+    rep = fsck(sink, deep=True)
+    assert rep["ok"] and rep["checked_paths"] > 0
+    assert rep["missing_paths"] == [] and rep["dangling_stats"] == []
+    assert rep["misplaced_rows"] == 0
+
+
+def test_fsck_flags_missing_path(spark, tmp_path):
+    import os
+    import shutil
+
+    from embulk_util_json_spark.pipeline.reconcile import fsck
+
+    sink = _sink(spark, tmp_path, [("c1", 0, "u", "a", "t"), ("c2", 1, "u", "b", None)])
+    m = sink.current_manifest()
+    victim = next(iter(sorted(m["buckets"])))
+    shutil.rmtree(os.path.join(sink.root, m["buckets"][victim][0]))
+    rep = fsck(sink)
+    assert not rep["ok"]
+    assert rep["missing_paths"] == [m["buckets"][victim][0]]
+
+
+def test_fsck_deep_flags_misplaced_rows(spark, tmp_path):
+    """Rows moved into the wrong bucket directory out of band (the
+    damage class that silently breaks bucket-pruned lookups) are
+    counted by the deep pass."""
+    import os
+    import shutil
+
+    from embulk_util_json_spark.pipeline.reconcile import fsck
+
+    rows = [(f"c{i}", i, "u", f"t{i}", None) for i in range(12)]
+    sink = _sink(spark, tmp_path, rows)
+    m = sink.current_manifest()
+    bs = sorted(m["buckets"], key=int)
+    a, b = bs[0], bs[1]
+    # graft bucket a's files into bucket b's directory
+    src = os.path.join(sink.root, m["buckets"][a][0])
+    dst = os.path.join(sink.root, m["buckets"][b][0])
+    moved = 0
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, "x_" + f))
+            moved += 1
+    assert moved
+    rep = fsck(sink, deep=True)
+    assert not rep["ok"]
+    assert rep["misplaced_rows"] > 0
