@@ -278,6 +278,42 @@ _ORACLE_KAFKA_UPSERT = f"""
 """
 
 
+
+def _q_cdc_config_ingest_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative CONFIG-DRIVEN ingest (``ingest.run_ingest`` — the
+    Embulk-config analogue): one plain-dict config wires a
+    parquet-binlog source, the Debezium wire dialect, the MOR merge,
+    and the exactly-once sink; the facade replays the feed in three
+    seq-contiguous micro-batches through the SAME apply path every
+    other entry point uses, so the result must equal the native CDC
+    oracle bit-for-bit (Debezium is µs-lossless). This is the
+    "a user of the reference switches their Embulk YAML to this
+    engine" proof: source × dialect × merge × sink chosen by config,
+    zero code."""
+    from embulk_util_json_spark.ingest import run_ingest
+    from embulk_util_json_spark.sources import debezium as dbz
+
+    work = _scratch("cfg_ingest_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    binlog = os.path.join(work, "binlog")
+    dbz.to_debezium_json(events).write.parquet(binlog)
+    res = run_ingest(
+        spark,
+        {
+            "in": {"type": "binlog_parquet", "path": binlog,
+                   "format": "debezium"},
+            "merge": {"mode": "mor", "num_buckets": 8},
+            "out": {"root": os.path.join(work, "t")},
+            "run": {"num_batches": 3},
+        },
+    )
+    assert len(res["batches"]) == 3
+    assert all(not b.get("skipped") for b in res["batches"]), res["batches"]
+    return res["sink"].read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def _q_cdc_wal2json_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-transaction atomicity from REAL wal2json framing: the
     stream is rewrapped with B/C transaction actions (include-xids
@@ -1653,6 +1689,7 @@ __all__ = [
     "_q_cdc_wal2json_txn_final_state",
     "_q_cdc_mongo_final_state",
     "_q_cdc_kafka_final_state",
+    "_q_cdc_config_ingest_final_state",
     "_q_cdc_kafka_upsert_topic_final_state",
     "_ORACLE_KAFKA_UPSERT",
     "_q_cdc_mongo_patch_final_state",
