@@ -239,3 +239,104 @@ def run_ingest(spark: SparkSession, config: dict) -> dict:
             )
         )
     return {"sink": sink, "batches": results}
+
+
+STREAM_IN_TYPES = ("parquet_stream", "jsonl_stream")
+
+
+def run_ingest_stream(spark: SparkSession, config: dict) -> dict:
+    """Streaming twin of :func:`run_ingest` — the north rule's
+    operating mode (binlog tail → lake upsert) from the same config
+    shape. ``in.type``:
+
+    - ``"parquet_stream"`` — Structured Streaming tail of a growing
+      directory of ``(seq, event_json)`` parquet segments (the WAL-
+      shipping layout; delegates to
+      ``streaming.runner.stream_directory`` so epoch batch ids,
+      checkpoint-scoped exactly-once, quarantine, and evolution are
+      identical to every other entry point);
+    - ``"jsonl_stream"`` — text tail of JSONL files whose documents
+      carry their binlog position under ``in.seq_member`` (synthetic
+      ids are not replay-stable; loud error without it).
+
+    ``run.checkpoint_dir`` is REQUIRED (the resumability contract:
+    restarting with the same checkpoint replays only unprocessed
+    files, and redelivered epochs are no-ops on the sink's batch
+    log). Returns ``{"sink", "query"}`` — callers drive the
+    StreamingQuery (``processAllAvailable``/``stop`` in tests,
+    ``awaitTermination`` in production)."""
+    c = dict(config or {})
+    src = dict(c.get("in") or {})
+    run = dict(c.get("run") or {})
+    if src.get("type") not in STREAM_IN_TYPES:
+        _fail(
+            f"in.type must be one of {STREAM_IN_TYPES} for streaming, "
+            f"got {src.get('type')!r}"
+        )
+    if not src.get("path"):
+        _fail("in.path is required")
+    if not run.get("checkpoint_dir"):
+        _fail("run.checkpoint_dir is required for streaming ingest")
+    fmt = src.get("format", "native")
+    if fmt == "mongo_patch" or (c.get("merge") or {}).get("patch"):
+        # batch facade supports patch mode; the streaming patch path
+        # is the dedicated stateful operator (streaming/patch_state)
+        _fail("patch-mode streaming uses streaming.patch_state, not "
+              "the ingest facade")
+    parse_fn = build_parse_fn(fmt, src.get("options"))
+
+    # reuse the batch facade's validation/construction for merge/out
+    batch_cfg = {
+        "in": {"type": "binlog_parquet", "path": src["path"], "format": fmt,
+               "options": src.get("options")},
+        "merge": c.get("merge"),
+        "out": c.get("out"),
+        "run": {"num_batches": 1},
+    }
+    norm = _normalize(batch_cfg)
+    merge, out = norm["merge"], norm["out"]
+    sink = ParquetSnapshotSink(
+        spark,
+        out["root"],
+        num_buckets=int(merge.get("num_buckets", 32)),
+        keys=merge.get("keys"),
+        order_cols=merge.get("order"),
+        mode=merge["mode"],
+        branch=out.get("branch", "main"),
+    )
+
+    if src["type"] == "parquet_stream":
+        from .streaming.runner import stream_directory
+
+        q = stream_directory(
+            spark,
+            src["path"],
+            sink,
+            run["checkpoint_dir"],
+            evolve=bool(run.get("evolve", True)),
+            max_files_per_trigger=run.get("max_files_per_trigger"),
+            parse_fn=parse_fn,
+        )
+        return {"sink": sink, "query": q}
+
+    from .sources.jsonl import stream_jsonl
+    from .streaming.runner import _start
+
+    stream = stream_jsonl(
+        spark,
+        src["path"],
+        seq_col=src.get("seq_member"),
+        max_files_per_trigger=run.get("max_files_per_trigger"),
+    )
+    stream_id = run["checkpoint_dir"].rstrip("/").rsplit("/", 1)[-1]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_events_batch(
+            batch_df,
+            sink,
+            f"{stream_id}-epoch-{epoch_id}",
+            evolve=bool(run.get("evolve", True)),
+            parse_fn=parse_fn,
+        )
+
+    return {"sink": sink, "query": _start(stream, handle, run["checkpoint_dir"])}

@@ -160,3 +160,55 @@ def test_mongo_patch_via_config(spark, tmp_path):
 def test_build_parse_fn_unknown():
     with pytest.raises(ValueError):
         build_parse_fn("protobuf")
+
+
+def test_streaming_ingest_parquet_stream(spark, tmp_path):
+    """Config-driven STREAMING ingest: tail a growing (seq,
+    event_json) parquet directory, drain, verify final state; a
+    restart with the same checkpoint replays nothing."""
+    import glob
+    import shutil
+
+    from embulk_util_json_spark.ingest import run_ingest_stream
+
+    src = str(tmp_path / "wal")
+    stage = str(tmp_path / "stage")
+    _native(spark).write.parquet(stage)
+    import os
+
+    os.makedirs(src)
+    for i, f in enumerate(sorted(glob.glob(stage + "/part-*.parquet"))):
+        shutil.copy(f, os.path.join(src, f"{i:02d}.parquet"))
+    cfg = {
+        "in": {"type": "parquet_stream", "path": src},
+        "merge": {"mode": "mor", "num_buckets": 4},
+        "out": {"root": str(tmp_path / "t")},
+        "run": {"checkpoint_dir": str(tmp_path / "ckpt")},
+    }
+    res = run_ingest_stream(spark, cfg)
+    res["query"].processAllAvailable()
+    res["query"].stop()
+    got = {(r.conv_id, r.turn_idx, r.text) for r in res["sink"].read().collect()}
+    assert got == _expect_final()
+    v = res["sink"].current_version()
+    res2 = run_ingest_stream(spark, cfg)
+    res2["query"].processAllAvailable()
+    res2["query"].stop()
+    assert res2["sink"].current_version() == v  # checkpoint resumed, no-op
+
+
+def test_streaming_ingest_validation():
+    from embulk_util_json_spark.ingest import run_ingest_stream
+
+    for cfg, frag in [
+        ({"in": {"type": "jsonl", "path": "/x"}}, "in.type"),
+        ({"in": {"type": "parquet_stream", "path": "/x"},
+          "out": {"root": "/y"}}, "checkpoint_dir"),
+        ({"in": {"type": "parquet_stream", "path": "/x",
+                  "format": "mongo_patch"},
+          "out": {"root": "/y"},
+          "run": {"checkpoint_dir": "/c"}}, "patch"),
+    ]:
+        with pytest.raises(ValueError) as e:
+            run_ingest_stream(None, cfg)
+        assert frag in str(e.value), (cfg, str(e.value))
