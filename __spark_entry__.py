@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kafka_final_state": _q_cdc_kafka_final_state,
         "cdc_kafka_upsert_topic_final_state": _q_cdc_kafka_upsert_topic_final_state,
         "cdc_config_ingest_final_state": _q_cdc_config_ingest_final_state,
+        "cdc_config_stream_final_state": _q_cdc_config_stream_final_state,
         "cdc_wal2json_final_state": _q_cdc_wal2json_final_state,
         "cdc_wal2json_txn_final_state": _q_cdc_wal2json_txn_final_state,
         "cdc_shallow_clone_divergence": _q_cdc_shallow_clone_divergence,
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_kafka_final_state": _ORACLE_CDC_FINAL,
         "cdc_kafka_upsert_topic_final_state": _ORACLE_KAFKA_UPSERT,
         "cdc_config_ingest_final_state": _ORACLE_CDC_FINAL,
+        "cdc_config_stream_final_state": _ORACLE_CDC_FINAL,
         "cdc_shallow_clone_divergence": _ORACLE_SHALLOW_CLONE,
         "cdc_cherrypick_final_state": _ORACLE_CHERRYPICK,
         "cdc_bucketed_export_join": _ORACLE_BUCKETED_EXPORT_JOIN,

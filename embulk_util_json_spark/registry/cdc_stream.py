@@ -314,6 +314,45 @@ def _q_cdc_config_ingest_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+
+def _q_cdc_config_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven STREAMING ingest (``ingest.run_ingest_stream`` —
+    the north rule's operating mode from the declarative surface): the
+    derived change stream is written as four seq-sliced parquet WAL
+    segments, a config wires the streaming tail (1 file per trigger →
+    4 real micro-batch epochs) into the exactly-once sink, the query
+    drains and stops. Final state must equal the native CDC oracle —
+    and a SECOND start on the same checkpoint is runtime-asserted to
+    replay nothing (version unchanged): the resumability contract."""
+    from embulk_util_json_spark.ingest import run_ingest_stream
+
+    work = _scratch("cfg_stream_")
+    events = _events_as_cdc_json(spark, sf_dir)
+    src_dir = os.path.join(work, "wal")
+    events.withColumn("_g", F.col("seq") % 4).repartition(4, "_g").drop(
+        "_g"
+    ).write.parquet(src_dir)
+    cfg = {
+        "in": {"type": "parquet_stream", "path": src_dir},
+        "merge": {"mode": "mor", "num_buckets": 8},
+        "out": {"root": os.path.join(work, "t")},
+        "run": {"checkpoint_dir": os.path.join(work, "ckpt"),
+                "max_files_per_trigger": 1},
+    }
+    res = run_ingest_stream(spark, cfg)
+    res["query"].processAllAvailable()
+    res["query"].stop()
+    v = res["sink"].current_version()
+    assert v >= 1
+    res2 = run_ingest_stream(spark, cfg)
+    res2["query"].processAllAvailable()
+    res2["query"].stop()
+    assert res2["sink"].current_version() == v, "checkpoint restart replayed data"
+    return res2["sink"].read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def _q_cdc_wal2json_txn_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-transaction atomicity from REAL wal2json framing: the
     stream is rewrapped with B/C transaction actions (include-xids
@@ -1690,6 +1729,7 @@ __all__ = [
     "_q_cdc_mongo_final_state",
     "_q_cdc_kafka_final_state",
     "_q_cdc_config_ingest_final_state",
+    "_q_cdc_config_stream_final_state",
     "_q_cdc_kafka_upsert_topic_final_state",
     "_ORACLE_KAFKA_UPSERT",
     "_q_cdc_mongo_patch_final_state",
