@@ -56,11 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- head: the driver records the FIRST ~50 entries. Round-5
-        # -- policy: (1) never-recorded new queries, (2) every entry
-        # -- whose newest green record is r1/r2 (age-out), (3) r3
-        # -- entries over code the round-5 sink work touched + the
-        # -- reference-parity core. Tail = green r3/r4 records, all
-        # -- re-verified by the local 118/118 mirror sweep.
+        # -- policy: (1) the 30 never-recorded round-5 queries, (2)
+        # -- the entries with the OLDEST green records (r1/r2). Tail =
+        # -- green r2/r3/r4 records, all re-verified by the local
+        # -- full mirror sweep (tools/check_correctness.py) each
+        # -- session.
         "cdc_mongo_final_state": _q_cdc_mongo_final_state,
         "cdc_mongo_patch_final_state": _q_cdc_mongo_patch_final_state,
         "cdc_snapshot_resync_final_state": _q_cdc_snapshot_resync_final_state,
@@ -107,11 +107,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "sim_cosine_topk": _q_sim_cosine_topk,
-        "sim_cosine_topk_arrow": _q_sim_cosine_topk_arrow,
         "sim_lsh_ann_topk": _q_sim_lsh_ann,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_ivf_ann_topk": _q_sim_ivf_ann,
         "multimodal_byte_features": _q_multimodal_features,
+        # sim_cosine_topk_arrow sits FIRST PAST the 50-window: with 30
+        # never-recorded round-5 queries + the 21 oldest records, one
+        # r1/r2 entry must yield its slot — the arrow twin is the one
+        # whose correctness is independently pinned bit-identical to
+        # sim_cosine_topk (in-window) by pytest.
+        "sim_cosine_topk_arrow": _q_sim_cosine_topk_arrow,
         "cdc_patch_sink_final_state": _q_cdc_patch_sink_final_state,
         "cdc_mirror_final_state": _q_cdc_mirror_final_state,
         "cdc_projected_read": _q_cdc_projected_read,
