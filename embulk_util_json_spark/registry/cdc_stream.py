@@ -1165,7 +1165,9 @@ def _q_cdc_patch_state_ttl_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(turn_idx % 3) * 3600 + (seq % 3000))"
         ),
     )
-    patched = _patchify(changes)
+    # pin the fixture once: the three per-region coalesce(1) writes
+    # would each recompute the concat→parse→patchify pipeline
+    patched = _patchify(changes).localCheckpoint()
     src = os.path.join(work, "stream")
     os.makedirs(src)
     for i in range(3):
